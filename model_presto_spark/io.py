@@ -1,0 +1,73 @@
+"""Table catalog over the driver's parquet testdata.
+
+Mirrors the reference's scan layer (SURVEY.md §2.1): parquet is the
+canonical columnar source (S7); other formats live in
+``model_presto_spark.sources``. Loads are lazy DataFrames — Catalyst
+handles column pruning and predicate pushdown into the parquet scan,
+playing the role the remote collection service plays in the
+reference (reference: src/optimization.py:79-99 lazy filter chains).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one catalog table.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which the
+    Spark 4 vectorized reader rejects; read it as raw nanos
+    (``nanosAsLong``) and truncate to microseconds — the same
+    truncation DuckDB applies internally, so oracle comparisons on
+    derived time fields agree.
+    """
+    # Pin UTC regardless of who built the session (the driver's own
+    # SparkSession has no engine configs): date/timestamp extraction
+    # must agree with DuckDB's naive-UTC semantics.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every catalog table present in ``sf_dir`` (all lazy)."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        if os.path.exists(table_path(sf_dir, name)):
+            out[name] = load_table(spark, sf_dir, name)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register each table as a temp view for spark.sql() access."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,94 @@
+"""As-of (nearest-time) join with tolerance.
+
+Reference semantics: per (pixel, month), pick the observation whose
+timestamp is nearest the month midpoint within a tolerance
+(reference: presto-tolbi/presto/dataops/pipelines/dynamicworld.py:108-137 —
+``dateDist = abs(ts - mid)``, sort asc, keep first within
+``max(nearest_dist, 15 days)``). Spark 4 has no native ASOF join, so
+this implements it as a *range join + rank* composition that Catalyst
+plans as a normal equi-join with a range residual (broadcast or
+sort-merge) followed by one window — fully distributed, no
+driver-side materialization.
+
+At 100 TB the tolerance predicate is what keeps this tractable: it
+bounds the join fan-out to a time band instead of a full per-key
+history, and AQE splits skewed keys. Small right sides broadcast
+automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str,
+    tolerance: str | None = None,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the right row nearest in time.
+
+    Parameters
+    ----------
+    on: equality key column name(s) shared by both sides.
+    left_ts / right_ts: timestamp column names.
+    tolerance: SQL interval body (e.g. ``"1 hour"``, ``"30 days"``);
+        None = unbounded.
+    direction: ``backward`` (right_ts <= left_ts, nearest from below —
+        the pandas ``merge_asof`` default), ``forward``
+        (right_ts >= left_ts), or ``nearest`` (min abs distance).
+
+    Left rows with no match are kept with nulls (left-outer
+    semantics). Deterministic tie-break at equal distance: the
+    lexicographically-largest right payload row. Left rows must be
+    unique (they form the window partition key).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    # Disambiguate right columns that collide with left ones; drop the
+    # right copy of the equality keys after the join.
+    l_cols = set(left.columns)
+    renames = {c: (c + suffix if c in l_cols else c) for c in right.columns}
+    r = right.select([F.col(c).alias(renames[c]) for c in right.columns])
+    r_ts = renames[right_ts]
+    r_payload = [renames[c] for c in right.columns if c not in keys]
+
+    lt, rt = F.col(left_ts), F.col(r_ts)
+    if direction == "backward":
+        cond: Column = rt <= lt
+        if tolerance is not None:
+            cond = cond & (rt >= lt - F.expr(f"INTERVAL {tolerance}"))
+        dist = lt.cast("double") - rt.cast("double")
+    elif direction == "forward":
+        cond = rt >= lt
+        if tolerance is not None:
+            cond = cond & (rt <= lt + F.expr(f"INTERVAL {tolerance}"))
+        dist = rt.cast("double") - lt.cast("double")
+    elif direction == "nearest":
+        cond = F.lit(True)
+        if tolerance is not None:
+            cond = (rt >= lt - F.expr(f"INTERVAL {tolerance}")) & (
+                rt <= lt + F.expr(f"INTERVAL {tolerance}")
+            )
+        dist = F.abs(lt.cast("double") - rt.cast("double"))
+    else:
+        raise ValueError(f"unknown direction: {direction}")
+
+    for k in keys:
+        cond = (left[k] == r[renames[k]]) & cond
+
+    joined = left.join(r, cond, "left").drop(*[renames[k] for k in keys])
+    w = Window.partitionBy(*[left[c] for c in left.columns]).orderBy(
+        dist.asc_nulls_last(), *[F.col(c).desc() for c in r_payload]
+    )
+    return (
+        joined.withColumn("__asof_rn", F.row_number().over(w))
+        .filter(F.col("__asof_rn") == 1)
+        .drop("__asof_rn")
+    )

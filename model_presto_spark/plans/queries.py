@@ -1,0 +1,555 @@
+"""Declared conformance queries (SURVEY.md §2.13).
+
+Each entry pairs a Spark DataFrame program with the ANSI-SQL oracle
+DuckDB runs on the same parquet tables. Column names are aliased
+identically on both sides (the driver sorts columns by name before
+hashing). Floats are rounded; orderings are deterministic on unique
+keys.
+
+The Spark side is written DataFrame-first so Catalyst applies
+pushdown / pruning / broadcast decisions; the SQL strings exist only
+as the independent oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from model_presto_spark.io import load_table
+from model_presto_spark.operators.asof import asof_join
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Q1 — scan / projection / ordered limit  (S4/S7, P1, O6)
+# ---------------------------------------------------------------------------
+@register(
+    "q01_scan_project",
+    """
+    SELECT l_orderkey, l_partkey, l_quantity
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+    doc="Parquet scan + column projection + deterministic top-100.",
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — derived arithmetic projection  (P4/P5)
+# ---------------------------------------------------------------------------
+@register(
+    "q02_derived_expr",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue
+    FROM lineitem
+    """,
+    doc="Per-row derived column (normalization-style arithmetic).",
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 — conjunctive range filters + global agg  (P7/P9/P16; TPC-H Q6 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q03_filter_sum",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pushed-down range predicates + single agg.",
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — null handling  (P12/P13)
+# ---------------------------------------------------------------------------
+@register(
+    "q04_null_counts",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(value) AS n_value,
+           COUNT(props) AS n_props
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Null-skipping counts per column (dropna/isNotNull analog).",
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_value"),
+        F.count("props").alias("n_props"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — string normalization + negated contains  (P15/F1)
+# ---------------------------------------------------------------------------
+@register(
+    "q05_string_filter",
+    """
+    SELECT COUNT(*) AS n_no_comma,
+           COUNT(CASE WHEN norm_name NOT LIKE '%e%' THEN 1 END) AS n_no_e
+    FROM (
+      SELECT REPLACE(TRANSLATE(LOWER(p_name), 'éï', 'ei'), ' - ', '+') AS norm_name
+      FROM part
+      WHERE p_name NOT LIKE '%,%'
+    )
+    """,
+    doc="Lower/translate/replace chain + negated substring filters.",
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    norm = F.replace(
+        F.translate(F.lower(F.col("p_name")), "éï", "ei"), F.lit(" - "), F.lit("+")
+    )
+    return (
+        part.filter(~F.col("p_name").contains(","))
+        .select(norm.alias("norm_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_no_comma"),
+            F.count(F.when(~F.col("norm_name").contains("e"), 1)).alias("n_no_e"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — bitmask predicate  (P17/F14)
+# ---------------------------------------------------------------------------
+@register(
+    "q06_bitmask",
+    """
+    SELECT (o_orderkey & 7) AS bucket, COUNT(*) AS n
+    FROM orders
+    WHERE (o_orderkey & 1) = 0
+    GROUP BY (o_orderkey & 7)
+    """,
+    doc="QA-bitfield style bitwiseAnd predicate + bucket counts.",
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey").bitwiseAND(F.lit(1)) == 0)
+        .groupBy(F.col("o_orderkey").bitwiseAND(F.lit(7)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — CASE masking / relabel  (P18/F11/F13)
+# ---------------------------------------------------------------------------
+@register(
+    "q07_case_relabel",
+    """
+    SELECT CASE WHEN l_returnflag = 'N' AND l_linestatus = 'O' THEN 'open'
+                WHEN l_returnflag = 'R' THEN 'returned'
+                WHEN l_returnflag = 'A' THEN 'accepted'
+                ELSE 'other' END AS status,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="Chained when/otherwise relabeling (land-cover rewrite analog).",
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    status = (
+        F.when((F.col("l_returnflag") == "N") & (F.col("l_linestatus") == "O"), "open")
+        .when(F.col("l_returnflag") == "R", "returned")
+        .when(F.col("l_returnflag") == "A", "accepted")
+        .otherwise("other")
+    )
+    return li.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — inner equi-join + grouped count  (J2)
+# ---------------------------------------------------------------------------
+@register(
+    "q08_join_agg",
+    """
+    SELECT c.c_nationkey AS nationkey,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    doc="Inner equi-join orders⋈customer; dim side broadcastable.",
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — left join + COALESCE fallback  (J1, P21)
+# ---------------------------------------------------------------------------
+@register(
+    "q09_left_join_coalesce",
+    """
+    SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
+           COALESCE(c.cnt, -1) AS n_customers
+    FROM nation n
+    LEFT JOIN (
+      SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY c_nationkey
+    ) c ON n.n_nationkey = c.c_nationkey
+    """,
+    doc="Empty-group fallback: left join + coalesce(-1) (default-image analog).",
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    counts = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return n.join(counts, n.n_nationkey == counts.c_nationkey, "left").select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+        F.coalesce(F.col("cnt"), F.lit(-1)).alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — multi-key full-outer join of two aggregated streams  (J3)
+# ---------------------------------------------------------------------------
+@register(
+    "q10_outer_join_streams",
+    """
+    WITH views AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             COUNT(*) AS n_views, ROUND(SUM(value), 2) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ), purchases AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             COUNT(*) AS n_purchases, ROUND(SUM(value), 2) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+           COALESCE(v.day, p.day) AS day,
+           COALESCE(v.n_views, 0) AS n_views,
+           COALESCE(p.n_purchases, 0) AS n_purchases,
+           COALESCE(v.view_value, 0.0) AS view_value,
+           COALESCE(p.purchase_value, 0.0) AS purchase_value
+    FROM views v FULL OUTER JOIN purchases p
+      ON v.user_id = p.user_id AND v.day = p.day
+    """,
+    doc="Two aggregated event streams full-outer-joined on (user, day).",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+
+    def stream(etype: str, n_alias: str, v_alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id", day)
+            .agg(
+                F.count(F.lit(1)).alias(n_alias),
+                F.round(F.sum("value"), 2).alias(v_alias),
+            )
+        )
+
+    v = stream("view", "n_views", "view_value")
+    p = stream("purchase", "n_purchases", "purchase_value")
+    return v.join(p, ["user_id", "day"], "full_outer").select(
+        "user_id",
+        "day",
+        F.coalesce("n_views", F.lit(0)).alias("n_views"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("view_value", F.lit(0.0)).alias("view_value"),
+        F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — semi / anti join  (J-absent note: existence filters)
+# ---------------------------------------------------------------------------
+@register(
+    "q11_semi_anti",
+    """
+    SELECT 'ordered_parts' AS side, COUNT(*) AS n FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    UNION ALL
+    SELECT 'never_ordered_customers' AS side, COUNT(*) AS n FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="left_semi (parts ever ordered) + left_anti (customers w/o orders).",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("ordered_parts").alias("side"), "n")
+    )
+    b = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("never_ordered_customers").alias("side"), "n")
+    )
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# Q12 — dictionary (dimension) broadcast join  (J7)
+# ---------------------------------------------------------------------------
+@register(
+    "q12_dict_join",
+    """
+    SELECT n.n_name AS nation, r.r_name AS region, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    doc="Label-encode via tiny dim tables (broadcast hash join).",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — as-of join with tolerance  (J5)
+# ---------------------------------------------------------------------------
+@register(
+    "q13_asof_join",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         m AS (
+           SELECT p.event_id,
+                  c.event_id AS click_event_id,
+                  c.value AS click_value,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY p.event_id
+                    ORDER BY c.ts DESC, c.event_id DESC
+                  ) AS rn
+           FROM p JOIN c
+             ON p.user_id = c.user_id
+            AND c.ts <= p.ts
+            AND c.ts >= p.ts - INTERVAL 1 HOUR
+         )
+    SELECT p.event_id, p.user_id,
+           COALESCE(m.click_event_id, -1) AS click_event_id,
+           ROUND(COALESCE(m.click_value, -1.0), 2) AS click_value
+    FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)
+    """,
+    doc="As-of: latest click ≤ purchase ts within 1h per user "
+    "(reference dynamicworld.py:108-137 nearest-in-tolerance semantics).",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        tolerance="1 hour",
+        direction="backward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.coalesce("click_event_id", F.lit(-1)).alias("click_event_id"),
+        F.round(F.coalesce("click_value", F.lit(-1.0)), 2).alias("click_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — exact median per group  (A1)
+# ---------------------------------------------------------------------------
+@register(
+    "q14_median",
+    """
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_quantity), 4) AS med_qty,
+           ROUND(MEDIAN(l_extendedprice), 4) AS med_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated median (monthly-composite analog).",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("med_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("med_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — deterministic mode per group  (A2)
+# ---------------------------------------------------------------------------
+@register(
+    "q15_mode",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ), ranked AS (
+      SELECT user_id, event_type, cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY cnt DESC, event_type ASC
+             ) AS rn
+      FROM counts
+    )
+    SELECT user_id, event_type AS mode_type, cnt AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Mode with deterministic lexicographic-min tie-break (SURVEY §7).",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), F.col("cnt").alias("mode_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — TPC-H Q1 shape: multi-agg per group  (A3-A8)
+# ---------------------------------------------------------------------------
+@register(
+    "q16_tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           ROUND(STDDEV_POP(l_quantity), 4) AS std_qty,
+           ROUND(MIN(l_quantity), 4) AS min_qty,
+           ROUND(MAX(l_quantity), 4) AS max_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="The flagship: filter + grouped sum/avg/stddev/min/max/count "
+    "(partial-aggregation pattern, reference src/utils.py:12-52).",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.stddev_pop("l_quantity"), 4).alias("std_qty"),
+            F.round(F.min("l_quantity"), 4).alias("min_qty"),
+            F.round(F.max("l_quantity"), 4).alias("max_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
