@@ -9,6 +9,17 @@ keys.
 The Spark side is written DataFrame-first so Catalyst applies
 pushdown / pruning / broadcast decisions; the SQL strings exist only
 as the independent oracle.
+
+Cross-engine float conventions (learned the hard way):
+- Never ROUND to fewer decimals than the true decimal precision of
+  the value: Spark rounds HALF_UP on the shortest-decimal rep while
+  DuckDB C-rounds the raw binary, and they disagree exactly on the
+  half-way points that p-decimal money values produce at p-1.
+- AVG / ratio outputs are epsilon-nudged (+5e-10 at 4dp, +5e-12 at
+  6dp) before rounding: true averages lie on a 1/(100*n) grid, so an
+  exact 4dp half-point (e.g. 307.03/8 = 38.37875) is possible and
+  the nudge pushes both engines off the boundary in the same
+  direction while being far smaller than the grid spacing.
 """
 
 from __future__ import annotations
@@ -520,9 +531,9 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(l_quantity), 4) AS sum_qty,
            ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           ROUND(AVG(l_quantity) + 5e-10, 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice) + 5e-10, 4) AS avg_price,
+           ROUND(AVG(l_discount) + 5e-10, 4) AS avg_disc,
            ROUND(STDDEV_POP(l_quantity), 4) AS std_qty,
            ROUND(MIN(l_quantity), 4) AS min_qty,
            ROUND(MAX(l_quantity), 4) AS max_qty,
@@ -544,12 +555,473 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
             F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.avg("l_quantity") + 5e-10, 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice") + 5e-10, 4).alias("avg_price"),
+            F.round(F.avg("l_discount") + 5e-10, 4).alias("avg_disc"),
             F.round(F.stddev_pop("l_quantity"), 4).alias("std_qty"),
             F.round(F.min("l_quantity"), 4).alias("min_qty"),
             F.round(F.max("l_quantity"), 4).alias("max_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — quantile/mean/stddev per group  (A9)
+# ---------------------------------------------------------------------------
+@register(
+    "q17_quantiles",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS q50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q75,
+           ROUND(AVG(o_totalprice) + 5e-10, 4) AS mean_price,
+           ROUND(STDDEV_SAMP(o_totalprice), 4) AS std_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="reshape_for_aggregate analog: q25/q50/q75 + mean + std per group.",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("q25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("q50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("q75"),
+        F.round(F.avg("o_totalprice") + 5e-10, 4).alias("mean_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — width_bucket histogram  (A10/W11)
+# ---------------------------------------------------------------------------
+@register(
+    "q18_histogram",
+    """
+    SELECT LEAST(CAST(FLOOR(l_quantity / 10) AS BIGINT) + 1, 6) AS bucket,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="width_bucket(l_quantity, 0, 50, 5) histogram (value_counts analog).",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.expr("width_bucket(l_quantity, 0, 50, 5)").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — three-way join rollup stats  (A12)
+# ---------------------------------------------------------------------------
+@register(
+    "q19_threeway_stats",
+    """
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice), 4) AS total_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Per-tile stats rollup analog: lineitem→orders→customer→nation.",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — tumbling-window aggregate  (W1)
+# ---------------------------------------------------------------------------
+@register(
+    "q20_tumbling_day",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value,
+           ROUND(AVG(value) + 5e-10, 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Calendar tumbling window (monthly-composite resample analog).",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value") + 5e-10, 4).alias("avg_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — per-group capped ranking  (W4/W5)
+# ---------------------------------------------------------------------------
+@register(
+    "q21_topn_per_group",
+    """
+    SELECT c_nationkey AS nationkey, c_custkey AS custkey,
+           ROUND(c_acctbal, 2) AS acctbal, rn AS rank
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey ASC
+             ) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+    doc="Top-3 per nation (first-100-per-class split analog).",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_custkey").alias("custkey"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — multi-column top-k  (O1-O6)
+# ---------------------------------------------------------------------------
+@register(
+    "q22_topk_order",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 50
+    """,
+    doc="Global ordered top-k (TakeOrderedAndProject physical op).",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q23 — kNN top-k nearest neighbors  (O7)
+# ---------------------------------------------------------------------------
+@register(
+    "q23_knn",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             c_acctbal AS x,
+             CAST(c_custkey % 97 AS DOUBLE) AS y
+      FROM customer
+    ), probes AS (SELECT * FROM pts WHERE id < 10),
+    scored AS (
+      SELECT p.id AS probe_id, c.id AS neighbor_id,
+             (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.id
+               ORDER BY (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y) ASC,
+                        c.id ASC
+             ) AS rank
+      FROM probes p CROSS JOIN pts c
+      WHERE p.id <> c.id
+    )
+    SELECT probe_id, neighbor_id, ROUND(dist, 4) AS dist, rank
+    FROM scored WHERE rank <= 5
+    """,
+    doc="Exact top-5 NN over 2-d points (knn.py analog; broadcast+window).",
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.knn import knn_join
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        F.array(
+            F.col("c_acctbal"), (F.col("c_custkey") % 97).cast("double")
+        ).alias("vec"),
+    )
+    probes = pts.filter(F.col("id") < 10)
+    out = knn_join(
+        probes.withColumnRenamed("id", "probe_id"),
+        pts.withColumnRenamed("id", "neighbor_id"),
+        probe_id="probe_id",
+        cand_id="neighbor_id",
+        probe_vec="vec",
+        cand_vec="vec",
+        k=5,
+        metric="sqeuclidean",
+        exclude_self=True,
+    )
+    return out.select("probe_id", "neighbor_id", F.round("dist", 4).alias("dist"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# Q24 — union w/ discriminator + explode  (U1/U2/U6)
+# ---------------------------------------------------------------------------
+@register(
+    "q24_union_explode",
+    """
+    WITH u AS (
+      SELECT 'high' AS side, l_orderkey, l_linenumber
+      FROM lineitem WHERE l_quantity >= 45
+      UNION ALL
+      SELECT 'low' AS side, l_orderkey, l_linenumber
+      FROM lineitem WHERE l_quantity <= 5
+    )
+    SELECT side, COUNT(*) AS n_rows, SUM(i) AS sum_idx
+    FROM u, UNNEST(generate_series(1, l_linenumber)) AS t(i)
+    GROUP BY side
+    """,
+    doc="Union-with-literal + explode(sequence) row multiplication.",
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    hi = li.filter(F.col("l_quantity") >= 45).select(
+        F.lit("high").alias("side"), "l_orderkey", "l_linenumber"
+    )
+    lo = li.filter(F.col("l_quantity") <= 5).select(
+        F.lit("low").alias("side"), "l_orderkey", "l_linenumber"
+    )
+    u = hi.unionByName(lo)
+    return (
+        u.select("side", F.explode(F.sequence(F.lit(1), F.col("l_linenumber"))).alias("i"))
+        .groupBy("side")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("i").alias("sum_idx"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q25 — date functions  (F5-F9)
+# ---------------------------------------------------------------------------
+@register(
+    "q25_dates",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           COUNT(*) AS n,
+           SUM(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS total_days,
+           MAX(strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d')) AS max_next_month
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="year/month extraction, datediff, add_months, date_format.",
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))).alias("total_days"),
+            F.max(F.date_format(F.add_months("o_orderdate", 1), "yyyy-MM-dd")).alias("max_next_month"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q26 — string functions  (F2-F4)
+# ---------------------------------------------------------------------------
+@register(
+    "q26_strings",
+    """
+    SELECT split_part(p_name, ' ', 1) AS first_word,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           COUNT(*) AS n,
+           MIN(concat_ws('#', p_brand, p_type)) AS min_tag
+    FROM part
+    GROUP BY 1, 2
+    """,
+    doc="split/substring_index/regexp_extract/concat_ws (filename-parse analog).",
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy(
+            F.substring_index("p_name", " ", 1).alias("first_word"),
+            F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.concat_ws("#", "p_brand", "p_type")).alias("min_tag"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q27 — math/trig functions  (F15/F16)
+# ---------------------------------------------------------------------------
+@register(
+    "q27_math",
+    """
+    SELECT c_custkey,
+           ROUND(
+             sqrt(abs(c_acctbal))
+             + pow(sin(radians(CAST(c_custkey % 360 AS DOUBLE))), 2)
+             + cos(radians(CAST(c_custkey % 360 AS DOUBLE))),
+             6
+           ) AS metric
+    FROM customer
+    WHERE c_custkey < 500
+    """,
+    doc="sqrt/pow/abs/sin/cos/radians (unit-sphere encoding analog).",
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    ang = F.radians((F.col("c_custkey") % 360).cast("double"))
+    metric = F.sqrt(F.abs(F.col("c_acctbal"))) + F.pow(F.sin(ang), 2) + F.cos(ang)
+    return c.filter(F.col("c_custkey") < 500).select(
+        "c_custkey", F.round(metric, 6).alias("metric")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q28 — deterministic modulo split  (R2)
+# ---------------------------------------------------------------------------
+@register(
+    "q28_mod_split",
+    """
+    SELECT l_orderkey % 10 AS bucket, COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Deterministic shard assignment via arithmetic pmod "
+    "(engine-hash intentionally avoided for cross-engine parity).",
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.pmod(F.col("l_orderkey"), F.lit(10)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q29 — classification metrics as aggregates  (A14)
+# ---------------------------------------------------------------------------
+@register(
+    "q29_confusion",
+    """
+    WITH scored AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label,
+             CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS pred
+      FROM lineitem
+    )
+    SELECT SUM(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS tp,
+           SUM(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS fp,
+           SUM(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS fn,
+           SUM(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS tn,
+           ROUND(SUM(CASE WHEN label = pred THEN 1 ELSE 0 END) * 1.0 / COUNT(*) + 5e-12, 6) AS accuracy
+    FROM scored
+    """,
+    doc="Confusion counts + accuracy from CASE-derived (pred,label).",
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    label = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    pred = F.when(F.col("l_discount") > 0.05, 1).otherwise(0)
+    s = li.select(label.alias("label"), pred.alias("pred"))
+    return s.agg(
+        F.sum(F.when((F.col("label") == 1) & (F.col("pred") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("label") == 0) & (F.col("pred") == 1), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("label") == 1) & (F.col("pred") == 0), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when((F.col("label") == 0) & (F.col("pred") == 0), 1).otherwise(0)).alias("tn"),
+        F.round(
+            F.sum(F.when(F.col("label") == F.col("pred"), 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1))
+            + 5e-12,
+            6,
+        ).alias("accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q30 — array clip/pad to fixed-length series  (W2/W3)
+# ---------------------------------------------------------------------------
+@register(
+    "q30_series_pad",
+    """
+    WITH series AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(LEAST(len(vals), 12) AS INT) AS n_used,
+           ROUND(
+             list_sum(
+               list_concat(
+                 vals[1:12],
+                 list_transform(range(12 - LEAST(len(vals), 12)), x -> vals[1])
+               )
+             ),
+             2
+           ) AS series_sum
+    FROM series
+    """,
+    doc="12-step clip + edge-pad of per-entity ordered series "
+    "(reference dynamicworld.py:14-29 pad_array + dataset.py:280-287 clip).",
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+        ),
+        lambda s: s.value,
+    )
+    g = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(vals.alias("vals"))
+    )
+    clipped = F.slice(F.col("vals"), 1, 12)
+    padded = F.concat(
+        clipped,
+        F.array_repeat(
+            F.element_at(F.col("vals"), 1),
+            F.greatest(F.lit(0), F.lit(12) - F.size(clipped)),
+        ),
+    )
+    return g.select(
+        "user_id",
+        F.least(F.size("vals"), F.lit(12)).cast("int").alias("n_used"),
+        F.round(
+            F.aggregate(padded, F.lit(0.0), lambda acc, x: acc + x), 2
+        ).alias("series_sum"),
     )
