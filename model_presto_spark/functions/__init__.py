@@ -1,0 +1,3 @@
+from model_presto_spark.functions import text, vectors
+
+__all__ = ["text", "vectors"]

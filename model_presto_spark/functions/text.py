@@ -1,0 +1,190 @@
+"""Text-analysis column functions for large-scale corpus pipelines.
+
+Everything here is a pure Spark SQL *expression builder* — shingling,
+MinHash, SimHash, token stats, language ID, fingerprints all compile
+to Catalyst higher-order functions (transform/aggregate/sequence)
+that run inside whole-stage codegen on the JVM. No Python UDFs: at
+100 TB the per-row Python hop would dominate the job.
+
+Hashing convention: 60-bit values derived from md5 (first 15 hex
+chars), which is identical in every engine — chosen over xxhash /
+murmur so DuckDB oracles can reproduce results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Deliberately small and deterministic.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "du", "est", "pour"),
+    "es": ("el", "la", "de", "los", "las", "un", "una", "es", "por", "para"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "von", "mit", "für"),
+}
+
+
+def h60(s: Column, seed: int | Column | None = None) -> Column:
+    """Deterministic 60-bit hash of a string column (md5-based).
+
+    Cross-engine reproducible: DuckDB equivalent is
+    ``CAST(('0x' || substr(md5(s || '#' || seed), 1, 15)) AS BIGINT)``.
+    """
+    if seed is not None:
+        seed_c = F.lit(str(seed)) if isinstance(seed, int) else seed.cast("string")
+        s = F.concat(s, F.lit("#"), seed_c)
+    return F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (lowercased), empty tokens removed."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def char_shingles(text: Column, k: int = 5, distinct: bool = True) -> Column:
+    """Character k-gram shingle set of a (lowercased) document."""
+    c = F.lower(text)
+    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+    sh = F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, F.lit(k)))
+    return F.array_distinct(sh) if distinct else sh
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) of a document."""
+    toks = tokens(text)
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: array of per-seed minimum 60-bit hashes.
+
+    One pass per seed over the shingle array, entirely in Catalyst
+    (`transform` + `array_min`); the signature is O(num_hashes) per
+    document regardless of document size, so the downstream LSH join
+    shuffles only signatures, never documents.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(F.transform(shingles, lambda s: h60(s, j))),
+    )
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Array of (band_idx, band_hash) structs for LSH bucketing.
+
+    Documents agreeing on any band land in the same bucket; the
+    bucket join replaces the O(n²) pair comparison.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    ),
+                    "UTF-8",
+                )
+            ).alias("bucket"),
+        ),
+    )
+
+
+def simhash60_expr(text_sql: str) -> Column:
+    """60-bit SimHash over whitespace tokens of ``text_sql``.
+
+    Bit b of the result is 1 iff the sum over tokens of
+    (bit b of h60(token)) * 2 - 1 is positive. Built as a SQL string
+    because the shift amount is a lambda variable (pyspark's
+    ``shiftright`` only takes int literals); still compiles to
+    Catalyst higher-order functions — JVM-only, no UDF.
+    """
+    toks = rf"filter(split(lower({text_sql}), '\\s+'), t -> t != '')"
+    h = "cast(conv(substring(md5(encode(t, 'UTF-8')), 1, 15), 16, 10) as bigint)"
+    return F.expr(
+        f"""aggregate(
+              transform(sequence(0, 59), b ->
+                CASE WHEN aggregate({toks}, 0,
+                       (acc, t) -> acc + CAST(((shiftright({h}, b) & 1) * 2 - 1) AS INT)) > 0
+                THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
+              CAST(0 AS BIGINT), (acc, x) -> acc | x)"""
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count of word/number/punct chunks.
+
+    Splits words longer than 4 chars into ceil(len/4) subword units —
+    a deterministic stand-in for a real tokenizer's piece count.
+    """
+    toks = tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("bigint"),
+    )
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Quality-scoring features: length, word stats, ratios."""
+    toks = tokens(text)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(text).cast("double")
+    alpha = F.length(F.regexp_replace(F.lower(text), "[^a-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    stop_en = _lit_array(LANG_STOPWORDS["en"])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_en, t))).cast("double")
+    mean_wlen = F.when(n_tok > 0, (alpha / n_tok)).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "alpha_ratio": F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0)),
+        "mean_word_len": mean_wlen,
+    }
+
+
+def _lit_array(words: tuple[str, ...]) -> Column:
+    """Literal string array (Column.isin is unusable inside HOF lambdas)."""
+    return F.array(*[F.lit(w) for w in words])
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Stopword-hit count per language (language-ID heuristic)."""
+    def _counter(words: tuple[str, ...]) -> Column:
+        arr = _lit_array(words)
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    return {lang: _counter(sw) for lang, sw in LANG_STOPWORDS.items()}
+
+
+def fingerprint60(text: Column) -> Column:
+    """Document fingerprint: 60-bit hash of the normalized text
+    (lowercased, whitespace collapsed) — exact-dedup key."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return h60(norm)

@@ -1,0 +1,46 @@
+"""Vector column functions (embedding similarity).
+
+All JVM-side Catalyst expressions. Folds are sequential
+left-to-right, matching DuckDB's ``list_reduce`` order, so dot
+products and norms are bit-identical across engines (both promote
+float elements to double before accumulating).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(as_double(a), as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm2(a) * norm2(b))
+
+
+def cosine_distance(a: Column, b: Column) -> Column:
+    return 1.0 - cosine_similarity(a, b)
+
+
+def sq_euclidean(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(as_double(a), as_double(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )

@@ -80,3 +80,73 @@ def knn_join(
             "rank",
         )
     )
+
+
+def _hyperplane_bucket_sql(vec_sql: str, dim: int, planes: int, prefix: str = "hp") -> str:
+    """Spark SQL for a random-hyperplane LSH bucket id.
+
+    Hyperplane weights are derived deterministically from md5 —
+    w[j][d] = (h60('hp{j}_{d}') % 2001 - 1000) / 1000.0 — so any
+    engine (and the DuckDB oracle) reproduces identical buckets.
+    Sequential fold => bit-identical dot products across engines.
+    """
+    h = (
+        "cast(conv(substring(md5(encode(concat('"
+        + prefix
+        + "', j, '_', d), 'UTF-8')), 1, 15), 16, 10) as bigint)"
+    )
+    return f"""aggregate(
+        transform(sequence(0, {planes - 1}), j ->
+          CASE WHEN aggregate(sequence(1, {dim}), cast(0.0 as double),
+                 (acc, d) -> acc + cast(element_at({vec_sql}, d) as double)
+                             * (({h} % 2001 - 1000) / 1000.0)) > 0
+          THEN shiftleft(1, j) ELSE 0 END),
+        0, (acc, x) -> acc + x)"""
+
+
+def ann_lsh_join(
+    probes: DataFrame,
+    candidates: DataFrame,
+    probe_id: str,
+    cand_id: str,
+    probe_vec: str = "vec",
+    cand_vec: str = "vec",
+    k: int = 5,
+    dim: int = 64,
+    planes: int = 8,
+) -> DataFrame:
+    """Approximate NN: random-hyperplane LSH bucket equi-join + exact
+    cosine rerank within the bucket.
+
+    The scale path for large probe sets: both sides compute an
+    integer bucket id (2^planes buckets), the crossJoin becomes a
+    bucket equi-join (shuffle on bucket id), and only same-bucket
+    pairs are scored. Recall < 1 by construction; raise ``planes``
+    fan-out (multi-probe) or run multiple tables for higher recall.
+    """
+    from model_presto_spark.functions.vectors import cosine_similarity
+
+    p = probes.select(
+        F.col(probe_id).alias("__pid"),
+        F.col(probe_vec).alias("__pvec"),
+        F.expr(_hyperplane_bucket_sql(probe_vec, dim, planes)).alias("__bucket"),
+    )
+    c = candidates.select(
+        F.col(cand_id).alias("__cid"),
+        F.col(cand_vec).alias("__cvec"),
+        F.expr(_hyperplane_bucket_sql(cand_vec, dim, planes)).alias("__bucket"),
+    )
+    pairs = c.join(p, "__bucket").filter(F.col("__pid") != F.col("__cid"))
+    sim = cosine_similarity(F.col("__pvec"), F.col("__cvec"))
+    scored = pairs.select("__pid", "__cid", sim.alias("__sim"))
+    w = Window.partitionBy("__pid").orderBy(F.col("__sim").desc(), F.col("__cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__pid").alias(probe_id),
+            F.col("__cid").alias(cand_id),
+            F.col("__sim").alias("cosine_sim"),
+            "rank",
+        )
+    )

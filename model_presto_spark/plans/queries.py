@@ -1025,3 +1025,7 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(padded, F.lit(0.0), lambda acc, x: acc + x), 2
         ).alias("series_sum"),
     )
+
+
+# Register the training-data pipeline queries (documents/embeddings).
+from model_presto_spark.plans import queries_docs as _queries_docs  # noqa: E402,F401
