@@ -43,17 +43,28 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
-def char_shingles(text: Column, k: int = 5, distinct: bool = True) -> Column:
-    """Character k-gram shingle set of a (lowercased) document."""
-    c = F.lower(text)
-    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
-    sh = F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, F.lit(k)))
+def char_shingles(lowered: Column, k: int = 5, distinct: bool = True) -> Column:
+    """Character k-gram shingle set.
+
+    ``lowered`` MUST be a materialized (already-selected) lowercase
+    column, not an inline ``lower(text)`` expression: the per-position
+    lambda references it once per shingle, and Catalyst inlines
+    single-use projected expressions into lambdas — an inline lower()
+    would be recomputed O(len) times (O(len²) total). Referencing the
+    column here twice (length + lambda) keeps the projection
+    materialized.
+    """
+    n = F.greatest(F.length(lowered) - F.lit(k - 1), F.lit(1))
+    sh = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substring(lowered, i, F.lit(k))
+    )
     return F.array_distinct(sh) if distinct else sh
 
 
-def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (space-joined) of a document."""
-    toks = tokens(text)
+def word_ngrams(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) from a materialized tokens
+    column (same inlining caveat as ``char_shingles``: pass an
+    attribute, not an inline ``tokens(text)`` expression)."""
     cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), cnt),
@@ -62,17 +73,40 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: array of per-seed minimum 60-bit hashes.
+# Mersenne prime 2^31-1: universal-hash modulus. (h % P) * (2j+1) stays
+# under 2^36, so the arithmetic never overflows ANSI bigint in any engine.
+HASH_P = 2_147_483_647
 
-    One pass per seed over the shingle array, entirely in Catalyst
-    (`transform` + `array_min`); the signature is O(num_hashes) per
-    document regardless of document size, so the downstream LSH join
-    shuffles only signatures, never documents.
+
+def hash_array(strings: Column) -> Column:
+    """One 60-bit md5 hash per array element — the single expensive
+    hashing pass; everything downstream derives from these integers."""
+    return F.transform(strings, lambda s: h60(s))
+
+
+def minhash_signature(hashes: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature from pre-hashed elements (see ``hash_array``).
+
+    Per-seed hashes are derived arithmetically — ``((h % P) * (2j+1)
+    + 7919 j) % P`` — instead of re-hashing every shingle per seed,
+    so the md5 cost is O(|shingles|), not O(num_hashes · |shingles|).
+    The signature is O(num_hashes) per document regardless of size, so
+    the downstream LSH join shuffles only signatures, never documents.
+
+    Single-pass fold: the hash array sits in ``aggregate``'s *input*
+    position (evaluated once per row no matter how Catalyst collapses
+    projections); the fold maintains all ``num_hashes`` running minima
+    at once via ``zip_with``.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(F.transform(shingles, lambda s: h60(s, j))),
+    p = F.lit(HASH_P)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    init = F.array_repeat(F.lit(HASH_P).cast("bigint"), num_hashes)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, seeds, lambda m, j: F.least(m, ((h % p) * (j * 2 + 1) + j * 7919) % p)
+        ),
     )
 
 
@@ -102,24 +136,32 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
-def simhash60_expr(text_sql: str) -> Column:
-    """60-bit SimHash over whitespace tokens of ``text_sql``.
+def simhash60_from_hashes(hashes_sql: str) -> Column:
+    """60-bit SimHash from pre-hashed tokens (see ``hash_array``).
 
     Bit b of the result is 1 iff the sum over tokens of
-    (bit b of h60(token)) * 2 - 1 is positive. Built as a SQL string
-    because the shift amount is a lambda variable (pyspark's
-    ``shiftright`` only takes int literals); still compiles to
-    Catalyst higher-order functions — JVM-only, no UDF.
+    (bit b of h60(token)) * 2 - 1 is positive.
+
+    Single pass over the hash array: the inner ``aggregate`` folds all
+    60 bit-vote counters at once (``zip_with`` against the bit-index
+    sequence), so the hash expression — which Catalyst may inline into
+    the aggregate's input position — is still evaluated exactly once
+    per row. Built as a SQL string because the shift amount is a
+    lambda variable (pyspark's ``shiftright`` only takes int
+    literals); still compiles to Catalyst higher-order functions —
+    JVM-only, no UDF.
     """
-    toks = rf"filter(split(lower({text_sql}), '\\s+'), t -> t != '')"
-    h = "cast(conv(substring(md5(encode(t, 'UTF-8')), 1, 15), 16, 10) as bigint)"
     return F.expr(
-        f"""aggregate(
-              transform(sequence(0, 59), b ->
-                CASE WHEN aggregate({toks}, 0,
-                       (acc, t) -> acc + CAST(((shiftright({h}, b) & 1) * 2 - 1) AS INT)) > 0
-                THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
-              CAST(0 AS BIGINT), (acc, x) -> acc | x)"""
+        """aggregate(
+              zip_with(
+                aggregate({hs},
+                  array_repeat(0, 60),
+                  (acc, h) -> zip_with(acc, sequence(0, 59),
+                    (c, b) -> c + CAST(((shiftright(h, b) & 1) * 2 - 1) AS INT))),
+                sequence(0, 59),
+                (c, b) -> CASE WHEN c > 0 THEN shiftleft(CAST(1 AS BIGINT), b)
+                          ELSE CAST(0 AS BIGINT) END),
+              CAST(0 AS BIGINT), (acc, x) -> acc | x)""".format(hs=hashes_sql)
     )
 
 
@@ -149,9 +191,13 @@ def bpe_ish_token_count(text: Column) -> Column:
     )
 
 
-def quality_features(text: Column) -> dict[str, Column]:
-    """Quality-scoring features: length, word stats, ratios."""
-    toks = tokens(text)
+def quality_features(text: Column, toks: Column) -> dict[str, Column]:
+    """Quality-scoring features: length, word stats, ratios.
+
+    ``toks`` must be a materialized tokens column (see the
+    ``char_shingles`` inlining caveat) — it is referenced by several
+    features and would otherwise be re-tokenized per feature.
+    """
     n_tok = F.size(toks).cast("double")
     n_chars = F.length(text).cast("double")
     alpha = F.length(F.regexp_replace(F.lower(text), "[^a-z]", "")).cast("double")

@@ -58,6 +58,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def spread(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition to cluster parallelism.
+
+    CPU-bound operators (shingling, per-element hashing, vector math)
+    must not inherit the scan's partitioning: a small file count — or
+    one giant unsplittable file — serializes the whole stage onto a
+    few cores. One cheap shuffle of the raw rows buys full-cluster
+    parallelism for everything downstream. No-op cost at real scale
+    (rows are shuffled once, before they fan out into shingles /
+    postings, which are the expensive representation).
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every catalog table present in ``sf_dir`` (all lazy)."""
     out: dict[str, DataFrame] = {}

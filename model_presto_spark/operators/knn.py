@@ -82,24 +82,45 @@ def knn_join(
     )
 
 
+def hyperplane_weights(dim: int, planes: int, prefix: str = "hp") -> list[list[float]]:
+    """Deterministic md5-derived hyperplane weights, computed once on
+    the driver — w[j][d-1] = (h60('hp{j}_{d}') % 2001 - 1000) / 1000.
+
+    Hashing happens here in Python, never per row: the weights embed
+    into the plan as literals (and into the DuckDB oracle SQL as the
+    same literals), so any engine reproduces identical buckets with
+    zero per-row hash cost.
+    """
+    import hashlib
+
+    def w(j: int, d: int) -> float:
+        h = int(hashlib.md5(f"{prefix}{j}_{d}".encode()).hexdigest()[:15], 16)
+        return (h % 2001 - 1000) / 1000.0
+
+    return [[w(j, d) for d in range(1, dim + 1)] for j in range(planes)]
+
+
+def _weights_sql(weights: list[list[float]]) -> str:
+    """SQL literal: array of per-plane weight arrays (valid in Spark
+    SQL with array(...) and in DuckDB with [...] — use former)."""
+    planes = ", ".join(
+        "array(" + ", ".join(repr(x) for x in row) + ")" for row in weights
+    )
+    return f"array({planes})"
+
+
 def _hyperplane_bucket_sql(vec_sql: str, dim: int, planes: int, prefix: str = "hp") -> str:
     """Spark SQL for a random-hyperplane LSH bucket id.
 
-    Hyperplane weights are derived deterministically from md5 —
-    w[j][d] = (h60('hp{j}_{d}') % 2001 - 1000) / 1000.0 — so any
-    engine (and the DuckDB oracle) reproduces identical buckets.
-    Sequential fold => bit-identical dot products across engines.
+    Sequential d = 1..dim fold and literal weights => bit-identical
+    dot products (hence buckets) across engines.
     """
-    h = (
-        "cast(conv(substring(md5(encode(concat('"
-        + prefix
-        + "', j, '_', d), 'UTF-8')), 1, 15), 16, 10) as bigint)"
-    )
+    ws = _weights_sql(hyperplane_weights(dim, planes, prefix))
     return f"""aggregate(
         transform(sequence(0, {planes - 1}), j ->
           CASE WHEN aggregate(sequence(1, {dim}), cast(0.0 as double),
                  (acc, d) -> acc + cast(element_at({vec_sql}, d) as double)
-                             * (({h} % 2001 - 1000) / 1000.0)) > 0
+                             * element_at(element_at({ws}, j + 1), d)) > 0
           THEN shiftleft(1, j) ELSE 0 END),
         0, (acc, x) -> acc + x)"""
 

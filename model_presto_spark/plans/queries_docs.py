@@ -44,11 +44,20 @@ def dd_shingles(t: str, k: int = 5) -> str:
     )
 
 
-def dd_minhash(shingles: str, num_hashes: int = 16) -> str:
+def dd_hash_array(strings: str) -> str:
+    """One md5-derived 60-bit hash per list element (mirrors
+    functions.text.hash_array)."""
+    return f"list_transform({strings}, s -> {dd_h60('s')})"
+
+
+def dd_minhash(hashes: str, num_hashes: int = 16) -> str:
+    """Arithmetic per-seed minima over pre-hashed elements (mirrors
+    functions.text.minhash_signature — same universal-hash formula)."""
+    p = 2_147_483_647
     return (
         f"list_transform(generate_series(0, {num_hashes - 1}), "
-        f"j -> list_min(list_transform({shingles}, "
-        f"s -> {dd_h60(chr(115) + ' || ' + repr('#') + ' || j')})))"
+        f"j -> list_min(list_transform({hashes}, "
+        f"h -> ((h % {p}) * (j * 2 + 1) + j * 7919) % {p})))"
     )
 
 
@@ -81,22 +90,22 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q32 — MinHash + LSH near-dup pairs, exact-Jaccard verified
 # ---------------------------------------------------------------------------
 _DD_SH = dd_shingles("text", 5)
-_DD_SIG = dd_minhash("shingles", 16)
+_DD_SIG = dd_minhash("hs", 16)
 
 _Q32_ORACLE = f"""
     WITH sh AS (
-      SELECT doc_id AS id, {_DD_SH} AS shingles FROM documents
+      SELECT doc_id AS id, {dd_hash_array(_DD_SH)} AS hs FROM documents
     ), sig AS (
-      SELECT id, shingles, {_DD_SIG} AS sig FROM sh
+      SELECT id, hs, {_DD_SIG} AS sig FROM sh
     ), banded AS (
-      SELECT id, shingles, b.band,
+      SELECT id, hs, b.band,
              md5(array_to_string(
                list_transform(sig[b.band * 4 + 1 : b.band * 4 + 4],
                               x -> CAST(x AS VARCHAR)), ',')) AS bucket
       FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS band) b
     ), cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-             a.shingles AS sh_a, b.shingles AS sh_b
+             a.hs AS sh_a, b.hs AS sh_b
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
     )
@@ -166,7 +175,9 @@ _DD_GRAMS = (
 
 _Q34_ORACLE = f"""
     WITH g AS (
-      SELECT doc_id AS id, {_DD_GRAMS} AS grams FROM documents
+      SELECT doc_id AS id,
+             list_distinct({dd_hash_array(_DD_GRAMS)}) AS grams
+      FROM documents
     ), sizes AS (
       SELECT id, len(grams) AS n_grams FROM g
     ), posting AS (
@@ -310,8 +321,8 @@ _Q36_ORACLE = f"""
 )
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
-    scores = T.lang_scores(toks)
+    toksed = docs.select("lang", T.tokens(F.col("text")).alias("toks"))
+    scores = T.lang_scores(F.col("toks"))
     ordered = sorted(scores)  # lexicographic => deterministic argmax tie-break
     pred = None
     for lang in reversed(ordered):
@@ -325,7 +336,7 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
                     cond = c if cond is None else (cond & c)
             pred = F.when(cond, F.lit(lang)).otherwise(pred)
     return (
-        docs.select("lang", pred.alias("predicted"))
+        toksed.select("lang", pred.alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -364,8 +375,11 @@ _Q37_ORACLE = f"""
 )
 def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    feats = T.quality_features(F.col("text"))
-    return docs.select(
+    toksed = docs.select(
+        "doc_id", "text", T.tokens(F.col("text")).alias("toks")
+    )
+    feats = T.quality_features(F.col("text"), F.col("toks"))
+    return toksed.select(
         "doc_id",
         feats["n_tokens"].cast("bigint").alias("n_tokens"),
         F.round(feats["alpha_ratio"] + 5e-12, 6).alias("alpha_ratio"),
@@ -444,13 +458,22 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q40 — LSH-bucketed approximate NN (the scale path for Q35)
 # ---------------------------------------------------------------------------
-_DD_BUCKET = """
+def _dd_weights_literal() -> str:
+    """Same md5-derived hyperplane weights as the Spark side, embedded
+    as a DuckDB nested-list literal (hashing happens in Python once)."""
+    from model_presto_spark.operators.knn import hyperplane_weights
+
+    rows = hyperplane_weights(dim=64, planes=8)
+    return "[" + ", ".join(
+        "[" + ", ".join(repr(x) for x in row) + "]" for row in rows
+    ) + "]"
+
+
+_DD_BUCKET = f"""
     CAST(list_sum(list_transform(generate_series(0, 7), j ->
       CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list_transform(generate_series(1, 64), d ->
-               CAST({vec}[d] AS DOUBLE)
-               * ((CAST(('0x' || substr(md5('hp' || j || '_' || d), 1, 15)) AS BIGINT)
-                   % 2001 - 1000) / 1000.0))),
+               CAST({{vec}}[d] AS DOUBLE) * ({_dd_weights_literal()})[j + 1][d])),
              (acc, x) -> acc + x) > 0
       THEN (1 << j) ELSE 0 END)) AS INT)
 """
