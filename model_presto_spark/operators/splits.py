@@ -1,0 +1,181 @@
+"""Seeded sampling, shuffling, and train/val/test split operators.
+
+The reference's split discipline (SURVEY.md §2.9): every split is
+seeded and persisted so it never drifts (reference:
+presto-tolbi/presto/utils.py:28-45 seed_everything(42);
+presto-tolbi/presto/eval/fuel_moisture_eval.py:49-65 per-site split;
+presto-tolbi/presto/eval/croptype_france_eval.py:151-162 per-class
+capped assignment; presto-tolbi/presto/eval/cropharvest_eval.py:282-284
+stratified; presto-tolbi/presto/dataops/dataset.py:407-411 shard
+assignment).
+
+Scale notes: every operator here is one narrow projection or one
+shuffle; none collects to the driver. Deterministic *hash* splits
+(not rand) are preferred at 100 TB because they are stable under
+retries, speculative execution, and re-partitioning — rand(seed) is
+only deterministic for a fixed partitioning, which a cluster does
+not guarantee across runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def seeded_shuffle(df: DataFrame, seed: int = 42) -> DataFrame:
+    """Deterministic full shuffle (reference: wds.shuffle seeded 42,
+    dataset.py:258-277). One range-partitioned sort."""
+    return df.orderBy(F.rand(seed))
+
+
+def hash_bucket(key: Column, n_buckets: int) -> Column:
+    """Deterministic bucket id in [0, n_buckets) from a key column.
+
+    xxhash64-based: stable across runs, partitionings and retries —
+    the scale-safe replacement for np.random.choice shard assignment
+    (dataset.py:407-411).
+    """
+    return F.pmod(F.xxhash64(key), F.lit(n_buckets))
+
+
+def hash_split(
+    df: DataFrame, key: str, fractions: dict[str, float], salt: str = ""
+) -> DataFrame:
+    """Assign a ``split`` column deterministically by key hash.
+
+    fractions: e.g. {"train": 0.8, "val": 0.1, "test": 0.1} (must sum
+    to ~1). A row's split depends only on its key (and salt), so the
+    assignment is reproducible on any cluster and any input order.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = (
+        F.pmod(F.xxhash64(F.col(key), F.lit(salt)), F.lit(1_000_000)).cast("double")
+        / 1_000_000.0
+    )
+    acc = 0.0
+    expr = None
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
+def ratio_split(
+    df: DataFrame, weights: list[float], seed: int = 42
+) -> list[DataFrame]:
+    """Random ratio split (reference: torch random_split 80/20,
+    src/data_module.py:62-64). Thin wrapper over randomSplit."""
+    return df.randomSplit(weights, seed=seed)
+
+
+def stratified_split(
+    df: DataFrame, label: str, train_fraction: float, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Stratified train/rest split preserving per-label proportions
+    (reference: sklearn train_test_split(stratify=y, random_state=42),
+    cropharvest_eval.py:282-284).
+
+    Per-label deterministic rank over a seeded shuffle key, split at
+    the label's train quota — exact stratification (sampleBy is only
+    approximate) and fully distributed (one window per label
+    partition).
+    """
+    w = Window.partitionBy(label).orderBy(F.xxhash64(F.struct(*df.columns), F.lit(seed)))
+    cnt = Window.partitionBy(label)
+    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(cnt)
+    )
+    train = ranked.filter(
+        F.col("__rn") <= F.ceil(F.col("__n") * train_fraction)
+    ).drop("__rn", "__n")
+    rest = ranked.filter(
+        F.col("__rn") > F.ceil(F.col("__n") * train_fraction)
+    ).drop("__rn", "__n")
+    return train, rest
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Split by *group* so no group straddles splits (reference:
+    per-site split, fuel_moisture_eval.py:49-65,83-84).
+
+    Assignment hashes the group key (deterministic); broadcast-joined
+    back, so the full table never shuffles.
+    """
+    groups = df.select(group_col).distinct()
+    assigned = hash_split(groups, group_col, fractions, salt=str(seed))
+    return df.join(F.broadcast(assigned), group_col, "left")
+
+
+def per_class_capped_split(
+    df: DataFrame,
+    class_col: str,
+    order_col: str,
+    n_train: int,
+    n_val: int,
+) -> DataFrame:
+    """First ``n_train`` rows per class → train, next ``n_val`` → val,
+    rest → test (reference: croptype_france_eval.py:151-162 —
+    first-100/next-100/rest assignment).
+
+    Deterministic: rows ranked inside each class partition by
+    ``order_col``. One window, no shuffle beyond the class partition.
+    """
+    w = Window.partitionBy(class_col).orderBy(order_col)
+    rn = F.row_number().over(w)
+    return df.withColumn(
+        "split",
+        F.when(rn <= n_train, F.lit("train"))
+        .when(rn <= n_train + n_val, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def per_class_limit(df: DataFrame, class_col: str, order_col: str, n: int) -> DataFrame:
+    """Keep at most n rows per class (reference: n_per_class
+    retention, cropharvest_eval.py:286-293)."""
+    w = Window.partitionBy(class_col).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def balanced_sample(
+    df: DataFrame, label: str, order_col: str, k: int | None = None
+) -> DataFrame:
+    """Equal-count sample per label value; k defaults to the minority
+    class size (reference: k = min(#pos, #neg) class-balance check,
+    cropharvest_extensions.py:605-607; balanced half/half as_array,
+    :626-645).
+    """
+    if k is None:
+        counts = df.groupBy(label).count()
+        k = counts.agg(F.min("count")).collect()[0][0] or 0
+    return per_class_limit(df, label, order_col, k)
+
+
+def oversample(df: DataFrame, times_col: Column) -> DataFrame:
+    """Replicate each row ``times_col`` times (reference: negative
+    oversampling `negative_paths *= multiplier`,
+    cropharvest_extensions.py:441-446). explode(array_repeat) —
+    distributed, no driver loop.
+    """
+    return (
+        df.withColumn(
+            "__rep", F.explode(F.array_repeat(F.lit(1), times_col.cast("int")))
+        )
+        .drop("__rep")
+    )

@@ -1,0 +1,152 @@
+"""Calendar-window composites and fixed-length series operators.
+
+The reference's temporal core: per-month composites with a constant
+fallback for empty months (reference: src/optimization.py:127-147
+``ee.Algorithms.If(size>0, median, constant(-1))``; month loop at
+src/crop_mapping_processing_data_collection_monthly.py:722-733),
+fixed 12-step windows clipped from a longer series
+(presto-tolbi/presto/dataops/dataset.py:280-287), edge-padding to
+length (presto-tolbi/presto/dataops/pipelines/dynamicworld.py:14-29
+``pad_array``), and cyclic month indexing
+(presto-tolbi/presto/presto.py:197-215).
+
+Spark-first shape: the month spine is a tiny generated dimension
+(one row per month) cross-joined to the key dimension and
+left-joined to the aggregated facts — the fallback becomes
+``coalesce(agg, lit(fill))``. Catalyst broadcasts the spine; the
+only shuffle is the fact aggregation itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_AGGS = {
+    "mean": F.avg,
+    "median": lambda c: F.percentile(c, F.lit(0.5)),
+    "min": F.min,
+    "max": F.max,
+    "sum": F.sum,
+    "count": F.count,
+}
+
+
+def month_spine(spark: SparkSession, start: str, end: str) -> DataFrame:
+    """One row per calendar month in [start, end] (inclusive),
+    column ``month_start`` (date). Generated, not scanned — a
+    broadcast-sized dimension exactly like the reference's month
+    loop bounds (.._monthly.py:722-733)."""
+    return spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit(start)),
+                F.to_date(F.lit(end)),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month_start")
+    )
+
+
+def monthly_composite(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    agg: str = "median",
+    fill: float = -1.0,
+    spine_start: str | None = None,
+    spine_end: str | None = None,
+) -> DataFrame:
+    """Per-(key, month) composite with constant fallback for months
+    with no observations (P21/A1/W1).
+
+    Returns one row per key x month with ``month_start`` and
+    ``composite`` columns; months absent from the data get ``fill``
+    (the reference's constant(-1) image). If spine bounds are not
+    given, the observed [min, max] month range is used.
+    """
+    if agg not in _AGGS:
+        raise ValueError(f"agg must be one of {sorted(_AGGS)}")
+    spark = df.sparkSession
+    month = F.date_trunc("month", F.col(ts_col)).cast("date").alias("month_start")
+    facts = (
+        df.select(*keys, month, F.col(value_col).alias("__v"))
+        .groupBy(*keys, "month_start")
+        .agg(_AGGS[agg](F.col("__v")).alias("__agg"))
+    )
+    if spine_start is None or spine_end is None:
+        bounds = df.select(
+            F.min(F.date_trunc("month", F.col(ts_col)).cast("date")).alias("lo"),
+            F.max(F.date_trunc("month", F.col(ts_col)).cast("date")).alias("hi"),
+        ).collect()[0]
+        spine_start, spine_end = str(bounds["lo"]), str(bounds["hi"])
+    spine = month_spine(spark, spine_start, spine_end)
+    key_dim = df.select(*keys).distinct()
+    grid = key_dim.crossJoin(F.broadcast(spine))
+    return grid.join(facts, [*keys, "month_start"], "left").select(
+        *keys,
+        "month_start",
+        F.coalesce(F.col("__agg"), F.lit(float(fill))).alias("composite"),
+    )
+
+
+def pad_series(arr: Column, length: int) -> Column:
+    """Edge-pad (repeat last element) then truncate to fixed length
+    (reference ``pad_array``, dynamicworld.py:14-29). Empty arrays
+    stay empty (nothing to repeat)."""
+    padded = F.when(
+        F.size(arr) >= length, arr
+    ).otherwise(
+        F.concat(
+            arr,
+            F.array_repeat(
+                F.element_at(arr, -1), F.lit(length) - F.size(arr)
+            ),
+        )
+    )
+    return F.when(F.size(arr) == 0, arr).otherwise(F.slice(padded, 1, length))
+
+
+def clip_window(arr: Column, start: int, length: int) -> Column:
+    """Fixed-length window starting at 1-based ``start`` (reference
+    12-step clip, dataset.py:280-287)."""
+    return F.slice(arr, start, length)
+
+
+def cyclic_month(start_month: Column, pos: Column) -> Column:
+    """0-based month index cycled mod 12 (reference month_to_tensor,
+    presto.py:197-215 ``fmod(arange(m, m+seq), 12)``)."""
+    return F.pmod(start_month + pos, F.lit(12))
+
+
+def stride_sample(df: DataFrame, row_col: str, col_col: str, every: int) -> DataFrame:
+    """Systematic grid subsampling — every Nth row/col (reference
+    SAMPLE_EVERY=10, ee_pipeline.py:18,34-47). A pushdown-friendly
+    filter, applied before any wide op."""
+    return df.filter(
+        (F.pmod(F.col(row_col), F.lit(every)) == 0)
+        & (F.pmod(F.col(col_col), F.lit(every)) == 0)
+    )
+
+
+def patch_pool(
+    df: DataFrame,
+    i_col: str,
+    j_col: str,
+    value_col: str,
+    patch: int,
+    agg: str = "mean",
+) -> DataFrame:
+    """Mean (or other) pooling over p x p spatial patches (reference
+    resize_and_average_arrays, eval.py:393-404). groupBy on the
+    quantized grid key — one shuffle, map-side partial aggs."""
+    if agg not in _AGGS:
+        raise ValueError(f"agg must be one of {sorted(_AGGS)}")
+    return (
+        df.groupBy(
+            F.floor(F.col(i_col) / patch).alias("patch_i"),
+            F.floor(F.col(j_col) / patch).alias("patch_j"),
+        )
+        .agg(_AGGS[agg](F.col(value_col)).alias("pooled"))
+    )
