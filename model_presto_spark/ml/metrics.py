@@ -1,0 +1,121 @@
+"""Classification/regression metrics as SQL aggregates (A14).
+
+The reference computes F1/precision/recall/accuracy, R²/MSE and
+Cohen's kappa driver-side with sklearn over collected arrays
+(reference: presto-tolbi/presto/eval/treesat_eval.py:221-252,
+cropharvest_eval.py:366-371, croptype_france_eval.py:11-16,
+fuel_moisture_eval.py:17). Here they are **distributed aggregates**
+over a (pred, label) pair table: confusion counts via one groupBy,
+everything else derived in expressions — no driver-side collect of
+predictions, which is the difference between "works on an eval set"
+and "works on 100 TB of scored pixels".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def confusion_matrix(df: DataFrame, label: str, pred: str) -> DataFrame:
+    """(label, pred, n) counts — one shuffle."""
+    return df.groupBy(
+        F.col(label).alias("label"), F.col(pred).alias("pred")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def binary_metrics(df: DataFrame, label: str, pred: str) -> DataFrame:
+    """Accuracy/precision/recall/F1 for 0/1 labels, one pass
+    (conditional aggregates — Catalyst computes all in a single
+    partial-agg stage)."""
+    l, p = F.col(label), F.col(pred)
+    tp = F.count_if((l == 1) & (p == 1)).alias("tp")
+    fp = F.count_if((l == 0) & (p == 1)).alias("fp")
+    fn = F.count_if((l == 1) & (p == 0)).alias("fn")
+    tn = F.count_if((l == 0) & (p == 0)).alias("tn")
+    agg = df.agg(tp, fp, fn, tn)
+    tpc, fpc, fnc, tnc = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    prec = tpc / F.greatest(tpc + fpc, F.lit(1))
+    rec = tpc / F.greatest(tpc + fnc, F.lit(1))
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        ((tpc + tnc) / (tpc + fpc + fnc + tnc)).alias("accuracy"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+        (2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12))).alias("f1"),
+    )
+
+
+def multiclass_f1(df: DataFrame, label: str, pred: str) -> DataFrame:
+    """Per-class precision/recall/F1 plus support, from confusion
+    counts only (macro/micro follow by averaging/summing)."""
+    cm = confusion_matrix(df, label, pred)
+    per_label = cm.groupBy("label").agg(F.sum("n").alias("support"))
+    per_pred = cm.groupBy("pred").agg(F.sum("n").alias("predicted"))
+    diag = cm.filter(F.col("label") == F.col("pred")).select(
+        F.col("label").alias("cls"), F.col("n").alias("tp")
+    )
+    out = (
+        per_label.withColumnRenamed("label", "cls")
+        .join(per_pred.withColumnRenamed("pred", "cls"), "cls", "outer")
+        .join(diag, "cls", "left")
+        .na.fill(0, ["tp", "support", "predicted"])
+    )
+    prec = F.col("tp") / F.greatest(F.col("predicted"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("support"), F.lit(1))
+    return out.select(
+        "cls",
+        "support",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        (2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12))).alias("f1"),
+    )
+
+
+def regression_metrics(df: DataFrame, label: str, pred: str) -> DataFrame:
+    """MSE, RMSE, MAE, R² in one aggregate pass."""
+    l, p = F.col(label).cast("double"), F.col(pred).cast("double")
+    agg = df.agg(
+        F.avg((l - p) * (l - p)).alias("mse"),
+        F.avg(F.abs(l - p)).alias("mae"),
+        F.avg(l).alias("__ybar"),
+        F.sum((l - p) * (l - p)).alias("__ss_res"),
+        F.sum(l * l).alias("__yy"),
+        F.sum(l).alias("__y"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ss_tot = F.col("__yy") - F.col("__y") * F.col("__y") / F.col("n")
+    return agg.select(
+        "mse",
+        F.sqrt(F.col("mse")).alias("rmse"),
+        "mae",
+        (1.0 - F.col("__ss_res") / F.greatest(ss_tot, F.lit(1e-12))).alias("r2"),
+        "n",
+    )
+
+
+def cohens_kappa(df: DataFrame, label: str, pred: str) -> DataFrame:
+    """Cohen's kappa from confusion counts (treesat_eval.py:252)."""
+    cm = confusion_matrix(df, label, pred)
+    total = cm.agg(F.sum("n").alias("n")).collect()[0]["n"]
+    po = (
+        cm.filter(F.col("label") == F.col("pred")).agg(F.sum("n")).collect()[0][0]
+        or 0
+    ) / total
+    marg = (
+        cm.groupBy("label")
+        .agg(F.sum("n").alias("nl"))
+        .join(
+            cm.groupBy("pred").agg(F.sum("n").alias("np")),
+            F.col("label") == F.col("pred"),
+        )
+        .agg(F.sum(F.col("nl") * F.col("np")))
+        .collect()[0][0]
+        or 0
+    ) / (total * total)
+    spark = df.sparkSession
+    kappa = (po - marg) / (1.0 - marg) if marg < 1.0 else 1.0
+    return spark.createDataFrame([(float(kappa),)], "kappa: double")

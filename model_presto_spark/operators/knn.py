@@ -82,6 +82,50 @@ def knn_join(
     )
 
 
+def knn_classify(
+    probes: DataFrame,
+    candidates: DataFrame,
+    probe_id: str,
+    cand_id: str,
+    label_col: str,
+    probe_vec: str = "vec",
+    cand_vec: str = "vec",
+    k: int = 5,
+    metric: str = "sqeuclidean",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """kNN majority-vote classification (reference:
+    presto-tolbi/presto/eval/knn.py:4-73 — predict by vote of the k
+    nearest embeddings; used at eval.py:201-203 with k in {5,20,100}).
+
+    Returns (probe_id, predicted, votes). Deterministic tie-break:
+    highest vote count, then smallest label.
+    """
+    nn = knn_join(
+        probes,
+        candidates,
+        probe_id=probe_id,
+        cand_id=cand_id,
+        probe_vec=probe_vec,
+        cand_vec=cand_vec,
+        k=k,
+        metric=metric,
+        exclude_self=exclude_self,
+    )
+    labeled = nn.join(
+        candidates.select(F.col(cand_id), F.col(label_col).alias("__lbl")), cand_id
+    )
+    votes = labeled.groupBy(probe_id, "__lbl").agg(F.count(F.lit(1)).alias("votes"))
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("votes").desc(), F.col("__lbl").asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(probe_id, F.col("__lbl").alias("predicted"), "votes")
+    )
+
+
 def hyperplane_weights(dim: int, planes: int, prefix: str = "hp") -> list[list[float]]:
     """Deterministic md5-derived hyperplane weights, computed once on
     the driver — w[j][d-1] = (h60('hp{j}_{d}') % 2001 - 1000) / 1000.

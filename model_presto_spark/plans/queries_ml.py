@@ -1,0 +1,167 @@
+"""Conformance queries for the ML surface (SURVEY §2.10): metric
+aggregates, kNN classification, deterministic masking."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from model_presto_spark.plans.queries import _t, register
+
+# ---------------------------------------------------------------------------
+# Q44 — multiclass precision/recall/F1 as SQL aggregates (A14)
+# ---------------------------------------------------------------------------
+_Q44_PAIRS = """
+      SELECT l_returnflag AS label,
+             CASE WHEN l_quantity < 10 THEN 'A'
+                  WHEN l_quantity < 30 THEN 'N'
+                  ELSE 'R' END AS pred
+      FROM lineitem
+"""
+
+_Q44_ORACLE = f"""
+    WITH pairs AS ({_Q44_PAIRS}),
+    sup AS (SELECT label AS cls, COUNT(*) AS support FROM pairs GROUP BY 1),
+    prd AS (SELECT pred AS cls, COUNT(*) AS predicted FROM pairs GROUP BY 1),
+    tp AS (SELECT label AS cls, COUNT(*) AS tp FROM pairs
+           WHERE label = pred GROUP BY 1),
+    allc AS (SELECT cls FROM sup UNION SELECT cls FROM prd)
+    SELECT a.cls,
+           COALESCE(s.support, 0) AS support,
+           ROUND(COALESCE(t.tp, 0) * 1.0
+                 / GREATEST(COALESCE(p.predicted, 0), 1) + 5e-12, 6) AS precision,
+           ROUND(COALESCE(t.tp, 0) * 1.0
+                 / GREATEST(COALESCE(s.support, 0), 1) + 5e-12, 6) AS recall,
+           ROUND(2.0 * (COALESCE(t.tp, 0) * 1.0 / GREATEST(COALESCE(p.predicted, 0), 1))
+                     * (COALESCE(t.tp, 0) * 1.0 / GREATEST(COALESCE(s.support, 0), 1))
+                 / GREATEST(COALESCE(t.tp, 0) * 1.0 / GREATEST(COALESCE(p.predicted, 0), 1)
+                          + COALESCE(t.tp, 0) * 1.0 / GREATEST(COALESCE(s.support, 0), 1),
+                          1e-12) + 5e-12, 6) AS f1
+    FROM allc a
+    LEFT JOIN sup s ON s.cls = a.cls
+    LEFT JOIN prd p ON p.cls = a.cls
+    LEFT JOIN tp t ON t.cls = a.cls
+"""
+
+
+@register(
+    "q44_multiclass_f1",
+    _Q44_ORACLE,
+    doc="Per-class precision/recall/F1 from confusion counts only — "
+    "distributed metric aggregates, no driver-side predictions "
+    "(treesat_eval.py:221-252 semantics).",
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.ml.metrics import multiclass_f1
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_returnflag").alias("label"),
+        F.when(F.col("l_quantity") < 10, "A")
+        .when(F.col("l_quantity") < 30, "N")
+        .otherwise("R")
+        .alias("pred"),
+    )
+    out = multiclass_f1(pairs, "label", "pred")
+    return out.select(
+        "cls",
+        "support",
+        F.round(F.col("precision") + 5e-12, 6).alias("precision"),
+        F.round(F.col("recall") + 5e-12, 6).alias("recall"),
+        F.round(F.col("f1") + 5e-12, 6).alias("f1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q45 — kNN majority-vote classification (M7/O7)
+# ---------------------------------------------------------------------------
+_SQDIST = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, 64), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+    "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), "
+    "(acc, x) -> acc + x)"
+)
+
+_Q45_ORACLE = f"""
+    WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS cid, c.label,
+             {_SQDIST.format(a='p.embedding', b='c.embedding')} AS dist
+      FROM p CROSS JOIN embeddings c
+      WHERE p.vec_id <> c.vec_id
+    ), topk AS (
+      SELECT probe_id, label FROM (
+        SELECT probe_id, label,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY dist ASC, cid ASC) AS rn
+        FROM scored) WHERE rn <= 5
+    ), votes AS (
+      SELECT probe_id, label, COUNT(*) AS votes FROM topk GROUP BY 1, 2
+    )
+    SELECT probe_id, label AS predicted, votes FROM (
+      SELECT probe_id, label, votes,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY votes DESC, label ASC) AS rn
+      FROM votes) WHERE rn = 1
+"""
+
+
+@register(
+    "q45_knn_classify",
+    _Q45_ORACLE,
+    doc="kNN@5 majority vote over 64-d embeddings (knn.py:4-73 "
+    "semantics; deterministic vote/label tie-breaks).",
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.knn import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    return knn_classify(
+        probes.withColumnRenamed("vec_id", "probe_id"),
+        emb.withColumnRenamed("vec_id", "cid"),
+        probe_id="probe_id",
+        cand_id="cid",
+        label_col="label",
+        probe_vec="embedding",
+        cand_vec="embedding",
+        k=5,
+        metric="sqeuclidean",
+        exclude_self=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q46 — deterministic hash-derived masking budget (M3)
+# ---------------------------------------------------------------------------
+_Q46_MASKED = (
+    "len(list_filter(generate_series(0, 11), t -> "
+    "CAST(('0x' || substr(md5(c_custkey || '_' || t || '#0'), 1, 15)) AS BIGINT) "
+    "% 100 < 50))"
+)
+
+
+@register(
+    "q46_mask_budget",
+    f"""
+    SELECT {_Q46_MASKED} AS budget, COUNT(*) AS n
+    FROM customer
+    GROUP BY 1
+    """,
+    doc="Hash-derived timestep masking (masking.py:90-103 semantics, "
+    "reproducible across engines/retries) — budget histogram.",
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.ml.masking import mask_budget, timestep_mask
+
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            mask_budget(
+                timestep_mask(F.col("c_custkey"), 12, 0.5, seed=0)
+            ).alias("budget")
+        )
+        .groupBy("budget")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,192 @@
+"""ML-surface tests: encoder UDF plumbing, masking properties,
+metric aggregates, kNN classification (SURVEY §2.10)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from model_presto_spark.ml import masking as M
+from model_presto_spark.ml import metrics as MET
+from model_presto_spark.ml.encoder import (
+    EMBED_DIM,
+    NUM_TIMESTEPS,
+    add_embeddings,
+    encode_batch,
+    make_weights,
+)
+
+
+def _series_df(spark, n=8, bands=18, seed=1):
+    rng = np.random.default_rng(seed)
+    rows = [
+        Row(
+            pid=i,
+            ts=[[float(v) for v in rng.standard_normal(bands)] for _ in range(NUM_TIMESTEPS)],
+            month=int(i % 12),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+# --- encoder ---------------------------------------------------------------
+
+
+def test_encode_batch_shape_and_determinism():
+    wt = make_weights()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, NUM_TIMESTEPS, 18)).astype(np.float32)
+    m = np.array([0, 3, 6, 9])
+    a = encode_batch(x, m, wt)
+    b = encode_batch(x, m, wt)
+    assert a.shape == (4, EMBED_DIM)
+    assert np.array_equal(a, b)
+    # month offset changes the embedding (positional encoding applied)
+    c = encode_batch(x, (m + 1) % 12, wt)
+    assert not np.array_equal(a, c)
+
+
+def test_encode_batch_masked_pooling():
+    wt = make_weights()
+    x = np.ones((1, NUM_TIMESTEPS, 18), dtype=np.float32)
+    full = encode_batch(x, np.array([0]), wt)
+    mask = np.zeros((1, NUM_TIMESTEPS), dtype=bool)
+    mask[0, 6:] = True
+    half = encode_batch(x, np.array([0]), wt, mask=mask)
+    assert half.shape == (1, EMBED_DIM)
+    assert not np.array_equal(full, half)
+
+
+def test_add_embeddings_udf(spark):
+    df = _series_df(spark, n=6)
+    out = add_embeddings(df, "ts", "month")
+    rows = out.select("pid", "embedding").orderBy("pid").collect()
+    assert all(len(r.embedding) == EMBED_DIM for r in rows)
+    # distributed result matches local forward pass exactly
+    wt = make_weights()
+    local = encode_batch(
+        np.stack([np.array(r.ts, dtype=np.float32) for r in df.orderBy("pid").collect()]),
+        np.array([r.month for r in df.orderBy("pid").collect()]),
+        wt,
+    )
+    got = np.stack([np.array(r.embedding, dtype=np.float32) for r in rows])
+    assert np.allclose(local, got, atol=1e-5)
+
+
+# --- masking ---------------------------------------------------------------
+
+
+def test_timestep_mask_deterministic(spark):
+    df = spark.range(50).select(F.col("id"))
+    m1 = df.select(M.timestep_mask(F.col("id"), 12, 0.5, seed=7).alias("m")).collect()
+    m2 = df.select(M.timestep_mask(F.col("id"), 12, 0.5, seed=7).alias("m")).collect()
+    assert m1 == m2
+    m3 = df.select(M.timestep_mask(F.col("id"), 12, 0.5, seed=8).alias("m")).collect()
+    assert m1 != m3
+    # ratio roughly holds over many draws
+    total = sum(sum(r.m) for r in m1)
+    assert 0.35 < total / (50 * 12) < 0.65
+
+
+def test_chunk_mask_contiguous(spark):
+    df = spark.range(20)
+    rows = df.select(
+        M.chunk_timestep_mask(F.col("id"), 12, 6, seed=3).alias("m")
+    ).collect()
+    for r in rows:
+        assert sum(r.m) == 6
+        first = r.m.index(True)
+        assert all(r.m[first : first + 6])
+
+
+def test_band_group_mask_groups_together(spark):
+    df = spark.range(30)
+    rows = df.select(
+        M.band_group_mask(F.col("id"), (3, 2, 4), 0.5, seed=1).alias("m")
+    ).collect()
+    for r in rows:
+        g1, g2, g3 = r.m[0:3], r.m[3:5], r.m[5:9]
+        assert len(set(g1)) == 1 and len(set(g2)) == 1 and len(set(g3)) == 1
+
+
+def test_apply_series_mask(spark):
+    df = spark.createDataFrame(
+        [Row(ts=[[1.0, 2.0], [3.0, 4.0]], m=[True, False])]
+    )
+    out = df.select(M.apply_series_mask(F.col("ts"), F.col("m")).alias("v")).collect()
+    assert out[0].v == [[0.0, 0.0], [3.0, 4.0]]
+    b = df.select(M.mask_budget(F.col("m")).alias("n")).collect()[0].n
+    assert b == 1
+
+
+# --- metrics ---------------------------------------------------------------
+
+
+def _pred_df(spark):
+    # hand case: labels/preds with known confusion
+    rows = [
+        (1, 1), (1, 1), (1, 0),          # tp=2 fn=1
+        (0, 0), (0, 0), (0, 0), (0, 1),  # tn=3 fp=1
+    ]
+    return spark.createDataFrame(rows, "label: int, pred: int")
+
+
+def test_binary_metrics_golden(spark):
+    r = MET.binary_metrics(_pred_df(spark), "label", "pred").collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (2, 1, 1, 3)
+    assert abs(r.accuracy - 5 / 7) < 1e-12
+    assert abs(r.precision - 2 / 3) < 1e-12
+    assert abs(r.recall - 2 / 3) < 1e-12
+    assert abs(r.f1 - 2 / 3) < 1e-9
+
+
+def test_multiclass_f1_golden(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (0, 0), (0, 1), (1, 1), (1, 0), (2, 2)], "label: int, pred: int"
+    )
+    rows = {r.cls: r for r in MET.multiclass_f1(df, "label", "pred").collect()}
+    assert rows[0].support == 3 and abs(rows[0].precision - 2 / 3) < 1e-12
+    assert abs(rows[0].recall - 2 / 3) < 1e-12
+    assert rows[2].f1 == 1.0
+
+
+def test_regression_metrics_golden(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.5), (2.0, 2.0), (3.0, 2.5)], "label: double, pred: double"
+    )
+    r = MET.regression_metrics(df, "label", "pred").collect()[0]
+    assert abs(r.mse - (0.25 + 0 + 0.25) / 3) < 1e-12
+    assert abs(r.mae - (0.5 + 0 + 0.5) / 3) < 1e-12
+    # ss_res = 0.5, ss_tot = 2 -> r2 = 0.75
+    assert abs(r.r2 - 0.75) < 1e-12
+
+
+def test_cohens_kappa_golden(spark):
+    # perfect agreement -> kappa 1
+    df = spark.createDataFrame([(0, 0), (1, 1), (0, 0)], "label: int, pred: int")
+    assert MET.cohens_kappa(df, "label", "pred").collect()[0].kappa == pytest.approx(1.0)
+
+
+# --- knn classify ----------------------------------------------------------
+
+
+def test_knn_classify_golden(spark):
+    from model_presto_spark.operators.knn import knn_classify
+
+    cands = spark.createDataFrame(
+        [
+            Row(cid=1, vec=[0.0, 0.0], y=0),
+            Row(cid=2, vec=[0.1, 0.0], y=0),
+            Row(cid=3, vec=[5.0, 5.0], y=1),
+            Row(cid=4, vec=[5.1, 5.0], y=1),
+            Row(cid=5, vec=[5.0, 5.1], y=1),
+        ]
+    )
+    probes = spark.createDataFrame([Row(pid=100, vec=[4.9, 4.9])])
+    out = knn_classify(
+        probes, cands, "pid", "cid", "y", k=3
+    ).collect()
+    assert out[0].predicted == 1 and out[0].votes == 3
