@@ -1,0 +1,321 @@
+"""Sources, streaming, and multimodal plumbing tests (SURVEY §2.1,
+§2.11; multimodal surface)."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+# --- GeoJSON (S1) -----------------------------------------------------------
+
+
+@pytest.fixture()
+def geojson_path(tmp_path):
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]],
+                },
+                "properties": {"class": "maize", "id": "1"},
+            },
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[10, 10], [12, 10], [12, 12], [10, 12], [10, 10]]],
+                },
+                "properties": {"class": "rice", "id": "2"},
+            },
+        ],
+    }
+    p = tmp_path / "labels.geojson"
+    p.write_text(json.dumps(fc))
+    return str(p)
+
+
+def test_read_geojson(spark, geojson_path):
+    from model_presto_spark.sources.vector import read_geojson
+
+    df = read_geojson(spark, geojson_path)
+    rows = df.orderBy("geometry_json").collect()
+    assert len(rows) == 2
+    assert all(r.geometry_type == "Polygon" for r in rows)
+    assert {r.properties["class"] for r in rows} == {"maize", "rice"}
+
+
+def test_spatial_label_join(spark, geojson_path):
+    from model_presto_spark.sources.vector import read_geojson, spatial_label_join
+
+    polys = read_geojson(spark, geojson_path).select(
+        "geometry_json", F.col("properties")["class"].alias("label")
+    )
+    pts = spark.createDataFrame(
+        [
+            Row(pid=1, lon=2.0, lat=2.0),    # inside maize square
+            Row(pid=2, lon=11.0, lat=11.0),  # inside rice square
+            Row(pid=3, lon=7.0, lat=7.0),    # in neither
+        ]
+    )
+    out = {r.pid: r.label for r in spatial_label_join(pts, polys, "lon", "lat").collect()}
+    assert out[1] == "maize"
+    assert out[2] == "rice"
+    assert out[3] is None
+
+
+def test_point_in_polygon_edge_cases(spark):
+    from model_presto_spark.sources.vector import point_in_polygon
+
+    tri = json.dumps(
+        {"type": "Polygon", "coordinates": [[[0, 0], [10, 0], [0, 10], [0, 0]]]}
+    )
+    df = spark.createDataFrame(
+        [Row(g=tri, lon=1.0, lat=1.0), Row(g=tri, lon=6.0, lat=6.0)]
+    )
+    got = [
+        r.v
+        for r in df.select(
+            point_in_polygon(F.col("g"), F.col("lon"), F.col("lat")).alias("v")
+        ).collect()
+    ]
+    assert got == [True, False]
+
+
+# --- raster (S3) ------------------------------------------------------------
+
+
+@pytest.fixture()
+def raster_dir(tmp_path):
+    d = tmp_path / "tiles"
+    d.mkdir()
+    for i in range(3):
+        # FAKE header: origin_lon, px_w, origin_lat, px_h + payload
+        header = b"FAKE" + struct.pack(">dddd", 10.0 * i, 0.1, 50.0, -0.1)
+        (d / f"tile_{i}.tif").write_bytes(header + bytes([i]) * 64)
+    return str(d)
+
+
+def test_read_raster_pixels(spark, raster_dir):
+    from model_presto_spark.sources.raster import read_raster_pixels
+
+    df = read_raster_pixels(spark, raster_dir, n_bands=2, height=8, width=8)
+    assert df.columns == ["tile_id", "row", "col", "lat", "lon", "band", "value"]
+    n = df.count()
+    assert n == 3 * 2 * 8 * 8
+    # geo-transform applied from the header
+    t0 = df.filter((F.col("tile_id") == "tile_1.tif") & (F.col("row") == 0) & (F.col("col") == 3))
+    assert abs(t0.collect()[0].lon - (10.0 + 0.3)) < 1e-9
+    # deterministic decode
+    a = df.agg(F.sum("value")).collect()[0][0]
+    b = read_raster_pixels(spark, raster_dir, n_bands=2, height=8, width=8).agg(
+        F.sum("value")
+    ).collect()[0][0]
+    assert a == b
+
+
+def test_raster_stride(spark, raster_dir):
+    from model_presto_spark.sources.raster import read_raster_pixels
+
+    df = read_raster_pixels(
+        spark, raster_dir, n_bands=1, height=8, width=8, sample_every=4
+    )
+    assert df.count() == 3 * 1 * 2 * 2  # every 4th row/col
+
+
+# --- npy (S6/S12) + shard sink (S15) ---------------------------------------
+
+
+def test_npy_roundtrip(spark, tmp_path):
+    from model_presto_spark.sources.arrays import read_npy, write_npy
+
+    src = tmp_path / "in"
+    src.mkdir()
+    a = np.arange(12, dtype="float64").reshape(3, 4)
+    np.save(src / "a.npy", a)
+    df = read_npy(spark, str(src))
+    row = df.collect()[0]
+    assert row.shape == [3, 4]
+    assert row.values == list(np.arange(12.0))
+
+    out = tmp_path / "out"
+    write_npy(df, "values", "path", str(out))
+    back = np.load(out / "a.npy.npy")
+    assert np.array_equal(back, np.arange(12.0))
+
+
+def test_sharded_parquet_sink(spark, tmp_path):
+    from model_presto_spark.sources.arrays import write_sharded_parquet
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    out = str(tmp_path / "shards")
+    write_sharded_parquet(df, out, "id", records_per_shard=144, num_shards=4)
+    import glob
+
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) >= 7  # 1000/144 -> at least 7 capped files
+    sizes = [
+        spark.read.parquet(f).count() for f in files
+    ]
+    assert max(sizes) <= 144
+    assert sum(sizes) == 1000
+
+
+# --- streaming (T1-T6) ------------------------------------------------------
+
+
+def test_incremental_convert_idempotent(spark, tmp_path):
+    from model_presto_spark.streaming.pipeline import (
+        incremental_convert,
+        monthly_partitioned,
+    )
+
+    landing = tmp_path / "landing"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    landing.mkdir()
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-05 10:00:00", 5.0), (2, "2024-02-07 11:00:00", 7.0)],
+        "id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ev.write.mode("append").parquet(str(landing))
+
+    schema = "id long, ts timestamp, value double"
+    q = incremental_convert(
+        spark, str(landing), str(out), str(ckpt), schema,
+        transform=lambda df: monthly_partitioned(df, "ts"),
+        partition_cols=["year", "month"],
+    )
+    q.awaitTermination(60)
+    got = spark.read.parquet(str(out))
+    assert got.count() == 2
+    assert set(got.select("month").distinct().toPandas()["month"]) == {1, 2}
+
+    # second run with same checkpoint: nothing reprocessed (T2)
+    q2 = incremental_convert(
+        spark, str(landing), str(out), str(ckpt), schema,
+        transform=lambda df: monthly_partitioned(df, "ts"),
+        partition_cols=["year", "month"],
+    )
+    q2.awaitTermination(60)
+    assert spark.read.parquet(str(out)).count() == 2
+
+    # new file arrives -> only it is processed
+    spark.createDataFrame(
+        [(3, "2024-02-09 09:00:00", 9.0)], "id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode("append").parquet(str(landing))
+    q3 = incremental_convert(
+        spark, str(landing), str(out), str(ckpt), schema,
+        transform=lambda df: monthly_partitioned(df, "ts"),
+        partition_cols=["year", "month"],
+    )
+    q3.awaitTermination(60)
+    assert spark.read.parquet(str(out)).count() == 3
+
+
+def test_windowed_counts_stream(spark, tmp_path):
+    from model_presto_spark.streaming.pipeline import windowed_counts
+
+    landing = tmp_path / "ev"
+    landing.mkdir()
+    spark.createDataFrame(
+        [
+            ("2024-01-01 00:10:00", 1.0),
+            ("2024-01-01 00:20:00", 2.0),
+            ("2024-01-01 01:10:00", 10.0),
+        ],
+        "ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode("append").parquet(str(landing))
+
+    stream = spark.readStream.schema("ts timestamp, value double").parquet(str(landing))
+    agg = windowed_counts(stream, "ts", "1 hour", "2 hours")
+    out = tmp_path / "agg_out"
+    ckpt = tmp_path / "agg_ckpt"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {
+        str(r.window_start): (r.n, r.total)
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    assert rows["2024-01-01 00:00:00"] == (2, 3.0)
+    assert rows["2024-01-01 01:00:00"] == (1, 10.0)
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        Row(
+            media_id=1,
+            kind="image",
+            blob=bytes(range(64)),
+            meta=Row(width=16, height=8, channels=3, sample_rate=0,
+                     duration_ms=0, codec="fake"),
+        ),
+        Row(
+            media_id=2,
+            kind="video",
+            blob=b"\x01\x02" * 100,
+            meta=Row(width=32, height=16, channels=3, sample_rate=0,
+                     duration_ms=3500, codec="fake"),
+        ),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_decode_image_stats(spark, media_df):
+    from model_presto_spark.multimodal.blobs import decode_image_stats
+
+    out = {r.media_id: r for r in decode_image_stats(media_df).collect()}
+    assert len(out[1].channel_mean) == 3
+    assert out[1].width == 16 and out[1].height == 8
+    # deterministic
+    again = {r.media_id: r for r in decode_image_stats(media_df).collect()}
+    assert out[1].channel_mean == again[1].channel_mean
+
+
+def test_resize_images(spark, media_df):
+    from model_presto_spark.multimodal.blobs import resize_images
+
+    out = {r.media_id: r for r in resize_images(media_df, 4, 4).collect()}
+    assert out[1].shape == [4, 4, 3]
+    assert len(out[1].pixels) == 4 * 4 * 3
+
+
+def test_sample_frames(spark, media_df):
+    from model_presto_spark.multimodal.blobs import sample_frames
+
+    frames = sample_frames(media_df, every_ms=1000).collect()
+    vid = [r for r in frames if r.media_id == 2]
+    assert [r.frame_ts_ms for r in sorted(vid, key=lambda r: r.frame_ts_ms)] == [
+        0, 1000, 2000, 3000,
+    ]
+    img = [r for r in frames if r.media_id == 1]
+    assert len(img) == 1  # zero-duration media yields a single frame
+
+
+def test_blob_features(spark, media_df):
+    from model_presto_spark.multimodal.blobs import blob_features
+
+    out = {r.media_id: r.features for r in blob_features(media_df, 16).collect()}
+    assert len(out[1]) == 16 and len(out[2]) == 16
+    assert out[1] != out[2]
