@@ -1,0 +1,90 @@
+"""Eval heads over embeddings (M5/M6): fit small supervised models
+on embedding columns, score distributed.
+
+Reference semantics: sklearn heads — LogisticRegression (balanced),
+RandomForest, LinearRegression — fit on collected embeddings, then
+used for eval (reference: presto-tolbi/presto/eval/eval.py:150-212,
+esp. :191-209; the fine-tuned linear+sigmoid head
+presto-tolbi/presto/model.py:96-109).
+
+Spark-first: Spark MLlib equivalents fit *distributed* (no driver
+collect of the feature matrix — at 100 TB of embeddings that is the
+whole ballgame) and score via ``model.transform`` which stays
+JVM-side. The embedding ``array<float>`` column converts to an ML
+vector with ``array_to_vector`` — a zero-copy-ish cast, not a UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import LogisticRegression, RandomForestClassifier
+from pyspark.ml.functions import array_to_vector, vector_to_array
+from pyspark.ml.regression import LinearRegression, RandomForestRegressor
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HEADS = {
+    "logistic": lambda: LogisticRegression(
+        featuresCol="__feat", labelCol="__lbl", maxIter=50
+    ),
+    "random_forest": lambda: RandomForestClassifier(
+        featuresCol="__feat", labelCol="__lbl", numTrees=20, seed=42
+    ),
+    "linear": lambda: LinearRegression(featuresCol="__feat", labelCol="__lbl"),
+    "random_forest_reg": lambda: RandomForestRegressor(
+        featuresCol="__feat", labelCol="__lbl", numTrees=20, seed=42
+    ),
+}
+
+
+def _prep(df: DataFrame, embedding_col: str, label_col: str) -> DataFrame:
+    return df.select(
+        *df.columns,
+        array_to_vector(
+            F.col(embedding_col).cast("array<double>")
+        ).alias("__feat"),
+        F.col(label_col).cast("double").alias("__lbl"),
+    )
+
+
+def fit_head(
+    train: DataFrame,
+    embedding_col: str,
+    label_col: str,
+    head: str = "logistic",
+    balanced: bool = True,
+):
+    """Fit an eval head distributed. ``balanced=True`` reproduces
+    sklearn's class_weight='balanced' (eval.py:191-199) via a weight
+    column n/(k*n_c) — computed with one aggregate, joined broadcast."""
+    if head not in _HEADS:
+        raise ValueError(f"head must be one of {sorted(_HEADS)}")
+    est = _HEADS[head]()
+    data = _prep(train, embedding_col, label_col)
+    if balanced and head in ("logistic", "random_forest"):
+        counts = data.groupBy("__lbl").agg(F.count(F.lit(1)).alias("__n_c"))
+        n = data.count()
+        k = counts.count()
+        data = data.join(F.broadcast(counts), "__lbl").withColumn(
+            "__w", F.lit(float(n)) / (F.lit(float(k)) * F.col("__n_c"))
+        )
+        est.setWeightCol("__w")
+    return est.fit(data)
+
+
+def score_head(
+    model, df: DataFrame, embedding_col: str, out_col: str = "prediction"
+) -> DataFrame:
+    """Distributed scoring; keeps input columns, adds prediction (and
+    probability array for classifiers)."""
+    scored = model.transform(_prep_nolabel(df, embedding_col))
+    cols = [c for c in df.columns] + [F.col("prediction").alias(out_col)]
+    if "probability" in scored.columns:
+        cols.append(vector_to_array(F.col("probability")).alias("probability"))
+    return scored.select(*cols)
+
+
+def _prep_nolabel(df: DataFrame, embedding_col: str) -> DataFrame:
+    return df.select(
+        *df.columns,
+        array_to_vector(F.col(embedding_col).cast("array<double>")).alias("__feat"),
+    )
