@@ -1033,3 +1033,4 @@ from model_presto_spark.plans import queries_docs as _queries_docs  # noqa: E402
 from model_presto_spark.plans import queries_grid as _queries_grid  # noqa: E402,F401
 from model_presto_spark.plans import queries_ml as _queries_ml  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops as _queries_ops  # noqa: E402,F401
+from model_presto_spark.plans import queries_sql2 as _queries_sql2  # noqa: E402,F401
