@@ -58,6 +58,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def read_csv(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """CSV scan (S4; reference: algae_blooms_eval.py:49-50). Explicit
+    schema preferred — inference costs an extra pass."""
+    reader = spark.read.option("header", "true")
+    return (reader.schema(schema) if schema else reader.option(
+        "inferSchema", "true"
+    )).csv(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV sink (S11; optimization.py:216-217)."""
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """JSON metadata sink (S17; ..._monthly.py:415-458)."""
+    df.write.mode("overwrite").json(path)
+
+
 def spread(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition to cluster parallelism.
 

@@ -88,3 +88,30 @@ def _prep_nolabel(df: DataFrame, embedding_col: str) -> DataFrame:
         *df.columns,
         array_to_vector(F.col(embedding_col).cast("array<double>")).alias("__feat"),
     )
+
+
+class EarlyStopping:
+    """Patience-based early stopping on a driver-side metric loop
+    (M8, reference: presto-tolbi/presto/eval/eval.py:123-135).
+
+    Training epochs are driver-orchestrated in Spark too (each epoch
+    is a distributed job); the stopping rule itself is scalar state.
+
+    >>> es = EarlyStopping(patience=2)
+    >>> for epoch_loss in losses:
+    ...     if es.should_stop(epoch_loss): break
+    """
+
+    def __init__(self, patience: int = 10, min_delta: float = 0.0):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.best: float | None = None
+        self.bad_epochs = 0
+
+    def should_stop(self, val_loss: float) -> bool:
+        if self.best is None or val_loss < self.best - self.min_delta:
+            self.best = val_loss
+            self.bad_epochs = 0
+            return False
+        self.bad_epochs += 1
+        return self.bad_epochs >= self.patience

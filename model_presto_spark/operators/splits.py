@@ -167,6 +167,69 @@ def balanced_sample(
     return per_class_limit(df, label, order_col, k)
 
 
+def interleave(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Alternate rows from two DataFrames (reference: pos/neg
+    alternating interleave, cropharvest_extensions.py:784).
+
+    Each side gets a per-side rank; ordering by (rank, side) yields
+    a0 b0 a1 b1 ... — one union + a sortable key, no driver loop.
+    """
+    wa = Window.orderBy(*[F.col(c) for c in a.columns])
+    wb = Window.orderBy(*[F.col(c) for c in b.columns])
+    an = a.withColumn("__r", F.row_number().over(wa)).withColumn("__s", F.lit(0))
+    bn = b.withColumn("__r", F.row_number().over(wb)).withColumn("__s", F.lit(1))
+    return an.unionByName(bn).orderBy("__r", "__s").drop("__r", "__s")
+
+
+def sample_with_memory(
+    df: DataFrame,
+    label: str,
+    order_col: str,
+    k_per_class: int,
+    offset_per_class: dict | None = None,
+) -> tuple[DataFrame, dict]:
+    """Balanced per-class sampling WITHOUT replacement across calls
+    (reference sample_with_memory, cropharvest_extensions.py:762-788):
+    each call takes the next ``k_per_class`` rows per class after the
+    remembered offset, and returns the updated offsets.
+
+    Distributed: one window rank per class; the memory is a tiny
+    {class: offset} dict (driver-side state, like the reference's).
+    """
+    offsets = dict(offset_per_class or {})
+    w = Window.partitionBy(label).orderBy(order_col)
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    off = None
+    for cls, o in offsets.items():
+        c = (F.col(label) == F.lit(cls)).cast("int") * F.lit(o)
+        off = c if off is None else off + c
+    lo = off if off is not None else F.lit(0)
+    out = ranked.filter(
+        (F.col("__rn") > lo) & (F.col("__rn") <= lo + k_per_class)
+    ).drop("__rn")
+    taken = {
+        r[label]: r["n"]
+        for r in out.groupBy(label).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    new_offsets = {
+        cls: offsets.get(cls, 0) + n for cls, n in taken.items()
+    }
+    for cls, o in offsets.items():
+        new_offsets.setdefault(cls, o)
+    return out, new_offsets
+
+
+def paginate(df: DataFrame, order_cols: list[str], page_size: int) -> DataFrame:
+    """Add a ``page`` column chunking rows into fixed-size pages over
+    a deterministic global order (reference max_size=10000 test-set
+    slicing, cropharvest_extensions.py:647-693). Downstream consumers
+    filter one page at a time (T5 micro-batching)."""
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(
+        "page", ((F.row_number().over(w) - 1) / page_size).cast("int")
+    )
+
+
 def oversample(df: DataFrame, times_col: Column) -> DataFrame:
     """Replicate each row ``times_col`` times (reference: negative
     oversampling `negative_paths *= multiplier`,

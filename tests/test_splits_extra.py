@@ -1,0 +1,75 @@
+"""Tests: interleave (U5), sample_with_memory (R7), paginate (T5),
+HTTP text list (S9), scientific-format gating, early stopping (M8)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_interleave(spark):
+    from model_presto_spark.operators.splits import interleave
+
+    a = spark.createDataFrame([Row(x=1), Row(x=2)])
+    b = spark.createDataFrame([Row(x=10), Row(x=20)])
+    out = [r.x for r in interleave(a, b).collect()]
+    assert out == [1, 10, 2, 20]
+
+
+def test_sample_with_memory_no_replacement(spark):
+    from model_presto_spark.operators.splits import sample_with_memory
+
+    df = spark.range(20).select(
+        F.col("id"), (F.col("id") % 2).alias("y")
+    )
+    first, off1 = sample_with_memory(df, "y", "id", 3)
+    second, off2 = sample_with_memory(df, "y", "id", 3, off1)
+    ids1 = {r.id for r in first.collect()}
+    ids2 = {r.id for r in second.collect()}
+    assert len(ids1) == 6 and len(ids2) == 6
+    assert not ids1 & ids2  # memory prevents re-draws
+    assert off2 == {0: 6, 1: 6}
+    # deterministic resume: first 3 even ids then next 3
+    assert sorted(r.id for r in first.filter(F.col("y") == 0).collect()) == [0, 2, 4]
+    assert sorted(r.id for r in second.filter(F.col("y") == 0).collect()) == [6, 8, 10]
+
+
+def test_paginate(spark):
+    from model_presto_spark.operators.splits import paginate
+
+    df = spark.range(25).select(F.col("id"))
+    out = paginate(df, ["id"], 10)
+    sizes = {r.page: r.n for r in out.groupBy("page").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {0: 10, 1: 10, 2: 5}
+
+
+def test_read_http_text_list_file_url(spark, tmp_path):
+    from model_presto_spark.sources.scientific import read_http_text_list
+
+    p = tmp_path / "split.txt"
+    p.write_text("img_001\nimg_002\n\nimg_003\n")
+    out = [r.value for r in read_http_text_list(spark, p.as_uri()).collect()]
+    assert out == ["img_001", "img_002", "img_003"]
+
+
+def test_scientific_scans_gated(spark):
+    from model_presto_spark.sources import scientific as sci
+
+    if not sci.HAVE_XARRAY:
+        with pytest.raises(NotImplementedError):
+            sci.read_netcdf(spark, "/tmp/none", ["v"])
+    if not sci.HAVE_H5PY:
+        with pytest.raises(NotImplementedError):
+            sci.read_hdf5(spark, "/tmp/none", "d")
+
+
+def test_early_stopping():
+    from model_presto_spark.ml.heads import EarlyStopping
+
+    es = EarlyStopping(patience=2)
+    seq = [1.0, 0.8, 0.9, 0.85]  # improves, then 2 bad epochs
+    stops = [es.should_stop(v) for v in seq]
+    assert stops == [False, False, False, True]
+    es2 = EarlyStopping(patience=2)
+    assert not any(es2.should_stop(v) for v in [3.0, 2.0, 1.0, 0.5])
