@@ -1,3 +1,3 @@
-from model_presto_spark.functions import text, vectors
+from model_presto_spark.functions import bands, geo, text, vectors
 
-__all__ = ["text", "vectors"]
+__all__ = ["bands", "geo", "text", "vectors"]

@@ -1,3 +1,65 @@
 from model_presto_spark.operators.asof import asof_join
+from model_presto_spark.operators.bucketing import bucketed_join, write_bucketed
+from model_presto_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    keep_representatives,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from model_presto_spark.operators.grid import (
+    bilinear_resample,
+    positional_concat,
+    terrain_derivatives,
+)
+from model_presto_spark.operators.knn import ann_lsh_join, knn_classify, knn_join
+from model_presto_spark.operators.skew import salted_count, salted_join
+from model_presto_spark.operators.splits import (
+    balanced_sample,
+    group_split,
+    hash_split,
+    per_class_capped_split,
+    ratio_split,
+    seeded_shuffle,
+    stratified_split,
+)
+from model_presto_spark.operators.timeseries import (
+    monthly_composite,
+    month_spine,
+    pad_series,
+    patch_pool,
+    stride_sample,
+)
 
-__all__ = ["asof_join"]
+__all__ = [
+    "ann_lsh_join",
+    "asof_join",
+    "balanced_sample",
+    "bilinear_resample",
+    "bucketed_join",
+    "embedding_dup_pairs",
+    "exact_dedup",
+    "group_split",
+    "hash_split",
+    "keep_representatives",
+    "knn_classify",
+    "knn_join",
+    "minhash_lsh_pairs",
+    "month_spine",
+    "monthly_composite",
+    "ngram_jaccard_pairs",
+    "pad_series",
+    "patch_pool",
+    "per_class_capped_split",
+    "positional_concat",
+    "ratio_split",
+    "salted_count",
+    "salted_join",
+    "seeded_shuffle",
+    "simhash_signatures",
+    "stratified_split",
+    "stride_sample",
+    "terrain_derivatives",
+    "write_bucketed",
+]
