@@ -13,7 +13,17 @@ from model_presto_spark.operators.grid import (
     positional_concat,
     terrain_derivatives,
 )
-from model_presto_spark.operators.knn import ann_lsh_join, knn_classify, knn_join
+from model_presto_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+    keep_cluster_representatives,
+)
+from model_presto_spark.operators.knn import (
+    ann_lsh_join,
+    ivf_knn_join,
+    knn_classify,
+    knn_join,
+)
 from model_presto_spark.operators.skew import salted_count, salted_join
 from model_presto_spark.operators.splits import (
     balanced_sample,
@@ -35,6 +45,10 @@ from model_presto_spark.operators.timeseries import (
 __all__ = [
     "ann_lsh_join",
     "asof_join",
+    "connected_components",
+    "dedup_clusters",
+    "ivf_knn_join",
+    "keep_cluster_representatives",
     "balanced_sample",
     "bilinear_resample",
     "bucketed_join",

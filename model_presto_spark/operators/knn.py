@@ -82,6 +82,85 @@ def knn_join(
     )
 
 
+def ivf_knn_join(
+    probes: DataFrame,
+    candidates: DataFrame,
+    probe_id: str,
+    cand_id: str,
+    probe_vec: str = "vec",
+    cand_vec: str = "vec",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    metric: str = "sqeuclidean",
+    exclude_self: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate kNN: a KMeans coarse quantizer
+    partitions candidates into ``n_lists`` cells; each probe scores
+    only the ``n_probe`` nearest cells' members.
+
+    The scale path when the probe side is too large to broadcast and
+    hyperplane-LSH recall is insufficient: candidate lists are a
+    *partitioned* layout (shuffle once on cell id, reusable across
+    queries), and per-probe work drops from O(N) to O(N·n_probe/
+    n_lists). Training samples the candidate set; assignment and the
+    cell-restricted scoring are plain joins + window — the pattern of
+    every IVF system, expressed relationally.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cvec = F.col(cand_vec).cast("array<double>")
+    cands = candidates.select(
+        F.col(cand_id).alias("__cid"), cvec.alias("__cvec"),
+        array_to_vector(cvec).alias("__feat"),
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__feat", predictionCol="__cell")
+    model = km.fit(cands.select("__feat"))
+    indexed = model.transform(cands).select("__cid", "__cvec", "__cell")
+
+    # probe -> its n_probe nearest centroids (centroids are tiny:
+    # embed as a literal table, crossJoin + rank)
+    cents = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = probes.sparkSession
+    cent_df = spark.createDataFrame(
+        cents, "__cell int, __centroid array<double>"
+    )
+    pvec = F.col(probe_vec).cast("array<double>")
+    p = probes.select(F.col(probe_id).alias("__pid"), pvec.alias("__pvec"))
+    pc = p.crossJoin(F.broadcast(cent_df))
+    cdist = _distance(F.col("__pvec"), F.col("__centroid"), "sqeuclidean")
+    wcell = Window.partitionBy("__pid").orderBy(cdist.asc(), F.col("__cell").asc())
+    probe_cells = (
+        pc.withColumn("__crank", F.row_number().over(wcell))
+        .filter(F.col("__crank") <= n_probe)
+        .select("__pid", "__pvec", "__cell")
+    )
+
+    # score only same-cell pairs (equi-join on cell id)
+    pairs = probe_cells.join(indexed, "__cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("__pid") != F.col("__cid"))
+    dist = _distance(F.col("__pvec"), F.col("__cvec"), metric)
+    scored = pairs.select("__pid", "__cid", dist.alias("__dist")).dropDuplicates(
+        ["__pid", "__cid"]
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("__dist").asc(), F.col("__cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__pid").alias(probe_id),
+            F.col("__cid").alias(cand_id),
+            F.col("__dist").alias("dist"),
+            "rank",
+        )
+    )
+
+
 def knn_classify(
     probes: DataFrame,
     candidates: DataFrame,

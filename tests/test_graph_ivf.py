@@ -1,0 +1,75 @@
+"""Connected-components dedup clustering and IVF ANN tests."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_connected_components_chain_and_clique(spark):
+    from model_presto_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4 (transitive), clique 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),
+            (10, 11), (11, 12), (10, 12),
+            (20, 21),
+        ],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == comp[12] == 10
+    assert comp[20] == comp[21] == 20
+
+
+def test_keep_cluster_representatives(spark):
+    from model_presto_spark.operators.graph import keep_cluster_representatives
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"d{i}") for i in [1, 2, 3, 4, 20, 21, 99]]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (20, 21)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id for r in keep_cluster_representatives(docs, pairs, "doc_id").collect()
+    )
+    # chain collapses to 1, pair to 20, singleton 99 survives
+    assert kept == [1, 20, 99]
+
+
+def test_ivf_knn_recall_against_exact(spark):
+    from model_presto_spark.operators.knn import ivf_knn_join, knn_join
+
+    rng = np.random.default_rng(5)
+    # clustered candidates so IVF cells are meaningful
+    cands = []
+    for c in range(4):
+        center = rng.uniform(-10, 10, 4)
+        for i in range(40):
+            cands.append(
+                Row(cid=c * 100 + i, vec=[float(x) for x in center + rng.normal(0, 0.5, 4)])
+            )
+    cdf = spark.createDataFrame(cands)
+    probes = cdf.filter(F.col("cid") % 100 < 2).select(
+        F.col("cid").alias("pid"), F.col("vec")
+    )
+    exact = knn_join(
+        probes, cdf, "pid", "cid", "vec", "vec", k=3, exclude_self=True
+    )
+    approx = ivf_knn_join(
+        probes, cdf, "pid", "cid", "vec", "vec",
+        k=3, n_lists=4, n_probe=2, exclude_self=True,
+    )
+    e = {(r.pid, r.cid) for r in exact.collect()}
+    a = {(r.pid, r.cid) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.9  # n_probe=2 over well-separated clusters
+    # distances for agreed pairs must be identical (same expression)
+    ed = {(r.pid, r.cid): r.dist for r in exact.collect()}
+    ad = {(r.pid, r.cid): r.dist for r in approx.collect()}
+    for key in e & a:
+        assert abs(ed[key] - ad[key]) < 1e-12
