@@ -1029,6 +1029,7 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Register the training-data pipeline queries (documents/embeddings)
 # and the band-math / split / time-series operator queries.
+from model_presto_spark.plans import queries_dedup2 as _queries_dedup2  # noqa: E402,F401
 from model_presto_spark.plans import queries_docs as _queries_docs  # noqa: E402,F401
 from model_presto_spark.plans import queries_grid as _queries_grid  # noqa: E402,F401
 from model_presto_spark.plans import queries_ml as _queries_ml  # noqa: E402,F401

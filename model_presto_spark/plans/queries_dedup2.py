@@ -1,0 +1,88 @@
+"""Conformance queries: embedding-cosine dedup (oracle-checked) and
+transitive dedup clustering (iterative -> rows-only check)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from model_presto_spark.plans.queries import _t, register
+from model_presto_spark.plans.queries_docs import _DD_DOT, _DD_NORM
+
+# ---------------------------------------------------------------------------
+# Q54 — embedding-cosine near-duplicate pairs (brute force baseline)
+# ---------------------------------------------------------------------------
+_Q54_ORACLE = f"""
+    WITH sub AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1500
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_DD_DOT.format(a='a.embedding', b='b.embedding')}
+               / ({_DD_NORM.format(a='a.embedding')} * {_DD_NORM.format(a='b.embedding')})
+             AS cs
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(cs + 5e-12, 6) AS cosine_sim
+    FROM pairs WHERE cs >= 0.88
+"""
+
+
+@register(
+    "q54_embedding_dups",
+    _Q54_ORACLE,
+    doc="Embedding-cosine near-dup pairs (>= 0.88), brute-force "
+    "correctness baseline for the LSH/IVF scale paths (capped subset: "
+    "the O(n^2) baseline is bounded by construction; scale paths are "
+    "Q40/ivf_knn_join).",
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.dedup import embedding_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1500)
+    pairs = embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.88)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cosine_sim") + 5e-12, 6).alias("cosine_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q55 — transitive dedup clusters (iterative; rows-only check)
+# ---------------------------------------------------------------------------
+@register(
+    "q55_dedup_clusters",
+    None,  # iterative connected components is not single-query SQL
+    doc="Transitive dedup cluster sizes over exact-fingerprint edges "
+    "(large/small-star connected components; driver applies the "
+    "rows-only check for iterative algorithms).",
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.functions.text import fingerprint60
+    from model_presto_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", fingerprint60(F.col("text")).alias("fp"))
+    # exact-dup edges: consecutive doc ids sharing a fingerprint
+    # (chain edges suffice: CC closes the transitive cluster)
+    w = fp.groupBy("fp").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    edges = (
+        w.filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.transform(
+                    F.slice(F.col("ids"), 1, F.size("ids") - 1),
+                    lambda x, i: F.struct(
+                        x.alias("id_a"),
+                        F.element_at(F.col("ids"), i + 2).alias("id_b"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.id_a", "e.id_b")
+    )
+    clustered = dedup_clusters(docs.select("doc_id"), edges, "doc_id")
+    return (
+        clustered.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
