@@ -401,8 +401,8 @@ _Q38_ORACLE = f"""
       FROM documents
     )
     SELECT lang,
-           SUM(n_ws) AS total_ws_tokens,
-           SUM(n_bpe) AS total_bpe_tokens,
+           CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
            ROUND(AVG(n_ws) + 5e-10, 4) AS avg_ws_tokens
     FROM f GROUP BY lang
 """

@@ -17,16 +17,24 @@ import duckdb
 
 
 def canon(v) -> str:
+    """Type-sensitive canonical form (the driver hashes Arrow values, so a
+    DuckDB decimal128 SUM vs a Spark BIGINT is a mismatch even when equal)."""
+    import decimal
+
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return "b:" + str(int(v))
+    if isinstance(v, decimal.Decimal):
+        return "dec:" + str(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return "f:NaN"
         if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(v)
-    if isinstance(v, bool):
-        return str(int(v))
+            return "f:" + str(int(v))
+        return "f:" + repr(v)
+    if isinstance(v, int):
+        return "i:" + str(v)
     return str(v)
 
 
