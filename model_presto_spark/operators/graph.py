@@ -4,11 +4,14 @@ clustering.
 ``keep_representatives`` (operators/dedup.py) applies the cheap
 pairwise min-id rule; full dedup at corpus scale needs *transitive*
 clusters (a~b, b~c => {a,b,c} share one representative). This is the
-alternating large-star / small-star algorithm (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14): each round
-is two groupBy-and-emit passes that monotonically lower each node's
-component label to the cluster minimum; converges in O(log n) rounds
-on real graphs.
+min-label-propagation algorithm accelerated with pointer jumping
+(path doubling, as in Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14): each round lowers every node's
+component label to the min over itself, its neighbors' labels, AND
+its label's label (``comp(n) <- comp(comp(n))``). The jump step
+halves the remaining label-chain depth each round, so convergence is
+O(log diameter) — a 1M-node path graph converges in ~20 rounds where
+plain neighbor propagation would need 1M.
 
 Spark-first: edges and labels are plain DataFrames; each iteration
 is a join + groupBy (no vertex-centric framework needed). The driver
@@ -63,8 +66,18 @@ def connected_components(
             .join(lab_v, "v")
             .select(F.col("u").alias("id"), F.least("cu", "cv").alias("comp"))
         )
+        # pointer jump: comp(n) <- comp(comp(n)). Labels always point at
+        # a node present in ``labels`` (they are min-so-far node ids),
+        # so the inner join is total; each jump halves chain depth.
+        jump = labels.join(
+            labels.select(
+                F.col("id").alias("comp"), F.col("comp").alias("comp2")
+            ),
+            "comp",
+        ).select("id", F.col("comp2").alias("comp"))
         new_labels = (
             labels.unionByName(prop)
+            .unionByName(jump)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)  # truncate iterative lineage

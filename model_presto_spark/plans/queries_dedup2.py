@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from model_presto_spark.plans.queries import _t, register
-from model_presto_spark.plans.queries_docs import _DD_DOT, _DD_NORM
+from model_presto_spark.plans.queries_docs import _DD_DOT, _DD_FP, _DD_NORM
 
 # ---------------------------------------------------------------------------
 # Q54 — embedding-cosine near-duplicate pairs (brute force baseline)
@@ -46,22 +46,60 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q55 — transitive dedup clusters (iterative; rows-only check)
+# Q55 — transitive dedup clusters (iterative Spark CC vs recursive-CTE oracle)
 # ---------------------------------------------------------------------------
+# The oracle closes the same chain edges transitively with a recursive
+# reachability CTE (enumerate reachable nodes, label each node with the
+# minimum reachable id) — O(cluster_size^2) per cluster, fine at oracle
+# scale; the Spark side is the O(log n)-round large/small-star CC.
+#
+# Edge key: a coarse blocking key (first normalized word). The exact
+# fingerprint has zero collisions in the synthetic corpus, which would
+# make every cluster a singleton and leave the transitive path
+# unexercised; the blocking key yields chains up to ~26 nodes at
+# sf0.01, forcing multiple CC rounds and a genuine multi-hop closure.
+_Q55_ORACLE = """
+    WITH RECURSIVE fp AS (
+      SELECT doc_id,
+             split_part(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                        ' ', 1) AS fp
+      FROM documents
+    ), chain AS (
+      SELECT doc_id,
+             lead(doc_id) OVER (PARTITION BY fp ORDER BY doc_id) AS nxt
+      FROM fp
+    ), edges AS (
+      SELECT doc_id AS a, nxt AS b FROM chain WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT nxt AS a, doc_id AS b FROM chain WHERE nxt IS NOT NULL
+    ), walk(node, reach) AS (
+      SELECT doc_id, doc_id FROM fp
+      UNION
+      SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+    ), comp AS (
+      SELECT node, MIN(reach) AS cluster FROM walk GROUP BY node
+    ), sizes AS (
+      SELECT cluster, COUNT(*) AS cluster_size FROM comp GROUP BY cluster
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY cluster_size
+"""
+
+
 @register(
     "q55_dedup_clusters",
-    None,  # iterative connected components is not single-query SQL
-    doc="Transitive dedup cluster sizes over exact-fingerprint edges "
-    "(large/small-star connected components; driver applies the "
-    "rows-only check for iterative algorithms).",
+    _Q55_ORACLE,
+    doc="Transitive dedup cluster sizes over blocking-key chain edges: "
+    "Spark runs large/small-star connected components "
+    "(operators/graph.py); the oracle closes the same edges with a "
+    "DuckDB recursive reachability CTE.",
 )
 def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from model_presto_spark.functions.text import fingerprint60
     from model_presto_spark.operators.graph import dedup_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", fingerprint60(F.col("text")).alias("fp"))
-    # exact-dup edges: consecutive doc ids sharing a fingerprint
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    fp = docs.select("doc_id", F.substring_index(norm, " ", 1).alias("fp"))
+    # blocking-key edges: consecutive doc ids sharing the key
     # (chain edges suffice: CC closes the transitive cluster)
     w = fp.groupBy("fp").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
     edges = (

@@ -73,3 +73,19 @@ def test_ivf_knn_recall_against_exact(spark):
     ad = {(r.pid, r.cid): r.dist for r in approx.collect()}
     for key in e & a:
         assert abs(ed[key] - ad[key]) < 1e-12
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Regression: a path graph far longer than max_iter must still fully
+    close — pointer jumping gives O(log diameter) rounds, so a 200-node
+    chain needs ~8 rounds, not 200 (plain neighbor propagation would
+    silently split the chain at the iteration cap)."""
+    from model_presto_spark.operators.graph import connected_components
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.comp for r in connected_components(pairs, max_iter=12).collect()}
+    assert len(comp) == n
+    assert set(comp.values()) == {0}
