@@ -11,11 +11,12 @@ presto-tolbi/presto/eval/treesat_eval.py:111-146).
 Spark-first: ``spark.read.format("binaryFile")`` scans the files
 (path glob + partition parallelism); decode happens in
 ``mapInPandas`` — one Arrow batch of (path, content) in, a flat
-pixel-row frame out. The decode itself needs rasterio, which is NOT
-in this container: it is gated behind an import-try with a
-deterministic fake decoder so the distributed plumbing — schema,
-batching, stride, meshgrid flatten — is fully real and tested. Swap
-``_decode_tif`` for the rasterio body in a geo-enabled image.
+pixel-row frame out. Real TIFF bytes decode through the
+dependency-free codec in ``sources/tiff.py`` (uncompressed strip or
+tile TIFF 6.0 + GeoTIFF transform tags — the format plain
+EarthEngine exports use); compressed TIFFs fall back to rasterio
+when installed. Non-TIFF bytes keep the deterministic fake decoder
+so plumbing tests have stable goldens without fixture files.
 """
 
 from __future__ import annotations
@@ -45,17 +46,27 @@ except ImportError:
 def _decode_tif(content: bytes, n_bands: int, height: int, width: int):
     """Decode raster bytes -> (array[bands,H,W], transform).
 
-    Real path requires rasterio (absent here). The fake path derives
-    a deterministic array from the byte content's digest so tests
-    exercise the full distributed pipeline with stable goldens.
+    Real TIFF bytes (II*/MM* magic) decode through the pure-numpy
+    codec; compressed variants it can't handle fall back to rasterio
+    when present. Non-TIFF bytes use the deterministic fake (array
+    derived from the content digest) so tests exercise the full
+    distributed pipeline with stable goldens and no fixture deps.
     """
-    if HAVE_RASTERIO:  # pragma: no cover
-        import io
+    if content[:2] in (b"II", b"MM") and content[:4] != b"FAKE":
+        from model_presto_spark.sources.tiff import decode_tiff
 
-        with rasterio.open(io.BytesIO(content)) as src:
-            arr = src.read().astype("float64")
-            t = src.transform
-            return arr, (t.c, t.a, t.f, t.e)
+        try:
+            return decode_tiff(content)
+        except NotImplementedError:
+            if not HAVE_RASTERIO:
+                raise
+        if HAVE_RASTERIO:  # pragma: no cover - rasterio absent here
+            import io
+
+            with rasterio.open(io.BytesIO(content)) as src:
+                arr = src.read().astype("float64")
+                t = src.transform
+                return arr, (t.c, t.a, t.f, t.e)
     # Deterministic fake: seed from content digest; geo-transform
     # (origin_lon, px_w, origin_lat, px_h) parsed from a header the
     # test fixture writes, else a unit grid.
@@ -123,15 +134,74 @@ def read_raster_pixels(
     return binary.select("path", "content").mapInPandas(decode, PIXEL_SCHEMA)
 
 
-def write_raster_tiles(df: DataFrame, out_dir: str) -> None:  # pragma: no cover
-    """GeoTIFF sink (S10): per-tile export via foreachPartition.
+def write_raster_tiles(df: DataFrame, out_dir: str) -> list:
+    """GeoTIFF sink (S10): per-tile export, dependency-free.
 
-    Requires rasterio; raises cleanly where absent. The partition
-    boundary IS the tile boundary — repartition by tile_id first so
-    each task writes whole tiles (the reference's per-tile download
-    loop inverted, ..._monthly.py:42-146).
+    Input is the pixel-row layout ``read_raster_pixels`` produces
+    (tile_id, row, col, band, value, optionally lat/lon). Each tile is
+    one ``applyInPandas`` group — the group boundary IS the tile
+    boundary, so every task assembles and writes whole tiles
+    (the reference's per-tile download loop inverted,
+    src/test.py:103-107, ..._monthly.py:518-521). Pixels are written
+    as an uncompressed chunky GeoTIFF via ``sources/tiff.py``; the
+    affine transform is re-derived from the lat/lon columns when
+    present. Stride-sampled inputs write the compacted grid.
+
+    Executes eagerly; returns the manifest rows (tile_id, path,
+    bands, height, width, n_pixels) — one per written tile.
     """
-    if not HAVE_RASTERIO:
-        raise NotImplementedError(
-            "GeoTIFF sink requires rasterio (not installed in this image)"
+    import os
+
+    from model_presto_spark.sources.tiff import encode_tiff
+
+    os.makedirs(out_dir, exist_ok=True)
+    has_geo = "lat" in df.columns and "lon" in df.columns
+
+    def _axis(vals: np.ndarray, coords: np.ndarray | None, sign: float):
+        """unique sorted axis + (origin, step) from pixel coords."""
+        ax = np.unique(vals)
+        if coords is None or len(ax) < 2:
+            return ax, (float(coords[0]) if coords is not None else 0.0, sign)
+        order = np.argsort(vals, kind="stable")
+        first, last = order[vals[order] == ax[0]][0], order[vals[order] == ax[-1]][0]
+        step = (float(coords[last]) - float(coords[first])) / (ax[-1] - ax[0])
+        return ax, (float(coords[first]) - step * ax[0], step)
+
+    def write_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tile_id = str(key[0])
+        rows_v = pdf["row"].to_numpy()
+        cols_v = pdf["col"].to_numpy()
+        bands_ax = np.unique(pdf["band"].to_numpy())
+        rows_ax, (olat, ph) = _axis(
+            rows_v, pdf["lat"].to_numpy() if has_geo else None, -1.0
         )
+        cols_ax, (olon, pw) = _axis(
+            cols_v, pdf["lon"].to_numpy() if has_geo else None, 1.0
+        )
+        arr = np.full((len(bands_ax), len(rows_ax), len(cols_ax)), np.nan)
+        arr[
+            np.searchsorted(bands_ax, pdf["band"].to_numpy()),
+            np.searchsorted(rows_ax, rows_v),
+            np.searchsorted(cols_ax, cols_v),
+        ] = pdf["value"].to_numpy()
+        name = tile_id if tile_id.endswith((".tif", ".tiff")) else tile_id + ".tif"
+        path = os.path.join(out_dir, name)
+        with open(path, "wb") as f:
+            f.write(encode_tiff(arr, geo=(olon, pw, olat, ph)))
+        return pd.DataFrame(
+            {
+                "tile_id": [tile_id],
+                "path": [path],
+                "bands": [np.int32(arr.shape[0])],
+                "height": [np.int32(arr.shape[1])],
+                "width": [np.int32(arr.shape[2])],
+                "n_pixels": [len(pdf)],
+            }
+        )
+
+    manifest = df.groupBy("tile_id").applyInPandas(
+        write_tile,
+        "tile_id string, path string, bands int, height int, width int, "
+        "n_pixels long",
+    )
+    return manifest.collect()
