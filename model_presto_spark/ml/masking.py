@@ -4,7 +4,9 @@ Reference semantics (M3): four strategies choose (timestep,
 band-group) tokens to mask at a given ratio — random combinations,
 whole band-groups, random timesteps, contiguous timestep chunks
 (reference: presto-tolbi/presto/dataops/masking.py:17-22,36-117;
-ratio default 0.5, applied at :134-146).
+ratio default 0.5, applied at :134-146). All four are implemented
+here: ``random_combinations_mask`` is the per-(timestep, band-group)
+token sampler (masking.py:36-58), the other three below it.
 
 Spark-first: mask decisions are **hash-derived, not rand()** —
 ``h(key, timestep, seed) % 100 < ratio*100`` — so they are
@@ -71,6 +73,56 @@ def band_group_mask(
         masked = _keep_prob_hash(key, F.lit(g), seed) < pct
         flags.extend([masked] * size)
     return F.array(*flags)
+
+
+def random_combinations_mask(
+    key: Column,
+    num_timesteps: int = 12,
+    group_sizes: tuple[int, ...] = (1, 1, 1),
+    ratio: float = 0.5,
+    seed: int = 0,
+) -> Column:
+    """Per-(timestep, band-group) token sampling (reference
+    random_combinations, masking.py:36-58): every (t, g) token gets an
+    independent hash draw; all bands of group g at timestep t share
+    it. Returns array<array<boolean>> of shape [T][sum(group_sizes)]
+    (True = masked), applied with ``apply_token_mask``.
+
+    The draw index is ``t * n_groups + g`` so the flat token grid is
+    SQL-mirrorable as ``generate_series(0, T*G-1)`` with the same
+    ``h60(key || '_' || i)`` draw.
+    """
+    pct = int(ratio * 100)
+    n_groups = len(group_sizes)
+
+    def band_flags(t: Column) -> Column:
+        flags = []
+        for g, size in enumerate(group_sizes):
+            draw = (
+                _keep_prob_hash(key, t * n_groups + F.lit(g), seed) < pct
+            )
+            flags.extend([draw] * size)
+        return F.array(*flags)
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_timesteps - 1)), band_flags
+    )
+
+
+def apply_token_mask(
+    series: Column, mask2d: Column, sentinel: float = MASK_SENTINEL
+) -> Column:
+    """Apply a [T][bands] token mask to an [T][bands] series array:
+    masked cells become the sentinel (reference masking.py:134-146)."""
+    return F.zip_with(
+        series,
+        mask2d,
+        lambda bands, ms: F.zip_with(
+            bands,
+            ms,
+            lambda v, m: F.when(m, F.lit(float(sentinel))).otherwise(v),
+        ),
+    )
 
 
 def apply_series_mask(

@@ -1050,6 +1050,7 @@ from model_presto_spark.plans import queries_sql2 as _queries_sql2  # noqa: E402
 #   q27_math           -> F15/F16 also via q48_geodesic
 #   q49_asof_forward   -> J5/J6 also via q13_asof_join
 #   q44_multiclass_f1  -> A14 also via q29_confusion
+#   q35_cosine_topk    -> O7 also via q23/q40/q45
 # Every query (head and tail) still runs in bench.py and in the local gate
 # (tools/check_correctness.py), which has no cap.
 # ---------------------------------------------------------------------------
@@ -1059,6 +1060,7 @@ _ADJUDICATION_TAIL = [
     "q27_math",
     "q49_asof_forward",
     "q44_multiclass_f1",
+    "q35_cosine_topk",
 ]
 
 

@@ -177,3 +177,94 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("value").isNotNull()).select(
         "user_id", F.round(F.col("value") + 5e-12, 6).alias("next_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q56 — general CRS reprojection: UTM forward (F22)
+# ---------------------------------------------------------------------------
+# The oracle mirrors the same Krüger series in DuckDB SQL; DuckDB has
+# no hyperbolic functions, so sinh/cosh/atanh/asinh are spelled with
+# exp/ln. Coefficients are injected from functions/geo.py so both
+# engines share literals to the last bit.
+def _q56_oracle() -> str:
+    from model_presto_spark.functions import geo as G
+
+    a1, a2, a3, a4 = (repr(a) for a in G._ALPHA)
+    e = repr(G._E)
+    ka = repr(G.UTM_K0 * G._A_BAR)
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey % 180) - 90 + 0.25 AS lat,
+             (c_custkey % 360) - 180 + 0.5 AS lon
+      FROM customer
+    ), zoned AS (
+      SELECT c_custkey, lat, lon,
+             CAST(FLOOR((lon + 180.0) / 6.0) % 60 + 1 AS INT) AS zone
+      FROM pts
+      WHERE lat BETWEEN -80.0 AND 84.0 AND c_custkey < 600
+    ), base AS (
+      SELECT *,
+             radians(lat) AS phi,
+             radians(lon - (zone * 6.0 - 183.0)) AS lam,
+             sin(radians(lat)) AS sphi
+      FROM zoned
+    ), conf AS (
+      SELECT *,
+             0.5*ln((1.0 + sphi)/(1.0 - sphi))
+               - {e} * (0.5*ln((1.0 + {e}*sphi)/(1.0 - {e}*sphi))) AS q
+      FROM base
+    ), tt AS (
+      SELECT *, (exp(q) - exp(-q))/2.0 AS t FROM conf
+    ), prim AS (
+      SELECT *,
+             atan2(t, cos(lam)) AS xi_p,
+             ln(sin(lam)/sqrt(t*t + cos(lam)*cos(lam))
+                + sqrt((sin(lam)/sqrt(t*t + cos(lam)*cos(lam)))
+                     * (sin(lam)/sqrt(t*t + cos(lam)*cos(lam))) + 1.0)) AS eta_p
+      FROM tt
+    ), series AS (
+      SELECT *,
+        xi_p + {a1}*sin(2.0*xi_p)*((exp(2.0*eta_p)+exp(-2.0*eta_p))/2.0)
+             + {a2}*sin(4.0*xi_p)*((exp(4.0*eta_p)+exp(-4.0*eta_p))/2.0)
+             + {a3}*sin(6.0*xi_p)*((exp(6.0*eta_p)+exp(-6.0*eta_p))/2.0)
+             + {a4}*sin(8.0*xi_p)*((exp(8.0*eta_p)+exp(-8.0*eta_p))/2.0) AS xi,
+        eta_p + {a1}*cos(2.0*xi_p)*((exp(2.0*eta_p)-exp(-2.0*eta_p))/2.0)
+              + {a2}*cos(4.0*xi_p)*((exp(4.0*eta_p)-exp(-4.0*eta_p))/2.0)
+              + {a3}*cos(6.0*xi_p)*((exp(6.0*eta_p)-exp(-6.0*eta_p))/2.0)
+              + {a4}*cos(8.0*xi_p)*((exp(8.0*eta_p)-exp(-8.0*eta_p))/2.0) AS eta
+      FROM prim
+    )
+    SELECT c_custkey, zone,
+           ROUND(500000.0 + {ka} * eta + 5e-7, 3) AS easting,
+           ROUND(CASE WHEN lat >= 0 THEN 0.0 ELSE 10000000.0 END
+                 + {ka} * xi + 5e-7, 3) AS northing
+    FROM series
+    """
+
+
+@register(
+    "q56_utm",
+    _q56_oracle(),
+    doc="General CRS reprojection (F22): UTM forward per-point zone, "
+    "Krüger series in pure column arithmetic (functions/geo.py "
+    "utm_forward) vs the same series spelled with exp/ln in DuckDB.",
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.functions.geo import utm_forward
+
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 180) - 90 + 0.25).alias("lat"),
+        ((F.col("c_custkey") % 360) - 180 + 0.5).alias("lon"),
+    ).filter(
+        (F.col("lat") >= -80.0) & (F.col("lat") <= 84.0) & (F.col("c_custkey") < 600)
+    )
+    u = utm_forward(F.col("lat"), F.col("lon"))
+    return pts.select(u.alias("u"), "c_custkey").select(
+        "c_custkey",
+        F.col("u.zone").alias("zone"),
+        F.round(F.col("u.easting") + 5e-7, 3).alias("easting"),
+        F.round(F.col("u.northing") + 5e-7, 3).alias("northing"),
+    )

@@ -141,27 +141,45 @@ _Q46_MASKED = (
     "% 100 < 50))"
 )
 
+# random_combinations budget: 12 timesteps x 3 band-groups = a flat
+# 36-token grid, draw index i = t*3 + g (masking.py random_combinations
+# semantics with the same h60 draw as the Spark side).
+_Q46_RC = (
+    "len(list_filter(generate_series(0, 35), i -> "
+    "CAST(('0x' || substr(md5(c_custkey || '_' || i || '#0'), 1, 15)) AS BIGINT) "
+    "% 100 < 50))"
+)
+
 
 @register(
     "q46_mask_budget",
     f"""
-    SELECT {_Q46_MASKED} AS budget, COUNT(*) AS n
+    SELECT {_Q46_MASKED} AS budget, {_Q46_RC} AS rc_budget, COUNT(*) AS n
     FROM customer
-    GROUP BY 1
+    GROUP BY 1, 2
     """,
-    doc="Hash-derived timestep masking (masking.py:90-103 semantics, "
-    "reproducible across engines/retries) — budget histogram.",
+    doc="Hash-derived masking (masking.py:36-58,90-103 semantics, "
+    "reproducible across engines/retries) — joint budget histogram of "
+    "the random-timesteps and random-combinations strategies.",
 )
 def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from model_presto_spark.ml.masking import mask_budget, timestep_mask
+    from model_presto_spark.ml.masking import (
+        mask_budget,
+        random_combinations_mask,
+        timestep_mask,
+    )
 
     cust = _t(spark, sf_dir, "customer")
+    rc = random_combinations_mask(
+        F.col("c_custkey"), 12, group_sizes=(1, 1, 1), ratio=0.5, seed=0
+    )
     return (
         cust.select(
             mask_budget(
                 timestep_mask(F.col("c_custkey"), 12, 0.5, seed=0)
-            ).alias("budget")
+            ).alias("budget"),
+            mask_budget(F.flatten(rc)).alias("rc_budget"),
         )
-        .groupBy("budget")
+        .groupBy("budget", "rc_budget")
         .agg(F.count(F.lit(1)).alias("n"))
     )

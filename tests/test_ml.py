@@ -190,3 +190,43 @@ def test_knn_classify_golden(spark):
         probes, cands, "pid", "cid", "y", k=3
     ).collect()
     assert out[0].predicted == 1 and out[0].votes == 3
+
+
+def test_random_combinations_mask_group_sharing(spark):
+    """All bands of a group at a timestep share one draw; different
+    (t, g) cells draw independently; the whole thing is deterministic."""
+    from model_presto_spark.ml.masking import random_combinations_mask
+
+    df = spark.range(50).select(F.col("id").alias("k"))
+    m = random_combinations_mask(
+        F.col("k"), num_timesteps=6, group_sizes=(2, 3), ratio=0.5, seed=1
+    )
+    rows = df.select(m.alias("m")).collect()
+    again = df.select(m.alias("m")).collect()
+    assert [r.m for r in rows] == [r.m for r in again]  # deterministic
+    saw_intra_t_diff = False
+    for r in rows:
+        assert len(r.m) == 6
+        for t_flags in r.m:
+            assert len(t_flags) == 5
+            assert t_flags[0] == t_flags[1]  # group 0 (2 bands) shares
+            assert t_flags[2] == t_flags[3] == t_flags[4]  # group 1 shares
+            if t_flags[0] != t_flags[2]:
+                saw_intra_t_diff = True
+    assert saw_intra_t_diff  # groups draw independently within a timestep
+    # roughly half the tokens masked across keys
+    total = sum(f for r in rows for tf in r.m for f in (tf[0], tf[2]))
+    assert 0.3 < total / (50 * 6 * 2) < 0.7
+
+
+def test_apply_token_mask_cells(spark):
+    from model_presto_spark.ml.masking import apply_token_mask
+
+    df = spark.createDataFrame(
+        [([[1.0, 2.0], [3.0, 4.0]], [[True, False], [False, True]])],
+        "series array<array<double>>, m array<array<boolean>>",
+    )
+    out = df.select(
+        apply_token_mask(F.col("series"), F.col("m"), sentinel=0.0).alias("s")
+    ).collect()[0].s
+    assert out == [[0.0, 2.0], [3.0, 0.0]]
