@@ -89,3 +89,42 @@ def test_connected_components_long_chain_converges(spark):
     comp = {r.id: r.comp for r in connected_components(pairs, max_iter=12).collect()}
     assert len(comp) == n
     assert set(comp.values()) == {0}
+
+
+def _vec_df(spark, n, dim=8, seed=3, with_dup=True):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim))
+    if with_dup:
+        base[1] = base[0] + 1e-4  # planted near-duplicate pair (0, 1)
+    return spark.createDataFrame(
+        [(i, [float(v) for v in base[i]]) for i in range(n)],
+        "vid long, vec array<double>",
+    )
+
+
+def test_embedding_dup_pairs_guard_raises(spark):
+    """The O(n^2) baseline must refuse unbounded inputs by default."""
+    import pytest as _pytest
+
+    from model_presto_spark.operators.dedup import embedding_dup_pairs
+
+    df = _vec_df(spark, 120, with_dup=False)
+    with _pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        embedding_dup_pairs(df, "vid", "vec", max_rows=100)
+    # explicit opt-outs still work
+    embedding_dup_pairs(df, "vid", "vec", max_rows=None)
+    embedding_dup_pairs(df, "vid", "vec", max_rows=200)
+
+
+def test_embedding_dup_pairs_lsh_route_finds_planted_dup(spark):
+    from model_presto_spark.operators.dedup import embedding_dup_pairs
+
+    df = _vec_df(spark, 150, with_dup=True)
+    out = embedding_dup_pairs(
+        df, "vid", "vec", threshold=0.99, max_rows=100, on_overflow="lsh"
+    )
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (0, 1) in got  # near-identical vectors share every LSH bucket
+    # and the routed plan is a bucket equi-join, not a cross join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
