@@ -8,17 +8,22 @@ combine-and-save (cropharvest_eval.py:213-214), HDF5 append sinks
 (cropharvest_extensions.py:340-344), and split files fetched over
 HTTP (presto-tolbi/presto/eval/eurosat_eval.py:97-100).
 
-xarray/netCDF4/h5py are NOT in this container: the decode bodies are
-gated behind import-try (same pattern as sources/raster.py); the
-binaryFile + mapInPandas plumbing is the real, tested part. The
-HTTP text-list scan is fully real (urllib is stdlib; the fetch runs
-on the driver — split lists are tiny — then parallelizes).
+xarray/netCDF4/h5py are NOT in this container: every decode/encode
+body here is REAL code sitting behind a single import gate (the
+day the lib exists, the path runs unchanged — same pattern as
+sources/raster.py had before the pure-numpy TIFF codec made it
+gate-free). The binaryFile + mapInPandas distributed shape is shared
+with raster.py, which is fully exercised by tests. The HTTP
+text-list scan is fully real (urllib is stdlib; the fetch runs on
+the driver — split lists are tiny — then parallelizes).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
@@ -54,17 +59,24 @@ def read_netcdf(spark: SparkSession, path: str, variables: list[str]) -> DataFra
         import io
 
         for pdf in it:
-            out = []
+            frames = []
             for _, r in pdf.iterrows():
                 ds = xarray.open_dataset(io.BytesIO(bytes(r["content"])))
                 for v in variables:
-                    flat = ds[v].values.ravel()
-                    for i, val in enumerate(flat):
-                        out.append(
-                            {"path": r["path"], "variable": v,
-                             "index": i, "value": float(val)}
+                    flat = np.asarray(ds[v].values, dtype="float64").ravel()
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "path": r["path"],
+                                "variable": v,
+                                "index": np.arange(flat.size, dtype="int64"),
+                                "value": flat,
+                            }
                         )
-            yield pd.DataFrame(out)
+                    )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                columns=["path", "variable", "index", "value"]
+            )
 
     return (
         spark.read.format("binaryFile")
@@ -75,13 +87,113 @@ def read_netcdf(spark: SparkSession, path: str, variables: list[str]) -> DataFra
 
 
 def read_hdf5(spark: SparkSession, path: str, dataset: str) -> DataFrame:
-    """HDF5 scan (S6) — gated like read_netcdf."""
+    """HDF5 scan (S6): binaryFile + h5py decode to long-form
+    (path, dataset, index, value) rows — same distributed shape as
+    read_netcdf (reference h5py reads,
+    cropharvest_extensions.py:489-499)."""
     if not HAVE_H5PY:
         raise NotImplementedError(
             "HDF5 scan requires h5py (not installed in this image); "
             "see sources/arrays.py read_npy for the identical tested plumbing"
         )
-    raise NotImplementedError  # pragma: no cover
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        import io
+
+        for pdf in it:
+            frames = []
+            for _, r in pdf.iterrows():
+                with h5py.File(io.BytesIO(bytes(r["content"])), "r") as f:
+                    flat = np.asarray(f[dataset][...], dtype="float64").ravel()
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "path": r["path"],
+                            "dataset": dataset,
+                            "index": np.arange(flat.size, dtype="int64"),
+                            "value": flat,
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                columns=["path", "dataset", "index", "value"]
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(decode, "path string, dataset string, index long, value double")
+    )
+
+
+def write_netcdf(
+    df: DataFrame, out_dir: str, group_col: str = "path"
+) -> list:
+    """NetCDF sink (S13): one .nc per ``group_col`` group via
+    applyInPandas (reference combine-and-save,
+    cropharvest_eval.py:213-214). Input is the long-form
+    (variable, index, value) layout read_netcdf produces; each group
+    task pivots to 1-D variables and writes with xarray. Returns the
+    manifest rows."""
+    if not HAVE_XARRAY:
+        raise NotImplementedError(
+            "NetCDF sink requires xarray (not installed in this image)"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
+        name = os.path.basename(str(key[0])) or "out"
+        if not name.endswith(".nc"):
+            name += ".nc"
+        target = os.path.join(out_dir, name)
+        data = {}
+        for v, sub in pdf.groupby("variable"):
+            sub = sub.sort_values("index")
+            data[str(v)] = ("index", sub["value"].to_numpy())
+        xarray.Dataset(data).to_netcdf(target)
+        return pd.DataFrame(
+            {"group": [str(key[0])], "path": [target], "n_values": [len(pdf)]}
+        )
+
+    return (
+        df.groupBy(group_col)
+        .applyInPandas(write_group, "group string, path string, n_values long")
+        .collect()
+    )
+
+
+def write_hdf5(
+    df: DataFrame, out_dir: str, group_col: str = "path"
+) -> list:
+    """HDF5 sink (S14): one .h5 per group, one dataset per variable
+    (reference append sink, cropharvest_extensions.py:340-344).
+    Same manifest contract as write_netcdf/write_raster_tiles."""
+    if not HAVE_H5PY:
+        raise NotImplementedError(
+            "HDF5 sink requires h5py (not installed in this image)"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
+        name = os.path.basename(str(key[0])) or "out"
+        if not name.endswith((".h5", ".hdf5")):
+            name += ".h5"
+        target = os.path.join(out_dir, name)
+        col = "variable" if "variable" in pdf.columns else "dataset"
+        with h5py.File(target, "w") as f:
+            for v, sub in pdf.groupby(col):
+                sub = sub.sort_values("index")
+                f.create_dataset(str(v), data=sub["value"].to_numpy())
+        return pd.DataFrame(
+            {"group": [str(key[0])], "path": [target], "n_values": [len(pdf)]}
+        )
+
+    return (
+        df.groupBy(group_col)
+        .applyInPandas(write_group, "group string, path string, n_values long")
+        .collect()
+    )
 
 
 def read_http_text_list(spark: SparkSession, url: str) -> DataFrame:

@@ -319,3 +319,25 @@ def test_blob_features(spark, media_df):
     out = {r.media_id: r.features for r in blob_features(media_df, 16).collect()}
     assert len(out[1]) == 16 and len(out[2]) == 16
     assert out[1] != out[2]
+
+
+def test_scientific_gates_raise_cleanly(spark):
+    """xarray/h5py are absent in this image: every scientific-format
+    entry point must raise the gate error (no bare NotImplementedError
+    bodies left), so callers can feature-detect."""
+    import pytest as _pytest
+
+    from model_presto_spark.sources import scientific as S
+
+    assert not S.HAVE_XARRAY and not S.HAVE_H5PY
+    dummy = spark.range(1).selectExpr(
+        "'p' AS path", "'v' AS variable", "id AS index", "1.0 AS value"
+    )
+    with _pytest.raises(NotImplementedError, match="xarray"):
+        S.read_netcdf(spark, "/tmp/none", ["v"])
+    with _pytest.raises(NotImplementedError, match="h5py"):
+        S.read_hdf5(spark, "/tmp/none", "d")
+    with _pytest.raises(NotImplementedError, match="xarray"):
+        S.write_netcdf(dummy, "/tmp/none")
+    with _pytest.raises(NotImplementedError, match="h5py"):
+        S.write_hdf5(dummy, "/tmp/none")
