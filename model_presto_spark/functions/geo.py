@@ -190,6 +190,79 @@ def utm_inverse(
     )
 
 
+def polygon_centroid(ring: Column) -> Column:
+    """Area-weighted polygon centroid as struct(lon, lat) — the full
+    F23 (reference computes label-polygon centroids before buffering,
+    src/common.py:55-78). ``ring`` is array<struct<lon, lat>>, open or
+    closed (a closing duplicate vertex contributes a zero-length
+    segment and is harmless).
+
+    Shoelace accumulation in one Catalyst ``aggregate`` pass:
+    a  = Σ (x_i·y_j − x_j·y_i)          (j = i+1 cyclically; 2·area)
+    cx = Σ (x_i + x_j)(x_i·y_j − x_j·y_i),  centroid = cx / (3a)
+    Degenerate rings (|a| ~ 0: points/lines) fall back to the vertex
+    mean, which is the conventional choice.
+    """
+    n = F.size(ring)
+
+    acc = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.struct(
+            F.lit(0.0).alias("a"),
+            F.lit(0.0).alias("cx"),
+            F.lit(0.0).alias("cy"),
+            F.lit(0.0).alias("mx"),
+            F.lit(0.0).alias("my"),
+        ),
+        lambda st, i: F.struct(
+            (
+                st["a"]
+                + F.element_at(ring, i)["lon"]
+                * F.element_at(ring, (i % n) + 1)["lat"]
+                - F.element_at(ring, (i % n) + 1)["lon"]
+                * F.element_at(ring, i)["lat"]
+            ).alias("a"),
+            (
+                st["cx"]
+                + (
+                    F.element_at(ring, i)["lon"]
+                    + F.element_at(ring, (i % n) + 1)["lon"]
+                )
+                * (
+                    F.element_at(ring, i)["lon"]
+                    * F.element_at(ring, (i % n) + 1)["lat"]
+                    - F.element_at(ring, (i % n) + 1)["lon"]
+                    * F.element_at(ring, i)["lat"]
+                )
+            ).alias("cx"),
+            (
+                st["cy"]
+                + (
+                    F.element_at(ring, i)["lat"]
+                    + F.element_at(ring, (i % n) + 1)["lat"]
+                )
+                * (
+                    F.element_at(ring, i)["lon"]
+                    * F.element_at(ring, (i % n) + 1)["lat"]
+                    - F.element_at(ring, (i % n) + 1)["lon"]
+                    * F.element_at(ring, i)["lat"]
+                )
+            ).alias("cy"),
+            (st["mx"] + F.element_at(ring, i)["lon"]).alias("mx"),
+            (st["my"] + F.element_at(ring, i)["lat"]).alias("my"),
+        ),
+    )
+    degenerate = F.abs(acc["a"]) < 1e-12
+    return F.struct(
+        F.when(degenerate, acc["mx"] / n.cast("double"))
+        .otherwise(acc["cx"] / (3.0 * acc["a"]))
+        .alias("lon"),
+        F.when(degenerate, acc["my"] / n.cast("double"))
+        .otherwise(acc["cy"] / (3.0 * acc["a"]))
+        .alias("lat"),
+    )
+
+
 def square_buffer_bbox(lat: Column, lon: Column, half_side_m: Column) -> Column:
     """Square buffer around a point as a bbox struct (F23: the
     reference buffers label centroids into square EE regions,

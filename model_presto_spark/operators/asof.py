@@ -31,6 +31,7 @@ def asof_join(
     tolerance: str | None = None,
     direction: str = "backward",
     suffix: str = "_right",
+    left_key: list[str] | str | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row nearest in time.
 
@@ -43,13 +44,21 @@ def asof_join(
     direction: ``backward`` (right_ts <= left_ts, nearest from below —
         the pandas ``merge_asof`` default), ``forward``
         (right_ts >= left_ts), or ``nearest`` (min abs distance).
+    left_key: column(s) that uniquely identify a left row. When given,
+        the dedup window partitions by exactly these — a narrow shuffle
+        and sort key. When None, every left column forms the partition
+        key (safe for any input, but a wide sort key; declare the
+        unique key on hot paths).
 
     Left rows with no match are kept with nulls (left-outer
     semantics). Deterministic tie-break at equal distance: the
     lexicographically-largest right payload row. Left rows must be
-    unique (they form the window partition key).
+    unique (per ``left_key`` when declared, else as whole rows —
+    they form the window partition key).
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if isinstance(left_key, str):
+        left_key = [left_key]
 
     # Disambiguate right columns that collide with left ones; drop the
     # right copy of the equality keys after the join.
@@ -84,7 +93,8 @@ def asof_join(
         cond = (left[k] == r[renames[k]]) & cond
 
     joined = left.join(r, cond, "left").drop(*[renames[k] for k in keys])
-    w = Window.partitionBy(*[left[c] for c in left.columns]).orderBy(
+    part_cols = left_key if left_key else left.columns
+    w = Window.partitionBy(*[left[c] for c in part_cols]).orderBy(
         dist.asc_nulls_last(), *[F.col(c).desc() for c in r_payload]
     )
     return (

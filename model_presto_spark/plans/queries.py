@@ -458,6 +458,7 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="click_ts",
         tolerance="1 hour",
         direction="backward",
+        left_key="event_id",
     )
     return joined.select(
         "event_id",

@@ -173,6 +173,7 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         tolerance="2 DAYS",
         direction="forward",
+        left_key="user_id",
     )
     return out.filter(F.col("value").isNotNull()).select(
         "user_id", F.round(F.col("value") + 5e-12, 6).alias("next_value")

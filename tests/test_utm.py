@@ -132,3 +132,56 @@ def test_known_coordinate_sanity(spark):
         transverse_mercator(F.col("lat"), F.col("lon"), F.lit(9.0)).alias("en")
     ).collect()[0].en
     assert en2.easting - 500000.0 == pytest.approx(111320.0 * K0, rel=2e-3)
+
+
+def test_polygon_centroid_golden(spark):
+    from model_presto_spark.functions.geo import polygon_centroid
+
+    def ring(pts):
+        return [{"lon": float(x), "lat": float(y)} for x, y in pts]
+
+    df = spark.createDataFrame(
+        [
+            # unit square, open
+            (1, ring([(0, 0), (1, 0), (1, 1), (0, 1)])),
+            # same square, closed (duplicate first vertex)
+            (2, ring([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)])),
+            # L-shape: centroid NOT the vertex mean
+            (3, ring([(0, 0), (2, 0), (2, 1), (1, 1), (1, 2), (0, 2)])),
+            # triangle
+            (4, ring([(0, 0), (3, 0), (0, 3)])),
+            # degenerate: collinear points -> vertex mean fallback
+            (5, ring([(0, 0), (1, 1), (2, 2)])),
+        ],
+        "pid int, ring array<struct<lon double, lat double>>",
+    )
+    got = {
+        r.pid: (r.c.lon, r.c.lat)
+        for r in df.select("pid", polygon_centroid(F.col("ring")).alias("c")).collect()
+    }
+    assert got[1] == (pytest.approx(0.5), pytest.approx(0.5))
+    assert got[2] == (pytest.approx(0.5), pytest.approx(0.5))
+    # L-shape = [0,2]x[0,1] (area 2, c=(1,0.5)) + [0,1]x[1,2] (area 1, c=(0.5,1.5))
+    assert got[3] == (pytest.approx((2 * 1 + 1 * 0.5) / 3), pytest.approx((2 * 0.5 + 1 * 1.5) / 3))
+    assert got[4] == (pytest.approx(1.0), pytest.approx(1.0))
+    assert got[5] == (pytest.approx(1.0), pytest.approx(1.0))
+
+
+def test_polygon_centroid_orientation_invariant(spark):
+    """Clockwise vs counter-clockwise winding gives the same centroid
+    (signed area cancels in the ratio)."""
+    from model_presto_spark.functions.geo import polygon_centroid
+
+    ccw = [(0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (0.0, 2.0)]
+    cw = list(reversed(ccw))
+    df = spark.createDataFrame(
+        [(1, [{"lon": x, "lat": y} for x, y in ccw]),
+         (2, [{"lon": x, "lat": y} for x, y in cw])],
+        "pid int, ring array<struct<lon double, lat double>>",
+    )
+    got = [
+        (r.c.lon, r.c.lat)
+        for r in df.select(polygon_centroid(F.col("ring")).alias("c")).orderBy(F.lit(1)).collect()
+    ]
+    assert got[0] == (pytest.approx(2.0), pytest.approx(1.0))
+    assert got[1] == (pytest.approx(2.0), pytest.approx(1.0))
