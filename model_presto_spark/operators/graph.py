@@ -42,10 +42,18 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    # undirected: keep both directions for neighborhood scans
-    sym = edges.unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    # undirected: keep both directions for neighborhood scans.
+    # localCheckpoint materializes the edge list ONCE: every iteration
+    # joins against ``sym``, and without this the full upstream
+    # pair-generation lineage (e.g. the MinHash pipeline) re-executes
+    # per round — the sf1.0 stress bench measured 50x slowdown.
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     # label(n) starts as min(n, min neighbor)
     labels = (

@@ -39,7 +39,11 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     from model_presto_spark.operators.dedup import embedding_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1500)
-    pairs = embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.88)
+    # max_rows=None: the O(n^2) guard's count job is redundant here —
+    # the input is bounded by construction (vec_id < 1500).
+    pairs = embedding_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.88, max_rows=None
+    )
     return pairs.select(
         "id_a", "id_b", F.round(F.col("cosine_sim") + 5e-12, 6).alias("cosine_sim")
     )

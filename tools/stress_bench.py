@@ -1,0 +1,190 @@
+"""sf1.0-scale stress bench for the dedup/ANN stack.
+
+The per-round bench (bench.py) runs at sf0.1 — small enough that
+session overhead dominates and skew/quadratic blowups are invisible.
+This tool generates sf1.0-sized documents (50k docs, with planted
+near-duplicate families and a skewed hot shingle) and embeddings
+(20k x 64d, with planted dup pairs) into a scratch dir, runs the
+scale-path operators at two sizes, and fits the scaling exponent
+alpha in t ~ n^alpha. Sub-quadratic (alpha well below 2) is the pass
+condition for the bucketed paths; CC must converge in < 10 rounds.
+
+Usage: python tools/stress_bench.py [out_json] [--small]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+SCRATCH = "/tmp/stress_sf1"
+
+WORDS = (
+    "batch part spark line column order small sort fast value scan hash slow "
+    "group agg filter query big key window row table stream merge data join "
+    "shard tile pixel band month split seed probe bucket plan stage task"
+).split()
+
+
+def gen_documents(n_docs: int, seed: int = 11) -> "pd.DataFrame":
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    base_len = rng.integers(30, 60, size=n_docs)
+    texts = []
+    for i in range(n_docs):
+        words = rng.choice(WORDS, size=base_len[i])
+        texts.append(" ".join(words))
+    # planted near-dup families: 2% of docs are a light edit of an
+    # earlier doc (one word changed) -> MinHash/ngram must find them
+    n_dup = n_docs // 50
+    dup_src = rng.integers(0, n_docs, size=n_dup)
+    for j, s in enumerate(dup_src):
+        w = texts[s].split()
+        w[rng.integers(0, len(w))] = rng.choice(WORDS)
+        texts[(s + 1) % n_docs] = " ".join(w)
+    # skewed hot prefix: 5% of docs share one first word (hot key for
+    # blocking/inverted-index paths)
+    for i in range(0, n_docs, 20):
+        texts[i] = "spark " + texts[i]
+    langs = rng.choice(["en", "fr", "de", "zh", "es"], size=n_docs)
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs, dtype="int64"),
+            "text": texts,
+            "lang": langs,
+            "source": [f"src{i % 17}" for i in range(n_docs)],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+
+
+def gen_embeddings(n_vecs: int, dim: int = 64, seed: int = 12) -> "pd.DataFrame":
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n_vecs, dim)).astype("float32")
+    # planted near-dup pairs: every 100th vector ~= its successor
+    for i in range(0, n_vecs - 1, 100):
+        vecs[i + 1] = vecs[i] + rng.standard_normal(dim).astype("float32") * 1e-3
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n_vecs, dtype="int64"),
+            "embedding": [v.tolist() for v in vecs],
+            "label": (np.arange(n_vecs) % 10).astype("int32"),
+        }
+    )
+
+
+def materialize(n_docs: int, n_vecs: int, tag: str) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(SCRATCH, tag)
+    os.makedirs(out, exist_ok=True)
+    dp = os.path.join(out, "documents.parquet")
+    ep = os.path.join(out, "embeddings.parquet")
+    if not os.path.exists(dp):
+        pq.write_table(pa.Table.from_pandas(gen_documents(n_docs)), dp)
+    if not os.path.exists(ep):
+        emb = gen_embeddings(n_vecs)
+        schema = pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pandas(emb, schema=schema), ep)
+    return out
+
+
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from model_presto_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from model_presto_spark.operators.graph import dedup_clusters
+    from model_presto_spark.operators.knn import ann_lsh_join
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    mh = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    n_mh = mh.count()
+    timings["minhash_lsh"] = time.time() - t0
+
+    t0 = time.time()
+    ng = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    n_ng = ng.count()
+    timings["ngram_jaccard"] = time.time() - t0
+
+    t0 = time.time()
+    probes = emb.limit(500).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("vec")
+    )
+    cands = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("vec"))
+    ann = ann_lsh_join(probes, cands, "probe_id", "cand_id", k=5, dim=64, planes=10)
+    n_ann = ann.count()
+    timings["ann_lsh"] = time.time() - t0
+
+    t0 = time.time()
+    clustered = dedup_clusters(docs.select("doc_id"), mh, "doc_id")
+    n_clusters = clustered.select("cluster").distinct().count()
+    timings["cc_clusters"] = time.time() - t0
+
+    timings["_counts"] = {  # type: ignore[assignment]
+        "minhash_pairs": n_mh,
+        "ngram_pairs": n_ng,
+        "ann_rows": n_ann,
+        "clusters": n_clusters,
+    }
+    return timings
+
+
+def main() -> int:
+    out_json = sys.argv[1] if len(sys.argv) > 1 else "STRESS_r2.json"
+    small = "--small" in sys.argv
+    sizes = [(5_000, 2_000, "s1"), (50_000, 20_000, "s10")]
+    if small:
+        sizes = [(2_000, 1_000, "s1"), (8_000, 4_000, "s4")]
+
+    from model_presto_spark.session import get_spark
+
+    spark = get_spark("stress-bench")
+    results = {}
+    for n_docs, n_vecs, tag in sizes:
+        sf_dir = materialize(n_docs, n_vecs, tag)
+        results[tag] = {"n_docs": n_docs, **run_suite(spark, sf_dir)}
+        print(tag, json.dumps(results[tag]))
+
+    (small_tag, big_tag) = (sizes[0][2], sizes[1][2])
+    ratio_n = sizes[1][0] / sizes[0][0]
+    exponents = {}
+    for op in ("minhash_lsh", "ngram_jaccard", "ann_lsh", "cc_clusters"):
+        r = results[big_tag][op] / max(results[small_tag][op], 1e-9)
+        exponents[op] = round(math.log(r) / math.log(ratio_n), 3)
+    summary = {
+        "sizes": {small_tag: sizes[0][0], big_tag: sizes[1][0]},
+        "timings": {t: {k: round(v, 3) for k, v in results[t].items() if isinstance(v, float)} for t in results},
+        "counts": {t: results[t]["_counts"] for t in results},
+        "scaling_exponent": exponents,
+        "pass_subquadratic": all(e < 1.7 for e in exponents.values()),
+    }
+    with open(out_json, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
