@@ -8,14 +8,15 @@ combine-and-save (cropharvest_eval.py:213-214), HDF5 append sinks
 (cropharvest_extensions.py:340-344), and split files fetched over
 HTTP (presto-tolbi/presto/eval/eurosat_eval.py:97-100).
 
-xarray/netCDF4/h5py are NOT in this container: every decode/encode
-body here is REAL code sitting behind a single import gate (the
-day the lib exists, the path runs unchanged — same pattern as
-sources/raster.py had before the pure-numpy TIFF codec made it
-gate-free). The binaryFile + mapInPandas distributed shape is shared
-with raster.py, which is fully exercised by tests. The HTTP
-text-list scan is fully real (urllib is stdlib; the fetch runs on
-the driver — split lists are tiny — then parallelizes).
+NetCDF classic (CDF-1/CDF-2) is decoded/encoded by the dependency-free
+pure-numpy codec in sources/netcdf3.py — the scan and sink are REAL
+and tested in this container. Only HDF5-backed files (NetCDF-4, .h5)
+still route through an import gate (xarray/h5py are not in this
+image); those gated bodies are full real code that runs unchanged the
+day the lib exists. The binaryFile + mapInPandas distributed shape is
+shared with raster.py. The HTTP text-list scan is fully real (urllib
+is stdlib; the fetch runs on the driver — split lists are tiny — then
+parallelizes).
 """
 
 from __future__ import annotations
@@ -46,24 +47,32 @@ except ImportError:
 
 def read_netcdf(spark: SparkSession, path: str, variables: list[str]) -> DataFrame:
     """NetCDF files -> long-form (path, variable, index, value) rows
-    via binaryFile + xarray decode. Raises where xarray is absent —
-    the distributed shape is identical to sources/raster.py, which is
-    fully exercised by tests."""
-    if not HAVE_XARRAY:
-        raise NotImplementedError(
-            "NetCDF scan requires xarray (not installed in this image); "
-            "see sources/raster.py for the identical tested plumbing"
-        )
+    via binaryFile + mapInPandas (reference xarray reads,
+    src/optimization.py:64,100). Classic CDF-1/CDF-2 files decode with
+    the pure-numpy codec (sources/netcdf3.py) — no dependency; HDF5-
+    backed NetCDF-4 files fall back to xarray when available."""
+    from model_presto_spark.sources.netcdf3 import decode_netcdf3, is_netcdf3
 
-    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
         for pdf in it:
             frames = []
             for _, r in pdf.iterrows():
-                ds = xarray.open_dataset(io.BytesIO(bytes(r["content"])))
+                content = bytes(r["content"])
+                if is_netcdf3(content):
+                    data = decode_netcdf3(content)
+                elif HAVE_XARRAY:  # pragma: no cover - lib absent in image
+                    ds = xarray.open_dataset(io.BytesIO(content))
+                    data = {v: ds[v].values for v in variables}
+                else:
+                    raise NotImplementedError(
+                        f"{r['path']}: NetCDF-4/HDF5-backed file needs "
+                        "xarray (not installed in this image); classic "
+                        "CDF-1/CDF-2 decodes natively"
+                    )
                 for v in variables:
-                    flat = np.asarray(ds[v].values, dtype="float64").ravel()
+                    flat = np.asarray(data[v], dtype="float64").ravel()
                     frames.append(
                         pd.DataFrame(
                             {
@@ -134,15 +143,14 @@ def write_netcdf(
     applyInPandas (reference combine-and-save,
     cropharvest_eval.py:213-214). Input is the long-form
     (variable, index, value) layout read_netcdf produces; each group
-    task pivots to 1-D variables and writes with xarray. Returns the
-    manifest rows."""
-    if not HAVE_XARRAY:
-        raise NotImplementedError(
-            "NetCDF sink requires xarray (not installed in this image)"
-        )
+    task pivots to 1-D variables and writes a classic CDF-1 file with
+    the pure-numpy codec (sources/netcdf3.py — no dependency).
+    Returns the manifest rows."""
     os.makedirs(out_dir, exist_ok=True)
 
-    def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
+    def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from model_presto_spark.sources.netcdf3 import encode_netcdf3
+
         name = os.path.basename(str(key[0])) or "out"
         if not name.endswith(".nc"):
             name += ".nc"
@@ -150,8 +158,9 @@ def write_netcdf(
         data = {}
         for v, sub in pdf.groupby("variable"):
             sub = sub.sort_values("index")
-            data[str(v)] = ("index", sub["value"].to_numpy())
-        xarray.Dataset(data).to_netcdf(target)
+            data[str(v)] = sub["value"].to_numpy()
+        with open(target, "wb") as f:
+            f.write(encode_netcdf3(data))
         return pd.DataFrame(
             {"group": [str(key[0])], "path": [target], "n_values": [len(pdf)]}
         )

@@ -54,11 +54,10 @@ def test_read_http_text_list_file_url(spark, tmp_path):
 
 
 def test_scientific_scans_gated(spark):
+    # NetCDF classic is now decoded natively (sources/netcdf3.py);
+    # only the HDF5 path remains import-gated in this image.
     from model_presto_spark.sources import scientific as sci
 
-    if not sci.HAVE_XARRAY:
-        with pytest.raises(NotImplementedError):
-            sci.read_netcdf(spark, "/tmp/none", ["v"])
     if not sci.HAVE_H5PY:
         with pytest.raises(NotImplementedError):
             sci.read_hdf5(spark, "/tmp/none", "d")
