@@ -1035,6 +1035,7 @@ from model_presto_spark.plans import queries_docs as _queries_docs  # noqa: E402
 from model_presto_spark.plans import queries_grid as _queries_grid  # noqa: E402,F401
 from model_presto_spark.plans import queries_ml as _queries_ml  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops as _queries_ops  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops2 as _queries_ops2  # noqa: E402,F401
 from model_presto_spark.plans import queries_sql2 as _queries_sql2  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
@@ -1051,7 +1052,10 @@ from model_presto_spark.plans import queries_sql2 as _queries_sql2  # noqa: E402
 #   q27_math           -> F15/F16 also via q48_geodesic
 #   q49_asof_forward   -> J5/J6 also via q13_asof_join
 #   q44_multiclass_f1  -> A14 also via q29_confusion
-#   q35_cosine_topk    -> O7 also via q23/q40/q45
+#   q35_cosine_topk    -> O7 also via q40/q45
+#   q23_knn            -> O7 also via q40/q45
+#   q14_median         -> A1 also via q43_monthly_composite (median agg)
+#   q20_tumbling_day   -> W1 also via q43_monthly_composite (tumbling)
 # Every query (head and tail) still runs in bench.py and in the local gate
 # (tools/check_correctness.py), which has no cap.
 # ---------------------------------------------------------------------------
@@ -1062,6 +1066,9 @@ _ADJUDICATION_TAIL = [
     "q49_asof_forward",
     "q44_multiclass_f1",
     "q35_cosine_topk",
+    "q23_knn",
+    "q14_median",
+    "q20_tumbling_day",
 ]
 
 
