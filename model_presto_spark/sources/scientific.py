@@ -9,14 +9,14 @@ combine-and-save (cropharvest_eval.py:213-214), HDF5 append sinks
 HTTP (presto-tolbi/presto/eval/eurosat_eval.py:97-100).
 
 NetCDF classic (CDF-1/CDF-2) is decoded/encoded by the dependency-free
-pure-numpy codec in sources/netcdf3.py — the scan and sink are REAL
-and tested in this container. Only HDF5-backed files (NetCDF-4, .h5)
-still route through an import gate (xarray/h5py are not in this
-image); those gated bodies are full real code that runs unchanged the
-day the lib exists. The binaryFile + mapInPandas distributed shape is
-shared with raster.py. The HTTP text-list scan is fully real (urllib
-is stdlib; the fetch runs on the driver — split lists are tiny — then
-parallelizes).
+pure-numpy codec in sources/netcdf3.py, and HDF5 by sources/hdf5lite.py
+(libhdf5-default subset: superblock v0, contiguous numeric datasets) —
+all four scan/sink paths are REAL and tested in this container.
+xarray/h5py are used only as fallbacks for files outside those
+subsets (NetCDF-4, chunked/compressed HDF5) when installed. The
+binaryFile + mapInPandas distributed shape is shared with raster.py.
+The HTTP text-list scan is fully real (urllib is stdlib; the fetch
+runs on the driver — split lists are tiny — then parallelizes).
 """
 
 from __future__ import annotations
@@ -96,24 +96,34 @@ def read_netcdf(spark: SparkSession, path: str, variables: list[str]) -> DataFra
 
 
 def read_hdf5(spark: SparkSession, path: str, dataset: str) -> DataFrame:
-    """HDF5 scan (S6): binaryFile + h5py decode to long-form
-    (path, dataset, index, value) rows — same distributed shape as
-    read_netcdf (reference h5py reads,
-    cropharvest_extensions.py:489-499)."""
-    if not HAVE_H5PY:
-        raise NotImplementedError(
-            "HDF5 scan requires h5py (not installed in this image); "
-            "see sources/arrays.py read_npy for the identical tested plumbing"
-        )
+    """HDF5 scan (S6): binaryFile + mapInPandas decode to long-form
+    (path, dataset, index, value) rows (reference h5py reads,
+    cropharvest_extensions.py:489-499). The libhdf5-default subset
+    (superblock v0, contiguous numeric datasets) decodes with the
+    pure-numpy codec (sources/hdf5lite.py); chunked/compressed or
+    v2+ files fall back to h5py when available."""
+    from model_presto_spark.sources.hdf5lite import decode_hdf5
 
-    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
         for pdf in it:
             frames = []
             for _, r in pdf.iterrows():
-                with h5py.File(io.BytesIO(bytes(r["content"])), "r") as f:
-                    flat = np.asarray(f[dataset][...], dtype="float64").ravel()
+                content = bytes(r["content"])
+                try:
+                    flat = np.asarray(
+                        decode_hdf5(content)[dataset], dtype="float64"
+                    ).ravel()
+                except ValueError as err:
+                    if not HAVE_H5PY:
+                        raise NotImplementedError(
+                            f"{r['path']}: outside the native HDF5 subset "
+                            f"({err}); full decode needs h5py (not "
+                            "installed in this image)"
+                        ) from err
+                    with h5py.File(io.BytesIO(content), "r") as f:  # pragma: no cover
+                        flat = np.asarray(f[dataset][...], dtype="float64").ravel()
                 frames.append(
                     pd.DataFrame(
                         {
@@ -175,25 +185,27 @@ def write_netcdf(
 def write_hdf5(
     df: DataFrame, out_dir: str, group_col: str = "path"
 ) -> list:
-    """HDF5 sink (S14): one .h5 per group, one dataset per variable
-    (reference append sink, cropharvest_extensions.py:340-344).
-    Same manifest contract as write_netcdf/write_raster_tiles."""
-    if not HAVE_H5PY:
-        raise NotImplementedError(
-            "HDF5 sink requires h5py (not installed in this image)"
-        )
+    """HDF5 sink (S14): one .h5 per group, one contiguous dataset per
+    variable (reference append sink, cropharvest_extensions.py:340-344),
+    written with the pure-numpy codec (sources/hdf5lite.py — no
+    dependency). Same manifest contract as
+    write_netcdf/write_raster_tiles."""
     os.makedirs(out_dir, exist_ok=True)
 
-    def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
+    def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from model_presto_spark.sources.hdf5lite import encode_hdf5
+
         name = os.path.basename(str(key[0])) or "out"
         if not name.endswith((".h5", ".hdf5")):
             name += ".h5"
         target = os.path.join(out_dir, name)
         col = "variable" if "variable" in pdf.columns else "dataset"
-        with h5py.File(target, "w") as f:
-            for v, sub in pdf.groupby(col):
-                sub = sub.sort_values("index")
-                f.create_dataset(str(v), data=sub["value"].to_numpy())
+        data = {}
+        for v, sub in pdf.groupby(col):
+            sub = sub.sort_values("index")
+            data[str(v)] = sub["value"].to_numpy()
+        with open(target, "wb") as f:
+            f.write(encode_hdf5(data))
         return pd.DataFrame(
             {"group": [str(key[0])], "path": [target], "n_values": [len(pdf)]}
         )

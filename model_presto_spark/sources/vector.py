@@ -72,20 +72,34 @@ def bbox_contains(bbox: Column, lon: Column, lat: Column) -> Column:
     )
 
 
-def point_in_polygon(geometry_json: Column, lon: Column, lat: Column) -> Column:
-    """Exact even-odd point-in-polygon test against a GeoJSON Polygon
-    outer ring (J8 raster<->vector join), as pure array expressions.
+def geojson_outer_ring(geometry_json: Column) -> Column:
+    """Parse a GeoJSON Polygon's outer ring to array<array<double>>.
 
-    Ray-casting: count ring edges crossing the horizontal ray from
-    (lon, lat). aggregate over consecutive vertex pairs — JVM-side,
-    no shapely. Combine with ``bbox_contains`` as the cheap prefilter
-    so the exact test runs only on bbox-surviving pairs.
+    Parse ONCE on the (small) polygon side, before broadcast — never
+    inside a join condition, where it would re-run per row pair.
     """
     coords = F.from_json(
         F.get_json_object(geometry_json, "$.coordinates"),
         "array<array<array<double>>>",
     )
-    ring = F.element_at(coords, 1)
+    return F.element_at(coords, 1)
+
+
+def point_in_polygon(geometry_json: Column, lon: Column, lat: Column) -> Column:
+    """Exact even-odd point-in-polygon test against a GeoJSON Polygon
+    outer ring (J8 raster<->vector join), as pure array expressions.
+    Parses per call — prefer ``point_in_ring`` over a pre-parsed ring
+    column in join conditions."""
+    return point_in_ring(geojson_outer_ring(geometry_json), lon, lat)
+
+
+def point_in_ring(ring: Column, lon: Column, lat: Column) -> Column:
+    """Even-odd ray-cast against a pre-parsed ring (closed: last ==
+    first vertex). Counts ring edges crossing the horizontal ray from
+    (lon, lat) via aggregate over consecutive vertex pairs —
+    JVM-side, no shapely. Combine with ``bbox_contains`` as the cheap
+    prefilter so the exact test runs only on bbox-surviving pairs.
+    """
     n = F.size(ring)
     # edges i -> i+1 (ring is closed: last == first in GeoJSON)
     crossings = F.aggregate(
@@ -99,7 +113,16 @@ def point_in_polygon(geometry_json: Column, lon: Column, lat: Column) -> Column:
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
-    return F.pmod(crossings, F.lit(2)) == 1
+    odd = F.pmod(crossings, F.lit(2)) == 1
+    # lon/lat must ALSO appear outside the lambda body: Catalyst
+    # computes this conjunct's references from the top-level tree
+    # only, and when lon/lat are captured solely inside the HOF
+    # lambda a join using this predicate can mis-classify it as
+    # single-sided and push it to the polygon side (observed as an
+    # intermittent INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND under AQE
+    # re-optimization). The CASE WHEN is one non-splittable conjunct
+    # referencing both sides; for non-null inputs it is identical.
+    return F.when(lat.isNotNull() & lon.isNotNull(), odd).otherwise(F.lit(False))
 
 
 def _edge_crosses(p1: Column, p2: Column, lon: Column, lat: Column) -> Column:
@@ -126,16 +149,22 @@ def spatial_label_join(
     the exact ray-cast only on survivors. Points table stays fully
     distributed; no shuffle of the big side.
     """
+    # Parse rings/bboxes ONCE and materialize (localCheckpoint) the
+    # tiny polygon dim. This is both the scale plan (parsing must not
+    # re-run per point-polygon pair inside the join condition) and a
+    # correctness guard: letting the optimizer collapse this projection
+    # into the nested-loop join condition intermittently mis-binds the
+    # HOF lambda attributes (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND).
     polys = polygons.select(
-        F.col(geometry_col).alias("__geom"),
         F.col(label_col).alias(label_col),
+        geojson_outer_ring(F.col(geometry_col)).alias("__ring"),
         geojson_polygon_bbox(F.col(geometry_col)).alias("__bbox"),
-    )
+    ).localCheckpoint(eager=False)
     lon, lat = F.col(lon_col), F.col(lat_col)
     joined = points.join(
         F.broadcast(polys),
         bbox_contains(F.col("__bbox"), lon, lat)
-        & point_in_polygon(F.col("__geom"), lon, lat),
+        & point_in_ring(F.col("__ring"), lon, lat),
         "left",
     )
-    return joined.drop("__geom", "__bbox")
+    return joined.drop("__ring", "__bbox")

@@ -321,25 +321,24 @@ def test_blob_features(spark, media_df):
     assert out[1] != out[2]
 
 
-def test_scientific_gates_raise_cleanly(spark, tmp_path):
-    """h5py is absent in this image: the HDF5 entry points must raise
-    the gate error so callers can feature-detect. NetCDF is no longer
-    gated (native classic codec) — a NetCDF-4/HDF5-backed file must
-    produce a clear per-file error inside the scan instead."""
+def test_scientific_fallback_errors_are_clear(spark, tmp_path):
+    """NetCDF and HDF5 scans are natively decoded (netcdf3/hdf5lite
+    codecs); files OUTSIDE the native subsets must produce a clear
+    per-file error naming the missing fallback lib (xarray/h5py are
+    absent in this image), not a cryptic parse failure."""
     import pytest as _pytest
 
     from model_presto_spark.sources import scientific as S
 
-    assert not S.HAVE_H5PY
-    with _pytest.raises(NotImplementedError, match="h5py"):
-        S.read_hdf5(spark, "/tmp/none", "d")
-    dummy = spark.range(1).selectExpr(
-        "'p' AS path", "'v' AS variable", "id AS index", "1.0 AS value"
-    )
-    with _pytest.raises(NotImplementedError, match="h5py"):
-        S.write_hdf5(dummy, "/tmp/none")
     if not S.HAVE_XARRAY:
         nc4 = tmp_path / "fake.nc"
         nc4.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
         with _pytest.raises(Exception, match="xarray"):
             S.read_netcdf(spark, str(nc4), ["v"]).collect()
+    if not S.HAVE_H5PY:
+        # valid signature but unsupported superblock version -> must
+        # name h5py as the fallback
+        bad = tmp_path / "v2.h5"
+        bad.write_bytes(b"\x89HDF\r\n\x1a\n\x02" + b"\x00" * 64)
+        with _pytest.raises(Exception, match="h5py"):
+            S.read_hdf5(spark, str(bad), "d").collect()

@@ -53,14 +53,18 @@ def test_read_http_text_list_file_url(spark, tmp_path):
     assert out == ["img_001", "img_002", "img_003"]
 
 
-def test_scientific_scans_gated(spark):
-    # NetCDF classic is now decoded natively (sources/netcdf3.py);
-    # only the HDF5 path remains import-gated in this image.
-    from model_presto_spark.sources import scientific as sci
+def test_scientific_scans_native(spark, tmp_path):
+    # NetCDF classic and HDF5 (default subset) decode natively
+    # (sources/netcdf3.py, sources/hdf5lite.py) — no import gate left
+    # on the happy path.
+    import numpy as np
 
-    if not sci.HAVE_H5PY:
-        with pytest.raises(NotImplementedError):
-            sci.read_hdf5(spark, "/tmp/none", "d")
+    from model_presto_spark.sources import scientific as sci
+    from model_presto_spark.sources.hdf5lite import encode_hdf5
+
+    (tmp_path / "a.h5").write_bytes(encode_hdf5({"d": np.array([1.0, 2.0])}))
+    rows = sci.read_hdf5(spark, str(tmp_path), "d").collect()
+    assert sorted(r.value for r in rows) == [1.0, 2.0]
 
 
 def test_early_stopping():
