@@ -31,22 +31,31 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    jump_squarings: int = 2,
 ) -> DataFrame:
     """(src, dst) edge list -> (id, component) with component = min
     node id reachable. Nodes appearing only as isolated edges map to
     their own pair-minimum; nodes absent from ``pairs`` are absent
     from the output (callers left-join and coalesce to self).
+
+    ``jump_squarings`` controls how many times the label pointer is
+    squared *within one round's plan* (each squaring is one more
+    self-join of the materialized label table, and at least quarters
+    the remaining chain depth when >= 2). Higher values trade shuffle
+    volume per round for fewer rounds; 2 is the sweet spot when round
+    scheduling overhead dominates (small/medium graphs), 1 recovers
+    the classic one-jump iteration for very large label tables.
     """
-    edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
     )
     # undirected: keep both directions for neighborhood scans.
     # localCheckpoint materializes the edge list ONCE: every iteration
     # joins against ``sym``, and without this the full upstream
     # pair-generation lineage (e.g. the MinHash pipeline) re-executes
     # per round — the sf1.0 stress bench measured 50x slowdown.
+    # (single distinct AFTER the symmetric union covers both the
+    # duplicate-input and both-directions-present cases in one shuffle)
     sym = (
         edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -64,6 +73,18 @@ def connected_components(
         )
     )
 
+    # convergence probe: labels are min-so-far node ids, so each comp
+    # can only DECREASE round over round and the id set is invariant —
+    # sum(comp) strictly decreases iff any label changed. One cheap
+    # scalar aggregate over the just-checkpointed table replaces a
+    # join-based diff. decimal(38,0) so the sum can't overflow at any
+    # node count.
+    def _comp_sum(lab: DataFrame):
+        return lab.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = None
     for _ in range(max_iter):
         # propagate: every node's component <- min(component of self,
         # components of neighbors)
@@ -74,15 +95,21 @@ def connected_components(
             .join(lab_v, "v")
             .select(F.col("u").alias("id"), F.least("cu", "cv").alias("comp"))
         )
-        # pointer jump: comp(n) <- comp(comp(n)). Labels always point at
-        # a node present in ``labels`` (they are min-so-far node ids),
-        # so the inner join is total; each jump halves chain depth.
-        jump = labels.join(
-            labels.select(
-                F.col("id").alias("comp"), F.col("comp").alias("comp2")
-            ),
-            "comp",
-        ).select("id", F.col("comp2").alias("comp"))
+        # pointer jump with in-plan path doubling: comp <- comp(comp),
+        # squared ``jump_squarings`` times in ONE plan. Labels always
+        # point at a node present in ``labels`` (min-so-far node ids),
+        # so every inner join is total. Each squaring self-joins the
+        # previous jump plan, so one round follows 2^k pointer hops —
+        # the label table is localCheckpoint-materialized, so the
+        # 2^k-way join re-reads cached rows, not lineage.
+        jump = labels
+        for _ in range(max(1, jump_squarings)):
+            jump = jump.join(
+                jump.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("comp2")
+                ),
+                "comp",
+            ).select("id", F.col("comp2").alias("comp"))
         new_labels = (
             labels.unionByName(prop)
             .unionByName(jump)
@@ -90,16 +117,11 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)  # truncate iterative lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        cur_sum = _comp_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
