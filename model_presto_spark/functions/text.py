@@ -234,3 +234,63 @@ def fingerprint60(text: Column) -> Column:
     (lowercased, whitespace collapsed) — exact-dedup key."""
     norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
     return h60(norm)
+
+
+def word_ngrams_all(toks: Column, n: int = 2) -> Column:
+    """ALL word n-grams (space-joined), duplicates kept — the
+    multiset ``word_ngrams`` is the distinct set of. Repetition
+    signals need the multiset (same inlining caveat: pass a
+    materialized tokens column)."""
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def duplicate_ngram_fraction(grams: Column) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier
+    occurrence: ``1 - distinct/total`` over the n-gram multiset
+    (Gopher-style repetition signal; Rae et al. 2021 use the dual
+    "fraction of characters in duplicate n-grams"). 0 for empty
+    inputs. Pass a materialized ``word_ngrams_all`` column."""
+    total = F.size(grams).cast("double")
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_fraction(grams: Column) -> Column:
+    """Fraction of n-gram occurrences taken by the single most
+    frequent n-gram (Gopher-style: a document whose top 2-gram covers
+    >20% of all 2-grams is boilerplate/spam). Single-pass JVM
+    expression: sort the multiset, then one fold tracking
+    (previous gram, current run, best run) — no explode, no shuffle.
+    """
+    sorted_g = F.array_sort(grams)
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+    folded = F.aggregate(
+        sorted_g,
+        acc0,
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("bigint")
+                ),
+            ).alias("best"),
+        ),
+    )
+    total = F.size(grams).cast("double")
+    return F.when(total > 0, folded["best"].cast("double") / total).otherwise(
+        F.lit(0.0)
+    )

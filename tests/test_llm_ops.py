@@ -1,0 +1,124 @@
+"""Unit tests: contamination overlap and repetition-quality signals."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat", "corpus"),
+        (2, "a completely different sentence here today", "corpus"),
+        (3, "the cat sat on a hat", "bench"),
+        (4, "spam spam spam spam spam ham", "corpus"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, src string")
+
+
+def test_ngram_contamination_counts(docs):
+    from model_presto_spark.operators.contamination import ngram_contamination
+
+    out = ngram_contamination(
+        docs.filter(F.col("src") == "corpus"),
+        docs.filter(F.col("src") == "bench"),
+        n=3,
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    # doc 1 shares exactly "the cat sat" and "cat sat on" with doc 3
+    assert by_id[1].n_overlap == 2
+    assert by_id[1].n_grams == 4
+    assert by_id[1].contamination == pytest.approx(0.5)
+    # docs 2 and 4 share no 3-gram with the benchmark
+    assert 2 not in by_id and 4 not in by_id
+
+
+def test_contamination_broadcast_plan(docs):
+    """The benchmark side must broadcast: the corpus is never
+    shuffled by gram (the 100 TB-safe shape)."""
+    from model_presto_spark.operators.contamination import ngram_contamination
+
+    out = ngram_contamination(
+        docs.filter(F.col("src") == "corpus"),
+        docs.filter(F.col("src") == "bench"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_signals(spark):
+    from model_presto_spark.functions.text import (
+        duplicate_ngram_fraction,
+        tokens,
+        top_ngram_fraction,
+        word_ngrams_all,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # 2-grams: ab ba ab ba ab -> top "a b" 3/5
+            (2, "x y z w"),  # all distinct
+            (3, "q"),  # single token -> one degenerate gram
+            (4, ""),  # empty
+        ],
+        "doc_id bigint, text string",
+    )
+    # materialize tokens first (inlining caveat): two selects
+    toks = df.select("doc_id", tokens(F.col("text")).alias("t"))
+    g = toks.select("doc_id", word_ngrams_all(F.col("t"), 2).alias("g"))
+    out = {
+        r.doc_id: r
+        for r in g.select(
+            "doc_id",
+            duplicate_ngram_fraction(F.col("g")).alias("dup"),
+            top_ngram_fraction(F.col("g")).alias("top"),
+        ).collect()
+    }
+    assert out[1].dup == pytest.approx(1 - 2 / 5)
+    assert out[1].top == pytest.approx(3 / 5)
+    assert out[2].dup == pytest.approx(0.0)
+    assert out[2].top == pytest.approx(1 / 3)
+    assert out[3].dup == pytest.approx(0.0)
+    assert out[3].top == pytest.approx(1.0)
+    # empty text: single '' gram, defined and finite
+    assert out[4].dup == pytest.approx(0.0)
+    assert out[4].top == pytest.approx(1.0)
+
+
+def test_top_ngram_fraction_matches_exploded_definition(spark):
+    """Property: the single-pass fold equals the explode+group+max
+    definition on random word-soup docs."""
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 30))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    from model_presto_spark.functions.text import (
+        tokens,
+        top_ngram_fraction,
+        word_ngrams_all,
+    )
+
+    toks = df.select("doc_id", tokens(F.col("text")).alias("t"))
+    g = toks.select("doc_id", word_ngrams_all(F.col("t"), 2).alias("g"))
+    fold = {
+        r.doc_id: r.top
+        for r in g.select(
+            "doc_id", top_ngram_fraction(F.col("g")).alias("top")
+        ).collect()
+    }
+    exploded = (
+        g.select("doc_id", F.size("g").alias("n"), F.explode("g").alias("gram"))
+        .groupBy("doc_id", "n", "gram")
+        .count()
+        .groupBy("doc_id", "n")
+        .agg(F.max("count").alias("top_c"))
+        .collect()
+    )
+    for r in exploded:
+        assert fold[r.doc_id] == pytest.approx(r.top_c / r.n)
