@@ -59,6 +59,10 @@ def make_weights(
         "w_ff": w(d, out),
         "b_ff": np.zeros(out, dtype=np.float32),
         "pos": _month_encoding(d),
+        # decoder head (M2): token representation -> per-band
+        # reconstruction (reference Decoder, presto.py:424-560)
+        "w_dec": w(out, n_bands),
+        "b_dec": np.zeros(n_bands, dtype=np.float32),
     }
 
 
@@ -81,6 +85,7 @@ def _softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
 def encode_batch(
     x: np.ndarray, start_month: np.ndarray, wt: dict[str, np.ndarray],
     mask: np.ndarray | None = None,
+    return_tokens: bool = False,
 ) -> np.ndarray:
     """Forward pass: (B, T, bands) + (B,) start months -> (B, out).
 
@@ -88,6 +93,8 @@ def encode_batch(
     (the reference mean-pools encoder tokens over *unmasked*
     positions, presto.py:415-421). ``mask`` is (B, T) bool, True =
     token masked out of attention and pooling.
+    ``return_tokens=True`` skips pooling and returns the (B, T, out)
+    token representations (the decoder input for M2).
     """
     b, t, _ = x.shape
     h = x.astype(np.float32) @ wt["w_in"] + wt["b_in"]  # (B,T,d)
@@ -99,11 +106,39 @@ def encode_batch(
         scores = np.where(mask[:, None, :], -1e9, scores)
     h = h + _softmax(scores) @ v @ wt["w_o"]
     h = np.maximum(h @ wt["w_ff"] + wt["b_ff"], 0.0)  # (B,T,out)
+    if return_tokens:
+        return h.astype(np.float32)
     if mask is not None:
         keep = (~mask)[:, :, None].astype(np.float32)
         denom = np.maximum(keep.sum(axis=1), 1.0)
         return ((h * keep).sum(axis=1) / denom).astype(np.float32)
     return h.mean(axis=1).astype(np.float32)
+
+
+def reconstruct_batch(
+    x: np.ndarray,
+    start_month: np.ndarray,
+    wt: dict[str, np.ndarray],
+    mask: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """MAE reconstruction (M2): encode with masked tokens hidden from
+    attention, decode every token back to band space, and score the
+    reconstruction ONLY on masked positions (the masked-autoencoder
+    objective; reference Decoder presto.py:424-560, loss on masked
+    tokens in train.py).
+
+    Returns ``(recon, mse)``: the (B, T, bands) reconstruction and
+    the per-row mean squared error over masked (timestep, band)
+    cells (0.0 for rows with nothing masked).
+    """
+    tokens = encode_batch(x, start_month, wt, mask=mask, return_tokens=True)
+    recon = tokens @ wt["w_dec"] + wt["b_dec"]  # (B,T,bands)
+    m = mask[:, :, None].astype(np.float32)  # score masked cells only
+    sq = (recon - x.astype(np.float32)) ** 2 * m
+    mse = sq.sum(axis=(1, 2)) / np.maximum(
+        mask.sum(axis=1).astype(np.float32) * x.shape[2], 1.0
+    )
+    return recon.astype(np.float32), mse.astype(np.float32)
 
 
 def add_embeddings(
@@ -142,3 +177,47 @@ def add_embeddings(
             yield pd.Series(list(out))
 
     return df.withColumn(out_col, _encode(F.col(ts_col), F.col(month_col)))
+
+
+def add_reconstruction_error(
+    df: DataFrame,
+    ts_col: str,
+    month_col: str,
+    mask_col: str,
+    weights: dict[str, np.ndarray] | None = None,
+    out_col: str = "recon_mse",
+) -> DataFrame:
+    """Append the masked-autoencoder reconstruction error (M2): mask
+    -> encode (masked tokens hidden) -> decode -> MSE on masked cells
+    only, as a broadcast-weights Arrow-batched pandas UDF — the same
+    engine plumbing as ``add_embeddings`` (J11/X6), decoder included.
+
+    ``mask_col`` is an ``array<boolean>`` timestep mask (True =
+    masked), e.g. from ml/masking.py strategies.
+    """
+    from pyspark.sql.types import FloatType as _FloatType
+
+    spark = df.sparkSession
+    wt = weights if weights is not None else make_weights()
+    bc = spark.sparkContext.broadcast(wt)
+
+    @F.pandas_udf(_FloatType())
+    def _recon(
+        it: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        w = bc.value
+        for ts, months, masks in it:
+            x = np.stack(
+                [
+                    np.stack([np.asarray(b, dtype=np.float32) for b in row])
+                    for row in ts
+                ]
+            )
+            m = months.to_numpy(dtype=np.int64)
+            mk = np.stack([np.asarray(r, dtype=bool) for r in masks])
+            _, mse = reconstruct_batch(x, m, w, mk)
+            yield pd.Series(mse)
+
+    return df.withColumn(
+        out_col, _recon(F.col(ts_col), F.col(month_col), F.col(mask_col))
+    )
