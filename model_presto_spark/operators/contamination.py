@@ -45,16 +45,22 @@ def ngram_contamination(
         F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks")
     ).select("__id", word_ngrams(F.col("__toks"), n).alias("__grams"))
 
+    # explode_outer, NOT explode: Catalyst's InferFiltersFromGenerate
+    # adds a size(...)>0 pre-filter under a plain explode that
+    # re-evaluates the whole tokenize->ngram expression tree per row
+    # (with the tokens sub-expression inlined PER GRAM inside the
+    # lambda — O(len^2); measured 5x on q60). The gram arrays here are
+    # never empty (word_ngrams pads to >=1), so outer is identical.
     bench_gram_set = (
         benchmark.select(tokens(F.col(text_col)).alias("__toks"))
-        .select(F.explode(word_ngrams(F.col("__toks"), n)).alias("gram"))
+        .select(F.explode_outer(word_ngrams(F.col("__toks"), n)).alias("gram"))
         .distinct()
     )
 
     exploded = corpus_grams.select(
         "__id",
         F.size("__grams").alias("__n_grams"),
-        F.explode("__grams").alias("gram"),
+        F.explode_outer("__grams").alias("gram"),
     )
     hits = exploded.join(F.broadcast(bench_gram_set), "gram")
     return (

@@ -111,7 +111,9 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         w.filter(F.size("ids") > 1)
         .select(
-            F.explode(
+            # outer: avoid the inferred size>0 filter recomputing the
+            # chain-edge transform; size>1 guarantees non-empty
+            F.explode_outer(
                 F.transform(
                     F.slice(F.col("ids"), 1, F.size("ids") - 1),
                     lambda x, i: F.struct(
