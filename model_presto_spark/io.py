@@ -105,3 +105,21 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register each table as a temp view for spark.sql() access."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("year", "month"),
+    mode: str = "overwrite",
+) -> None:
+    """Hive-layout partitioned parquet dataset (SURVEY §7 item 8: the
+    reference's dated-artifact layout, e.g. tile/year/month dirs in
+    presto-tolbi ..._monthly.py:722-733).
+
+    The payoff at 100 TB is partition PRUNING: any read that filters
+    on a partition column scans only matching directories — the scan
+    plan shows the predicate under PartitionFilters and never opens
+    the other files (verified by tests/test_partition_pruning.py).
+    """
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
