@@ -46,14 +46,19 @@ def connected_components(
     scheduling overhead dominates (small/medium graphs), 1 recovers
     the classic one-jump iteration for very large label tables.
     """
-    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
-        F.col("u") != F.col("v")
+    # Materialize the directed edge list BEFORE symmetrizing: the
+    # union below references ``edges`` twice, and Spark has no
+    # cross-branch CSE — an un-materialized edge plan would run the
+    # full upstream pair-generation lineage (e.g. the MinHash
+    # pipeline) twice inside the next checkpoint, and again on every
+    # later reference (the sf1.0 stress bench measured 121s -> 3s for
+    # the CC stage from this pair of checkpoints).
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=True)
     )
     # undirected: keep both directions for neighborhood scans.
-    # localCheckpoint materializes the edge list ONCE: every iteration
-    # joins against ``sym``, and without this the full upstream
-    # pair-generation lineage (e.g. the MinHash pipeline) re-executes
-    # per round — the sf1.0 stress bench measured 50x slowdown.
     # (single distinct AFTER the symmetric union covers both the
     # duplicate-input and both-directions-present cases in one shuffle)
     sym = (

@@ -118,15 +118,25 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     timings: dict[str, float] = {}
 
+    # Each op's timing covers its own pipeline + materialization and
+    # nothing else: mh is checkpointed inside its block (so the CC
+    # stage below measures the clustering machinery, not a MinHash
+    # re-derivation), and the internal MEMORY_AND_DISK persists of one
+    # op are dropped before the next so ops don't fight for executor
+    # memory across measurements.
     t0 = time.time()
-    mh = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    mh = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).localCheckpoint(
+        eager=True
+    )
     n_mh = mh.count()
     timings["minhash_lsh"] = time.time() - t0
+    spark.catalog.clearCache()
 
     t0 = time.time()
     ng = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
     n_ng = ng.count()
     timings["ngram_jaccard"] = time.time() - t0
+    spark.catalog.clearCache()
 
     t0 = time.time()
     probes = emb.limit(500).select(
@@ -136,6 +146,7 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     ann = ann_lsh_join(probes, cands, "probe_id", "cand_id", k=5, dim=64, planes=10)
     n_ann = ann.count()
     timings["ann_lsh"] = time.time() - t0
+    spark.catalog.clearCache()
 
     t0 = time.time()
     clustered = dedup_clusters(docs.select("doc_id"), mh, "doc_id")
