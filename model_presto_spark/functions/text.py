@@ -38,6 +38,17 @@ def h60(s: Column, seed: int | Column | None = None) -> Column:
     return F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 15), 16, 10).cast("bigint")
 
 
+def h60_fast(s: Column) -> Column:
+    """60-bit hash via native ``xxhash64`` — one codegen'd JVM call
+    per element vs md5's hash + hex-substring + base-conv chain
+    (~3-5x less CPU over a 100 TB shingle stream). NOT cross-engine
+    reproducible: use ``h60`` wherever a DuckDB oracle must replay
+    the exact hashes. Masked to 60 bits so downstream modular
+    arithmetic (minhash seeds, simhash bit folds) sees the same
+    non-negative range as h60."""
+    return F.xxhash64(s).bitwiseAND(F.lit((1 << 60) - 1))
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (lowercased), empty tokens removed."""
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
@@ -78,10 +89,13 @@ def word_ngrams(toks: Column, n: int = 3) -> Column:
 HASH_P = 2_147_483_647
 
 
-def hash_array(strings: Column) -> Column:
-    """One 60-bit md5 hash per array element — the single expensive
-    hashing pass; everything downstream derives from these integers."""
-    return F.transform(strings, lambda s: h60(s))
+def hash_array(strings: Column, fast: bool = False) -> Column:
+    """One 60-bit hash per array element — the single expensive
+    hashing pass; everything downstream derives from these integers.
+    ``fast=True`` swaps md5 for native xxhash64 (see ``h60_fast``):
+    same downstream algebra, no oracle reproducibility."""
+    fn = h60_fast if fast else h60
+    return F.transform(strings, lambda s: fn(s))
 
 
 def minhash_signature(hashes: Column, num_hashes: int = 16) -> Column:

@@ -55,6 +55,22 @@ def _pairs_within(ids_col: str) -> F.Column:
     )
 
 
+def _chain_pairs(ids_col: str) -> F.Column:
+    """Consecutive (id_a < id_b) pairs from a sorted id array — O(d)
+    edges that connect the same membership a full O(d²) pair set
+    would, relying on transitive closure (operators/graph.py) for the
+    cluster. The mega-bucket guard: a bucket of thousands of ids
+    means thousands of near-identical documents, where enumerating
+    every pair is pure waste."""
+    ids = F.col(ids_col)
+    return F.transform(
+        F.slice(ids, 1, F.size(ids) - 1),
+        lambda a, i: F.struct(
+            a.alias("id_a"), F.element_at(ids, i + 2).alias("id_b")
+        ),
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep the min-id representative per normalized-text fingerprint.
 
@@ -77,6 +93,8 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     reuse: bool = True,
+    fast_hash: bool = False,
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash LSH, verified with
     exact Jaccard over shingle sets.
@@ -84,7 +102,23 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b and
     jaccard_sim >= threshold. Only bucket-collision candidates are
     verified — the exact-Jaccard step touches a tiny fraction of the
-    pair space.
+    pair space. ``fast_hash=True`` swaps the md5 shingle hash for
+    native xxhash64 (~3-5x less CPU on the dominant hashing pass —
+    the production setting at corpus scale); the md5 default is for
+    cross-engine oracle reproducibility. Pair sets can differ
+    marginally between the two (different hash -> different minhash
+    candidate sampling), but both are verified by exact Jaccard over
+    the same shingle-hash space, so precision is unaffected.
+
+    ``max_bucket_size`` caps in-bucket pair enumeration: a bucket of
+    d ids normally yields C(d,2) candidates, so one mega-bucket (d in
+    the thousands — i.e. thousands of near-identical docs sharing a
+    band signature) turns the candidate stage into an O(d²) hot task.
+    Buckets above the cap emit the d-1 consecutive-id chain pairs
+    instead; the transitive closure (graph.dedup_clusters) recovers
+    the full cluster from the chain. Direct pair RECALL within a
+    mega-bucket is intentionally partial — the pairs contract is
+    preserved exactly for every bucket under the cap.
     """
     rows_per_band = num_hashes // bands
     # Spread rows first: shingling + hashing are CPU-bound and must
@@ -102,7 +136,7 @@ def minhash_lsh_pairs(
     # md5-derived hash, so intersection counts agree).
     sh = low.select(
         "id",
-        hash_array(char_shingles(F.col("lc"), shingle_k)).alias("hs"),
+        hash_array(char_shingles(F.col("lc"), shingle_k), fast=fast_hash).alias("hs"),
     )
     if reuse:
         # The hash-set table feeds three DAG branches (signature +
@@ -138,8 +172,11 @@ def minhash_lsh_pairs(
     # explode_outer: skip the inferred size>0 filter that would build
     # the O(d^2) pair array twice (buckets are filtered size>1, so
     # the pair array is never empty).
+    pair_arr = F.when(
+        F.size("ids") <= max_bucket_size, _pairs_within("ids")
+    ).otherwise(_chain_pairs("ids"))
     cand = (
-        buckets.select(F.explode_outer(_pairs_within("ids")).alias("pr"))
+        buckets.select(F.explode_outer(pair_arr).alias("pr"))
         .select(F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -179,6 +216,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.3,
     max_doc_freq: int = 1000,
     reuse: bool = True,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via an inverted-index join.
 
@@ -196,7 +234,9 @@ def ngram_jaccard_pairs(
     )
     grams = toksed.select(
         "id",
-        F.array_distinct(hash_array(word_ngrams(F.col("toks"), n))).alias("grams"),
+        F.array_distinct(
+            hash_array(word_ngrams(F.col("toks"), n), fast=fast_hash)
+        ).alias("grams"),
     )
     if reuse:
         # Feeds the posting explode plus two size-lookup joins; see

@@ -122,3 +122,67 @@ def test_top_ngram_fraction_matches_exploded_definition(spark):
     )
     for r in exploded:
         assert fold[r.doc_id] == pytest.approx(r.top_c / r.n)
+
+
+def test_minhash_mega_bucket_guard(spark):
+    """Buckets above max_bucket_size emit chain pairs (O(d)) instead
+    of all C(d,2) pairs, and transitive clustering still recovers the
+    full duplicate cluster."""
+    from model_presto_spark.operators.dedup import minhash_lsh_pairs
+    from model_presto_spark.operators.graph import dedup_clusters
+
+    # 30 identical docs (one giant bucket) + 2 unrelated docs
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(30)]
+    rows += [(100, "completely unrelated text body one"),
+             (101, "another different document entirely two")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    full = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.9, max_bucket_size=2000
+    )
+    capped = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.9, max_bucket_size=10
+    )
+    n_full, n_capped = full.count(), capped.count()
+    assert n_full == 30 * 29 // 2
+    # chain emits d-1 edges per mega bucket (4 bands -> same chain)
+    assert n_capped < n_full
+    assert n_capped >= 29
+
+    # transitive closure recovers the identical cluster either way
+    cl = dedup_clusters(docs.select("doc_id"), capped, "doc_id")
+    sizes = {r.cluster: r.n for r in cl.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes[0] == 30  # min-id representative of the 30 dups
+    assert sizes[100] == 1 and sizes[101] == 1
+
+
+def test_minhash_fast_hash_finds_planted_dups(spark):
+    """fast_hash=True (xxhash64) finds the same planted near-dups as
+    the md5 oracle path on a corpus with clear duplicates."""
+    from model_presto_spark.operators.dedup import minhash_lsh_pairs
+
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(400)]
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (i, " ".join(rng.sample(vocab, 12))) for i in range(20)
+    ]  # genuinely distinct fillers
+    rows += [(50, base), (51, base), (52, base + " extra")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def pairset(fast):
+        return {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                docs, "doc_id", "text", threshold=0.6, fast_hash=fast
+            ).collect()
+        }
+
+    slow, fast = pairset(False), pairset(True)
+    # both hash choices find exactly the planted cluster: the verify
+    # stage (exact Jaccard) makes the final pair set hash-agnostic
+    # when candidates are clear-cut
+    assert slow == fast == {(50, 51), (50, 52), (51, 52)}
