@@ -193,15 +193,19 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, fast_hash: bool = False
+) -> DataFrame:
     """Per-document 60-bit SimHash over whitespace tokens.
 
-    Two projections: tokens are hashed once (md5), then the 60 bit
+    Two projections: tokens are hashed once (md5, or xxhash64 with
+    ``fast_hash=True`` — see minhash_lsh_pairs), then the 60 bit
     votes are pure shift/mask arithmetic over the integer array.
     (Separate select so Catalyst doesn't inline the md5 pass 60x.)
     """
     hashed = spread(df).select(
-        F.col(id_col), hash_array(tokens(F.col(text_col))).alias("hashes")
+        F.col(id_col),
+        hash_array(tokens(F.col(text_col)), fast=fast_hash).alias("hashes"),
     )
     return hashed.select(
         F.col(id_col), simhash60_from_hashes("hashes").alias("simhash")
