@@ -138,6 +138,23 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timings["ngram_jaccard"] = time.time() - t0
     spark.catalog.clearCache()
 
+    # Production fast-hash path (xxhash64 instead of the md5 the
+    # DuckDB oracles need): same operators, recorded separately so
+    # the md5-vs-native cost is visible in the stress record.
+    t0 = time.time()
+    minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.8, fast_hash=True
+    ).count()
+    timings["minhash_lsh_fast"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.8, fast_hash=True
+    ).count()
+    timings["ngram_jaccard_fast"] = time.time() - t0
+    spark.catalog.clearCache()
+
     t0 = time.time()
     probes = emb.limit(500).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("vec")
@@ -181,7 +198,14 @@ def main() -> int:
     (small_tag, big_tag) = (sizes[0][2], sizes[1][2])
     ratio_n = sizes[1][0] / sizes[0][0]
     exponents = {}
-    for op in ("minhash_lsh", "ngram_jaccard", "ann_lsh", "cc_clusters"):
+    for op in (
+        "minhash_lsh",
+        "ngram_jaccard",
+        "minhash_lsh_fast",
+        "ngram_jaccard_fast",
+        "ann_lsh",
+        "cc_clusters",
+    ):
         r = results[big_tag][op] / max(results[small_tag][op], 1e-9)
         exponents[op] = round(math.log(r) / math.log(ratio_n), 3)
     summary = {
