@@ -4,12 +4,12 @@ pipeline surface for a 100 TB multimodal corpus).
 Data model: media rows are ``(media_id, kind, blob binary,
 meta struct)`` — the blob is never interpreted relationally; decode /
 feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages. The codec bodies (PIL / libsndfile / ffmpeg)
-are NOT in this container, so each is gated behind an import-try
-with a deterministic fake derived from the blob digest — the Spark
-plumbing (schema, batch shape, partitioning, UDF signatures) is
-fully real and tested; swap the marked decode body in a
-codec-enabled image.
+``mapInPandas`` stages. Image decode is REAL for TIFF (the
+dependency-free codec in sources/tiff.py) and binary PPM/PGM (pure
+numpy below); other formats (JPEG/PNG) fall back to PIL when
+installed, else a clearly-marked digest-seeded fake — the Spark
+plumbing (schema, batch shape, partitioning, UDF signatures) is the
+same on every path.
 
 The reference's raster decode pipeline (S3,
 presto-tolbi/presto/dataops/pipelines/ee_pipeline.py:34-54) is the
@@ -43,17 +43,54 @@ except ImportError:
 
 def _fake_pixels(blob: bytes, h: int, w: int, c: int) -> np.ndarray:
     """Deterministic stand-in decode: digest-seeded uniform pixels.
-    Replace with PIL/ffmpeg decode in a codec-enabled image."""
+    Last-resort path for formats with no native or PIL codec."""
     seed = int.from_bytes(hashlib.md5(blob).digest()[:8], "big") % (2**31)
     return np.random.default_rng(seed).uniform(0, 255, size=(h, w, c))
+
+
+def _decode_ppm(blob: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) decode — pure numpy, real."""
+    parts = blob.split(maxsplit=4)
+    magic, w, h, maxval = parts[0], int(parts[1]), int(parts[2]), int(parts[3])
+    c = 3 if magic == b"P6" else 1
+    # pixel data starts one whitespace byte after maxval
+    header_len = blob.index(parts[3]) + len(parts[3]) + 1
+    dt = np.uint8 if maxval < 256 else np.dtype(">u2")
+    arr = np.frombuffer(blob, dtype=dt, offset=header_len, count=h * w * c)
+    return arr.reshape(h, w, c).astype(np.float64)
+
+
+def decode_pixels(blob: bytes, h: int, w: int, c: int) -> np.ndarray:
+    """Decode an image blob to (H, W, C) float pixels.
+
+    REAL decode for TIFF (sources/tiff.py codec) and binary PPM/PGM;
+    PIL fallback for other formats when installed; digest-seeded fake
+    as the marked last resort (same shape/dtype contract on every
+    path, so downstream stages are codec-agnostic).
+    """
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        from model_presto_spark.sources.tiff import decode_tiff
+
+        arr, _geo = decode_tiff(blob)  # (bands, H, W)
+        return np.ascontiguousarray(
+            np.asarray(arr, dtype=np.float64).transpose(1, 2, 0)
+        )
+    if blob[:2] in (b"P6", b"P5"):
+        return _decode_ppm(blob)
+    if HAVE_PIL:  # pragma: no cover - PIL absent in this container
+        import io
+
+        arr = np.asarray(Image.open(io.BytesIO(blob)))
+        return arr.reshape(arr.shape[0], arr.shape[1], -1).astype(np.float64)
+    return _fake_pixels(blob, h, w, c)
 
 
 def decode_image_stats(df: DataFrame) -> DataFrame:
     """blob -> per-image channel means/stds.
 
     Output: (media_id, width, height, channel_mean array, channel_std
-    array). Real decode via PIL when present; deterministic fake
-    otherwise (clearly marked).
+    array). Real decode for TIFF/PPM/PGM (native codecs), PIL for
+    other formats when present, marked fake as last resort.
     """
 
     def go(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -62,13 +99,8 @@ def decode_image_stats(df: DataFrame) -> DataFrame:
             for _, r in pdf.iterrows():
                 m = r["meta"]
                 h, w, c = int(m["height"]), int(m["width"]), int(m["channels"])
-                if HAVE_PIL:  # pragma: no cover
-                    import io
-
-                    arr = np.asarray(Image.open(io.BytesIO(bytes(r["blob"]))))
-                    arr = arr.reshape(arr.shape[0], arr.shape[1], -1)
-                else:
-                    arr = _fake_pixels(bytes(r["blob"]), h, w, c)
+                arr = decode_pixels(bytes(r["blob"]), h, w, c)
+                h, w = arr.shape[0], arr.shape[1]  # trust the decoded shape
                 out.append(
                     {
                         "media_id": int(r["media_id"]),
@@ -92,8 +124,8 @@ def decode_image_stats(df: DataFrame) -> DataFrame:
 
 def resize_images(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
     """blob -> resized pixel tensor rows (media_id, pixels flat
-    array, shape). Nearest-neighbor on the decoded array — the
-    resize math is real; only the codec is faked without PIL."""
+    array, shape). Nearest-neighbor on the decoded array; decode is
+    real for TIFF/PPM/PGM (see ``decode_pixels``)."""
 
     def go(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -101,7 +133,8 @@ def resize_images(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
             for _, r in pdf.iterrows():
                 m = r["meta"]
                 h, w, c = int(m["height"]), int(m["width"]), int(m["channels"])
-                arr = _fake_pixels(bytes(r["blob"]), h, w, c)
+                arr = decode_pixels(bytes(r["blob"]), h, w, c)
+                h, w, c = arr.shape
                 ri = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 ci = (np.arange(out_w) * w // out_w).clip(0, w - 1)
                 res = arr[np.ix_(ri, ci)]

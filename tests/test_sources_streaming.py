@@ -342,3 +342,44 @@ def test_scientific_fallback_errors_are_clear(spark, tmp_path):
         bad.write_bytes(b"\x89HDF\r\n\x1a\n\x02" + b"\x00" * 64)
         with _pytest.raises(Exception, match="h5py"):
             S.read_hdf5(spark, str(bad), "d").collect()
+
+
+def test_multimodal_real_decode_tiff_and_ppm(spark):
+    """decode_image_stats / resize_images decode REAL pixels for TIFF
+    (native codec) and binary PPM — not the digest fake."""
+    import numpy as np
+
+    from model_presto_spark.multimodal.blobs import (
+        decode_image_stats,
+        resize_images,
+    )
+    from model_presto_spark.sources.tiff import encode_tiff
+
+    # 2x3 RGB: channel means 10/20/30
+    arr = np.zeros((3, 2, 3), dtype=np.uint8)
+    arr[0], arr[1], arr[2] = 10, 20, 30
+    tif_blob = encode_tiff(arr)
+    ppm_blob = (
+        b"P6\n3 2\n255\n"
+        + bytes([10, 20, 30] * 6)  # every pixel (10,20,30)
+    )
+    rows = [
+        (1, "image", bytearray(tif_blob), (2, 3, 3, None, None, "tiff")),
+        (2, "image", bytearray(ppm_blob), (2, 3, 3, None, None, "ppm")),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id bigint, kind string, blob binary, "
+        "meta struct<width:int, height:int, channels:int, "
+        "sample_rate:int, duration_ms:int, codec:string>",
+    )
+    stats = {r.media_id: r for r in decode_image_stats(df).collect()}
+    assert stats[1].channel_mean == [10.0, 20.0, 30.0]
+    assert stats[2].channel_mean == [10.0, 20.0, 30.0]
+    assert stats[1].width == 3 and stats[1].height == 2
+
+    res = {r.media_id: r for r in resize_images(df, 4, 4).collect()}
+    px = np.array(res[1].pixels).reshape(4, 4, 3)
+    assert (px[..., 0] == 10).all() and (px[..., 2] == 30).all()
+    px2 = np.array(res[2].pixels).reshape(4, 4, 3)
+    assert (px2[..., 1] == 20).all()
