@@ -128,3 +128,56 @@ def test_embedding_dup_pairs_lsh_route_finds_planted_dup(spark):
     # and the routed plan is a bucket equi-join, not a cross join
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
+
+
+def test_ivf_index_lifecycle(spark, tmp_path):
+    """Build-once/probe-many IVF index: persisted cell-partitioned
+    layout, dynamic partition pruning on search, recall vs exact."""
+    from model_presto_spark.operators.knn import (
+        build_ivf_index,
+        ivf_index_search,
+        knn_join,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for c in range(8):
+        center = rng.uniform(-10, 10, 16)
+        for i in range(50):
+            rows.append(
+                Row(
+                    vec_id=c * 100 + i,
+                    vec=[float(x) for x in center + rng.normal(0, 0.4, 16)],
+                )
+            )
+    emb = spark.createDataFrame(rows)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, "vec_id", path, cand_vec="vec", n_lists=8)
+
+    import os
+
+    cells = os.listdir(f"{path}/cells")
+    assert sum(d.startswith("cell=") for d in cells) == 8
+
+    probes = emb.limit(25).select(
+        F.col("vec_id").alias("probe_id"), F.col("vec")
+    )
+    got = ivf_index_search(
+        spark, path, probes, "probe_id", probe_vec="vec",
+        k=5, n_probe=3, exclude_self=True,
+    )
+    # dynamic partition pruning: the cells scan must carry a runtime
+    # pruning expression on the partition column
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+    exact = knn_join(
+        probes,
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("vec")),
+        "probe_id", "cand_id", probe_vec="vec", cand_vec="vec",
+        k=5, exclude_self=True,
+    )
+    g = {(r.probe_id, r.cid) for r in got.collect()}
+    e = {(r.probe_id, r.cand_id) for r in exact.collect()}
+    recall = len(g & e) / len(e)
+    assert recall > 0.9
