@@ -44,3 +44,20 @@ def sq_euclidean(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def sq_euclidean_int(a: Column, b: Column) -> Column:
+    """Squared euclidean over integer-quantized vectors (integer math
+    in the fold; one cast at the end). Elements widen to int before
+    the difference — tinyint-tinyint can reach ±254 and would throw
+    under ANSI arithmetic."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("int") - y.cast("int"))
+            * (x.cast("int") - y.cast("int")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ).cast("double")

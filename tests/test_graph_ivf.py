@@ -181,3 +181,37 @@ def test_ivf_index_lifecycle(spark, tmp_path):
     e = {(r.probe_id, r.cand_id) for r in exact.collect()}
     recall = len(g & e) / len(e)
     assert recall > 0.9
+
+
+def test_quantized_knn_recall(spark):
+    """int8 scalar quantization preserves neighbor ranking: recall
+    >0.9 vs float kNN, and the quantized column is tinyint (1/8th
+    the shuffle bytes)."""
+    from model_presto_spark.operators.knn import (
+        knn_join,
+        quantize_vectors,
+        quantized_knn_join,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        Row(vid=i, vec=[float(x) for x in rng.uniform(-3, 3, 12)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows)
+    qdf, scale = quantize_vectors(df, "vec")
+    assert dict(qdf.dtypes)["qvec"] == "array<tinyint>"
+    assert 0 < scale < 3 / 127 * 1.5
+
+    probes = df.limit(20).select(F.col("vid").alias("pid"), "vec")
+    exact = knn_join(
+        probes, df.select(F.col("vid").alias("cid"), "vec"),
+        "pid", "cid", "vec", "vec", k=5, exclude_self=True,
+    )
+    quant = quantized_knn_join(
+        probes, df.select(F.col("vid").alias("cid"), "vec"),
+        "pid", "cid", "vec", "vec", k=5, exclude_self=True,
+    )
+    e = {(r.pid, r.cid) for r in exact.collect()}
+    q = {(r.pid, r.cid) for r in quant.collect()}
+    assert len(q & e) / len(e) > 0.9
