@@ -1,5 +1,6 @@
 from model_presto_spark.operators.asof import asof_join
 from model_presto_spark.operators.bucketing import bucketed_join, write_bucketed
+from model_presto_spark.operators.contamination import ngram_contamination
 from model_presto_spark.operators.dedup import (
     embedding_dup_pairs,
     exact_dedup,
@@ -20,9 +21,13 @@ from model_presto_spark.operators.graph import (
 )
 from model_presto_spark.operators.knn import (
     ann_lsh_join,
+    build_ivf_index,
+    ivf_index_search,
     ivf_knn_join,
     knn_classify,
     knn_join,
+    quantize_vectors,
+    quantized_knn_join,
 )
 from model_presto_spark.operators.skew import salted_count, salted_join
 from model_presto_spark.operators.splits import (
@@ -45,6 +50,11 @@ from model_presto_spark.operators.timeseries import (
 __all__ = [
     "ann_lsh_join",
     "asof_join",
+    "build_ivf_index",
+    "ivf_index_search",
+    "ngram_contamination",
+    "quantize_vectors",
+    "quantized_knn_join",
     "connected_components",
     "dedup_clusters",
     "ivf_knn_join",
