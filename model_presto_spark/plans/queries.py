@@ -1057,14 +1057,16 @@ from model_presto_spark.plans import queries_sql2 as _queries_sql2  # noqa: E402
 #   q23_knn            -> O7 also via q40/q45
 #   q14_median         -> A1 also via q43_monthly_composite (median agg)
 #   q20_tumbling_day   -> W1 also via q43_monthly_composite (tumbling)
-#   q52_setops         -> stock Spark INTERSECT/EXCEPT conformance (no §2
-#   q53_running_window    row; pure built-in SQL surface) — parked so the
-#                         novel-operator queries q60/q61 (contamination,
-#                         repetition signals) get adjudicated instead
+#   q51_rollup         -> stock Spark ROLLUP/INTERSECT/EXCEPT/window-frame
+#   q52_setops            conformance (no §2 row; pure built-in SQL
+#   q53_running_window    surface) — parked so the novel-operator queries
+#                         q60/q61/q62 (contamination, repetition signals,
+#                         token-budget sampling) get adjudicated instead
 # Every query (head and tail) still runs in bench.py and in the local gate
 # (tools/check_correctness.py), which has no cap.
 # ---------------------------------------------------------------------------
 _ADJUDICATION_TAIL = [
+    "q51_rollup",
     "q52_setops",
     "q53_running_window",
     "q02_derived_expr",

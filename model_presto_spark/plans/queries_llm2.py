@@ -135,3 +135,54 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_2gram_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q62 — per-source token-budget sampling (batch analog of the stateful
+# streaming operator; same prefix-truncation semantics)
+# ---------------------------------------------------------------------------
+_Q62_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
+    ), cum AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_tokens <= 2000
+"""
+
+
+@register(
+    "q62_token_budget",
+    _Q62_ORACLE,
+    doc="Per-source token-budget sampling: keep each source's doc_id-"
+    "ordered prefix whose cumulative whitespace-token count fits a "
+    "2000-token budget — the batch analog (window cumsum) of "
+    "streaming/stateful.token_budget_sample, which t:test_stateful_"
+    "streaming cross-checks equals this on identical input.",
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.filter(F.col("cum_tokens") <= 2000).select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+    )

@@ -5,6 +5,7 @@ AND across query restarts via the checkpoint."""
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 
 def _land(spark, path, rows):
@@ -65,3 +66,32 @@ def test_token_budget_across_restarts(spark, tmp_path):
         ("srcA", 3): 90,
         ("srcB", 2): 50,
     }
+
+
+def test_streaming_budget_equals_batch_analog(spark, tmp_path):
+    """The stateful streaming sampler and the q62 window-cumsum batch
+    analog implement the SAME prefix-truncation semantics: identical
+    kept rows on identical input."""
+    from model_presto_spark.functions.text import token_count
+    from model_presto_spark.plans.queries_llm2 import q62
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r.source, r.doc_id): r.cum_tokens for r in q62(spark, sf).collect()
+    }
+
+    from model_presto_spark.io import load_table
+
+    docs = load_table(spark, sf, "documents").select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    landing = str(tmp_path / "landing")
+    docs.coalesce(1).write.parquet(landing)
+    out = _run(
+        spark,
+        landing,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        budget=2000,
+    )
+    assert out == batch and len(out) > 0
