@@ -308,3 +308,39 @@ def top_ngram_fraction(grams: Column) -> Column:
     return F.when(total > 0, folded["best"].cast("double") / total).otherwise(
         F.lit(0.0)
     )
+
+
+# --- ingest cleaning (PII scrub / normalization) ---------------------------
+# Standard pre-training text hygiene (C4/RefinedWeb-style): regex
+# redaction of emails, phone numbers, IPs, and URLs, plus whitespace
+# and control-char normalization. Pure regexp_replace expressions —
+# JVM-side, codegen'd, no UDFs.
+
+_PII_PATTERNS = (
+    # order matters: emails and URLs first (they contain digit runs
+    # and dots), then IPs (dot-separated digits would match the phone
+    # pattern), phones last
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"(?<![\w.])\+?\d(?:[\s().-]*\d){6,13}(?!\d)", "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails, URLs, IPv4 addresses, and phone numbers with
+    typed placeholder tokens. Deliberately aggressive on digit runs
+    (7-14 digits with separators read as phones) — pre-training
+    hygiene favors recall over precision here."""
+    out = text
+    for pat, repl in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def normalize_text(text: Column) -> Column:
+    """Ingest normalization: strip C0/C1 control chars (keep \\n\\t),
+    collapse runs of spaces/tabs, trim."""
+    no_ctl = F.regexp_replace(text, r"[\x00-\x08\x0b-\x1f\x7f-\x9f]", "")
+    collapsed = F.regexp_replace(no_ctl, r"[ \t]+", " ")
+    return F.trim(collapsed)

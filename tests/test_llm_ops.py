@@ -186,3 +186,25 @@ def test_minhash_fast_hash_finds_planted_dups(spark):
     # stage (exact Jaccard) makes the final pair set hash-agnostic
     # when candidates are clear-cut
     assert slow == fast == {(50, 51), (50, 52), (51, 52)}
+
+
+def test_scrub_pii_and_normalize(spark):
+    from model_presto_spark.functions.text import normalize_text, scrub_pii
+
+    rows = [
+        (1, "contact me at jane.doe+x@example.co.uk or +1 (555) 123-4567"),
+        (2, "server 192.168.1.254 logs at https://logs.example.com/x?y=1 end"),
+        (3, "no pii here just words"),
+        (4, "tabs\t\tand   spaces\x00\x1f and ctl"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    out = {
+        r.id: r.clean
+        for r in df.select(
+            "id", normalize_text(scrub_pii(F.col("text"))).alias("clean")
+        ).collect()
+    }
+    assert out[1] == "contact me at <EMAIL> or <PHONE>"
+    assert out[2] == "server <IP> logs at <URL> end"
+    assert out[3] == "no pii here just words"
+    assert out[4] == "tabs and spaces and ctl"
