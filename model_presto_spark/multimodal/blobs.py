@@ -49,14 +49,25 @@ def _fake_pixels(blob: bytes, h: int, w: int, c: int) -> np.ndarray:
 
 
 def _decode_ppm(blob: bytes) -> np.ndarray:
-    """Binary PPM (P6) / PGM (P5) decode — pure numpy, real."""
-    parts = blob.split(maxsplit=4)
-    magic, w, h, maxval = parts[0], int(parts[1]), int(parts[2]), int(parts[3])
+    """Binary PPM (P6) / PGM (P5) decode — pure numpy, real.
+
+    Header tokens are walked with a cursor (never ``bytes.index`` on
+    a token value: the maxval digits can also appear inside the width
+    or height, which would mis-place the pixel offset)."""
+    pos = 0
+    toks = []
+    while len(toks) < 4:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        toks.append(blob[start:pos])
+    pos += 1  # exactly one whitespace byte separates maxval from pixels
+    magic, w, h, maxval = toks[0], int(toks[1]), int(toks[2]), int(toks[3])
     c = 3 if magic == b"P6" else 1
-    # pixel data starts one whitespace byte after maxval
-    header_len = blob.index(parts[3]) + len(parts[3]) + 1
     dt = np.uint8 if maxval < 256 else np.dtype(">u2")
-    arr = np.frombuffer(blob, dtype=dt, offset=header_len, count=h * w * c)
+    arr = np.frombuffer(blob, dtype=dt, offset=pos, count=h * w * c)
     return arr.reshape(h, w, c).astype(np.float64)
 
 

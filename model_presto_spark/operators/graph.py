@@ -80,14 +80,32 @@ def connected_components(
 
     # convergence probe: labels are min-so-far node ids, so each comp
     # can only DECREASE round over round and the id set is invariant —
-    # sum(comp) strictly decreases iff any label changed. One cheap
-    # scalar aggregate over the just-checkpointed table replaces a
-    # join-based diff. decimal(38,0) so the sum can't overflow at any
-    # node count.
+    # for numeric ids, sum(comp) strictly decreases iff any label
+    # changed, making one scalar aggregate over the just-checkpointed
+    # table a complete change detector (decimal(38,0): no overflow at
+    # any node count). Non-numeric ids (string/binary hashes) have no
+    # cheap monotone scalar — those fall back to a join diff against
+    # the previous (checkpointed, so cheap) labels.
+    numeric_ids = any(
+        f.name == "comp" and f.dataType.typeName()
+        in ("byte", "short", "integer", "long", "float", "double", "decimal")
+        for f in labels.schema.fields
+    )
+
     def _comp_sum(lab: DataFrame):
         return lab.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
+
+    def _changed(new: DataFrame, old: DataFrame) -> bool:
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+            > 0
+        )
 
     prev_sum = None
     for _ in range(max_iter):
@@ -122,11 +140,17 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)  # truncate iterative lineage
         )
-        labels = new_labels
-        cur_sum = _comp_sum(labels)
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        if numeric_ids:
+            labels = new_labels
+            cur_sum = _comp_sum(labels)
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            done = not _changed(new_labels, labels)
+            labels = new_labels
+            if done:
+                break
     return labels
 
 

@@ -158,14 +158,23 @@ def write_raster_tiles(df: DataFrame, out_dir: str) -> list:
     has_geo = "lat" in df.columns and "lon" in df.columns
 
     def _axis(vals: np.ndarray, coords: np.ndarray | None, sign: float):
-        """unique sorted axis + (origin, step) from pixel coords."""
+        """unique sorted axis + (origin, step) for the COMPACTED grid.
+
+        The tile array indexes pixels 0..len(ax)-1 (searchsorted
+        positions), so the affine transform must be per *written*
+        pixel: origin = coord of the first axis value, step =
+        (last - first) / (len(ax) - 1). Deriving step per original
+        row/col index instead would mis-georeference stride-sampled
+        inputs by the stride factor. (Non-uniformly-gapped axes are
+        not affine-expressible; the uniform-stride case is exact.)
+        """
         ax = np.unique(vals)
         if coords is None or len(ax) < 2:
             return ax, (float(coords[0]) if coords is not None else 0.0, sign)
         order = np.argsort(vals, kind="stable")
         first, last = order[vals[order] == ax[0]][0], order[vals[order] == ax[-1]][0]
-        step = (float(coords[last]) - float(coords[first])) / (ax[-1] - ax[0])
-        return ax, (float(coords[first]) - step * ax[0], step)
+        step = (float(coords[last]) - float(coords[first])) / (len(ax) - 1)
+        return ax, (float(coords[first]), step)
 
     def write_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
         tile_id = str(key[0])

@@ -51,7 +51,14 @@ def token_budget_sample(
         import pandas as pd
 
         used = state.get[0] if state.exists else 0
-        for pdf in pdfs:
+        # Concatenate the micro-batch's Arrow chunks BEFORE sorting:
+        # chunks arrive in arbitrary order, and per-chunk truncation
+        # would make keep/drop decisions depend on chunk boundaries
+        # (breaking both the id-order contract and replay
+        # determinism). One batch per group is bounded by the
+        # micro-batch size; state stays O(1).
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(id_col)
             cum = used + pdf[token_col].astype("int64").cumsum()
             kept = pdf[cum <= budget]
