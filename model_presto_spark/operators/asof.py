@@ -73,19 +73,22 @@ def asof_join(
         cond: Column = rt <= lt
         if tolerance is not None:
             cond = cond & (rt >= lt - F.expr(f"INTERVAL {tolerance}"))
-        dist = lt.cast("double") - rt.cast("double")
+        # Timestamp subtraction yields an orderable DayTimeInterval —
+        # valid for TIMESTAMP, TIMESTAMP_NTZ and DATE alike (a cast to
+        # double is illegal for TIMESTAMP_NTZ in Spark 4).
+        dist = lt - rt
     elif direction == "forward":
         cond = rt >= lt
         if tolerance is not None:
             cond = cond & (rt <= lt + F.expr(f"INTERVAL {tolerance}"))
-        dist = rt.cast("double") - lt.cast("double")
+        dist = rt - lt
     elif direction == "nearest":
         cond = F.lit(True)
         if tolerance is not None:
             cond = (rt >= lt - F.expr(f"INTERVAL {tolerance}")) & (
                 rt <= lt + F.expr(f"INTERVAL {tolerance}")
             )
-        dist = F.abs(lt.cast("double") - rt.cast("double"))
+        dist = F.abs(lt - rt)
     else:
         raise ValueError(f"unknown direction: {direction}")
 
