@@ -33,11 +33,17 @@ from model_presto_spark.operators.skew import salted_count, salted_join
 from model_presto_spark.operators.splits import (
     balanced_sample,
     group_split,
+    hash_rank_sample,
     hash_split,
     per_class_capped_split,
     ratio_split,
     seeded_shuffle,
     stratified_split,
+)
+from model_presto_spark.operators.temporal import (
+    interval_join,
+    session_stats,
+    sessionize,
 )
 from model_presto_spark.operators.timeseries import (
     monthly_composite,
@@ -65,7 +71,11 @@ __all__ = [
     "embedding_dup_pairs",
     "exact_dedup",
     "group_split",
+    "hash_rank_sample",
     "hash_split",
+    "interval_join",
+    "session_stats",
+    "sessionize",
     "keep_representatives",
     "knn_classify",
     "knn_join",

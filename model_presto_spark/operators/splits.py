@@ -242,3 +242,40 @@ def oversample(df: DataFrame, times_col: Column) -> DataFrame:
         )
         .drop("__rep")
     )
+
+
+def hash_rank_sample(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    strata_cols: list[str] | None = None,
+    salt: str = "smp",
+) -> DataFrame:
+    """Deterministic downsample: keep the k rows with the smallest
+    md5-derived 60-bit hash of (salt # key) — per stratum when
+    ``strata_cols`` is given, globally otherwise.
+
+    The hash order is a fixed pseudo-random permutation of the key
+    space, so the sample is (a) uniform, (b) reproducible across
+    runs, engines, and cluster sizes (no RNG state, no partition
+    order dependence), and (c) *stable under growth*: a row sampled
+    at corpus size N stays sampled at N' < N, which keeps incremental
+    re-runs of a training-data pipeline from churning the subset.
+    One window shuffle per call; at 100 TB prefer a pre-filter on
+    ``hash < threshold`` (same hash) to cut the sort input when k is
+    a tiny fraction of each stratum.
+    """
+    from model_presto_spark.functions.text import h60
+
+    hashed = df.withColumn(
+        "__hk", h60(F.concat(F.lit(salt + "#"), F.col(key_col).cast("string")))
+    )
+    if strata_cols:
+        w = Window.partitionBy(*strata_cols).orderBy("__hk", key_col)
+    else:
+        w = Window.orderBy("__hk", key_col)
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__hk", "__rn")
+    )

@@ -1,0 +1,134 @@
+"""Temporal operators: gap-based sessionization and banded interval
+joins.
+
+Reference parity: the reference system windows sensor streams by
+calendar month and matches observations by time proximity
+(as-of/nearest, see operators/asof.py, citing
+presto-tolbi/presto/dataops/pipelines/dynamicworld.py:58-139 and
+src/crop_mapping_processing_data_collection_monthly.py:234-297).
+Sessionization and interval containment are the two remaining
+time-proximity shapes a training-data event pipeline needs
+(user-activity segmentation; event-window correlation) that neither
+the tumbling window (W1) nor the as-of join (J5/J6) covers.
+
+Scale notes:
+- ``sessionize`` is one shuffle (partition by entity) + two window
+  passes over the sorted run — the same cost envelope as any
+  per-entity ordered scan. Entity skew (one user with billions of
+  events) is the only hazard; the partition key is the entity, so
+  AQE skew handling does not apply to windows — split hot entities
+  upstream (operators/skew.py) if profiles show one.
+- ``interval_join`` replaces the O(n·m) broadcast-nested-loop plan
+  Spark picks for range predicates with a banded equi-join: points
+  hash-shuffle on their time band, intervals replicate only to the
+  bands they overlap (ceil(len/band)+1 copies, ~2 for
+  band ~ interval length). This is the standard "bucketize the
+  range predicate" rewrite; at 100 TB it is the difference between
+  a shuffle join and a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _epoch_us(col: str) -> F.Column:
+    """Microseconds since epoch; the TIMESTAMP_NTZ -> TIMESTAMP cast
+    is an identity under the engine's pinned UTC session timezone
+    (session.py), matching DuckDB's epoch_us on naive timestamps."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def sessionize(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign gap-based session indexes per entity.
+
+    A new session starts whenever the time since the previous event of
+    the same entity exceeds ``gap_seconds`` (or at the entity's first
+    event). Adds ``session_idx`` (1-based, ordered by time within the
+    entity). ``order_tiebreak`` optionally names a unique column used
+    to break exact-timestamp ties deterministically.
+
+    Equivalent to the classic lag + cumulative-sum window rewrite of
+    ``session_window`` — used instead of the built-in so the session
+    *index* is exposed (the built-in emits only the window struct) and
+    so batch results are reproducible row-for-row in ANSI SQL.
+    """
+    order = [F.col(ts_col)]
+    if order_tiebreak is not None:
+        order.append(F.col(order_tiebreak))
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    us = _epoch_us(ts_col)
+    prev = F.lag(us).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((us - prev) > gap_seconds * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(entity_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_idx", F.sum(new_sess).over(run))
+
+
+def session_stats(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_tiebreak: str | None = None,
+    aggs: list[F.Column] | None = None,
+) -> DataFrame:
+    """Per-session rollup: (entity, session_idx, n_events, first/last
+    ts) plus caller aggregates."""
+    sess = sessionize(df, entity_col, ts_col, gap_seconds, order_tiebreak)
+    base = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+    ]
+    return sess.groupBy(entity_col, "session_idx").agg(*base, *(aggs or []))
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    band_seconds: int,
+) -> DataFrame:
+    """Join point rows into [start, end] interval rows (inclusive
+    bounds) with a banded equi-join instead of a range cross-join.
+
+    Each point belongs to exactly one ``band_seconds``-wide time band;
+    each interval is replicated to every band it overlaps. The
+    equi-join on the band key therefore produces each qualifying
+    (point, interval) pair exactly once (no post-join dedup), and the
+    range predicate is applied as a cheap residual filter. Pick
+    ``band_seconds`` on the order of the typical interval length:
+    replication factor is len/band + 1.
+
+    Inner semantics: intervals with no points don't appear — callers
+    wanting zero-counts aggregate the output and left-join it back
+    onto the interval table (one extra broadcast-sized join, see
+    q64).
+    """
+    us_pt = _epoch_us(point_ts)
+    us_lo = _epoch_us(start_ts)
+    us_hi = _epoch_us(end_ts)
+    band = F.lit(band_seconds * 1_000_000)
+
+    pts = points.withColumn("__band", F.floor(us_pt / band))
+    ivs = intervals.withColumn(
+        "__band", F.explode(F.sequence(F.floor(us_lo / band), F.floor(us_hi / band)))
+    )
+    return (
+        ivs.join(pts, "__band", "inner")
+        .filter(F.col(point_ts).between(F.col(start_ts), F.col(end_ts)))
+        .drop("__band")
+    )

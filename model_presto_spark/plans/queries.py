@@ -1036,6 +1036,7 @@ from model_presto_spark.plans import queries_grid as _queries_grid  # noqa: E402
 from model_presto_spark.plans import queries_ml as _queries_ml  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops as _queries_ops  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops2 as _queries_ops2  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops3 as _queries_ops3  # noqa: E402,F401
 from model_presto_spark.plans import queries_llm2 as _queries_llm2  # noqa: E402,F401
 from model_presto_spark.plans import queries_sql2 as _queries_sql2  # noqa: E402,F401
 
@@ -1062,6 +1063,14 @@ from model_presto_spark.plans import queries_sql2 as _queries_sql2  # noqa: E402
 #   q53_running_window    surface) — parked so the novel-operator queries
 #                         q60/q61/q62 (contamination, repetition signals,
 #                         token-budget sampling) get adjudicated instead
+#   q04_null_counts    -> P12/P13 also via q09 (coalesce over join nulls);
+#                         null-handling further covered by unit suites
+#   q28_mod_split      -> R2/R6 also via t:test_operators_units +
+#                         t:test_splits_extra exact-split assertions
+#   q58_zip_pages      -> J4/T5 also via t:test_heads_geo_grid positional
+#                         concat golden + splits paginate tests
+#   (the three demotions make room for the round-3 novel-operator
+#   queries q63_sessionize / q64_range_join / q65_hash_sample)
 # Every query (head and tail) still runs in bench.py and in the local gate
 # (tools/check_correctness.py), which has no cap.
 # ---------------------------------------------------------------------------
@@ -1069,6 +1078,9 @@ _ADJUDICATION_TAIL = [
     "q51_rollup",
     "q52_setops",
     "q53_running_window",
+    "q04_null_counts",
+    "q28_mod_split",
+    "q58_zip_pages",
     "q02_derived_expr",
     "q22_topk_order",
     "q27_math",

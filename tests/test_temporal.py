@@ -1,0 +1,92 @@
+"""Unit tests: sessionization, banded interval join, hash-rank
+sampling (round-3 temporal/sampling operators)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ts(day: int, hour: int, minute: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour) + dt.timedelta(minutes=minute)
+
+
+def test_sessionize_gap_semantics(spark):
+    from model_presto_spark.operators.temporal import sessionize
+
+    rows = [
+        # user 1: three events inside one hour, then a 5h gap
+        (1, _ts(1, 9, 0), 100),
+        (1, _ts(1, 9, 30), 101),
+        (1, _ts(1, 10, 0), 102),
+        (1, _ts(1, 15, 1), 103),
+        # user 2: single event
+        (2, _ts(1, 12, 0), 200),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+    out = sessionize(df, "user_id", "ts", gap_seconds=3600, order_tiebreak="event_id")
+    got = {r["event_id"]: r["session_idx"] for r in out.collect()}
+    assert got == {100: 1, 101: 1, 102: 1, 103: 2, 200: 1}
+
+
+def test_sessionize_boundary_is_exclusive(spark):
+    """A gap of exactly gap_seconds does NOT split the session
+    (split requires strictly greater)."""
+    from model_presto_spark.operators.temporal import sessionize
+
+    rows = [(1, _ts(1, 9, 0), 1), (1, _ts(1, 10, 0), 2), (1, _ts(1, 11, 1), 3)]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+    out = sessionize(df, "user_id", "ts", gap_seconds=3600, order_tiebreak="event_id")
+    got = {r["event_id"]: r["session_idx"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_interval_join_matches_naive_range_join(spark):
+    """The banded equi-join must produce exactly the pairs the naive
+    range predicate defines — including intervals spanning multiple
+    bands and points on inclusive bounds."""
+    from model_presto_spark.operators.temporal import interval_join
+
+    points = spark.createDataFrame(
+        [(i, _ts(1, 0, i * 7)) for i in range(60)], "pid int, pt timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (0, _ts(1, 0, 0), _ts(1, 0, 21)),     # inclusive both ends
+            (1, _ts(1, 0, 30), _ts(1, 2, 30)),    # spans many 15-min bands
+            (2, _ts(1, 3, 0), _ts(1, 3, 1)),      # sub-band interval
+            (3, _ts(2, 0, 0), _ts(2, 1, 0)),      # empty
+        ],
+        "iid int, lo timestamp, hi timestamp",
+    )
+    banded = interval_join(points, intervals, "pt", "lo", "hi", band_seconds=900)
+    naive = intervals.join(
+        points, F.col("pt").between(F.col("lo"), F.col("hi"))
+    )
+    key = lambda r: (r["iid"], r["pid"])
+    assert sorted(map(key, banded.collect())) == sorted(map(key, naive.collect()))
+    # and no duplicates from band replication
+    assert banded.count() == banded.select("iid", "pid").distinct().count()
+
+
+def test_hash_rank_sample_deterministic_and_stable(spark):
+    from model_presto_spark.operators.splits import hash_rank_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(200)], "id long, cls string"
+    )
+    s1 = {r["id"] for r in hash_rank_sample(df, "id", 10, ["cls"]).collect()}
+    s2 = {r["id"] for r in hash_rank_sample(df, "id", 10, ["cls"]).collect()}
+    assert s1 == s2 and len(s1) == 20
+    # stability under growth: shrinking the corpus never *adds* churn
+    # beyond removals — survivors of the big corpus that remain in the
+    # small corpus stay sampled unless displaced by nothing (subset
+    # corpus has fewer competitors, so every surviving sampled id of
+    # the superset that is still present must again be sampled).
+    sub = df.filter(F.col("id") < 100)
+    ssub = {r["id"] for r in hash_rank_sample(sub, "id", 10, ["cls"]).collect()}
+    assert (s1 & {i for i in range(100)}) <= ssub
+    # global (unstratified) path
+    g = hash_rank_sample(df, "id", 7).collect()
+    assert len(g) == 7
