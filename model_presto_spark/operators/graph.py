@@ -61,21 +61,32 @@ def connected_components(
     # undirected: keep both directions for neighborhood scans.
     # (single distinct AFTER the symmetric union covers both the
     # duplicate-input and both-directions-present cases in one shuffle)
+    # lazy checkpoint: the first action touching ``sym`` (the initial
+    # label aggregation below) materializes it; eager would spend a
+    # whole extra job. (``edges`` above must stay eager: it is
+    # referenced twice inside sym's one materialization job, and a
+    # lazy checkpoint only deduplicates compute across jobs, not
+    # within one.)
     sym = (
         edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
-    # label(n) starts as min(n, min neighbor)
+    # label(n) starts as min(n, min neighbor). Eager checkpoint: every
+    # round references the label table ~5x (propagation sides, union,
+    # jump self-joins) and a bare plan would recompute the groupBy per
+    # reference in round 1; this single job also materializes the lazy
+    # ``sym`` checkpoint above.
     labels = (
         sym.groupBy("u")
         .agg(F.min("v").alias("mv"))
         .select(
             F.col("u").alias("id"), F.least(F.col("u"), F.col("mv")).alias("comp")
         )
+        .localCheckpoint(eager=True)
     )
 
     # convergence probe: labels are min-so-far node ids, so each comp
@@ -109,14 +120,15 @@ def connected_components(
 
     prev_sum = None
     for _ in range(max_iter):
-        # propagate: every node's component <- min(component of self,
-        # components of neighbors)
+        # propagate: every node's component <- min over its neighbors'
+        # components (self label re-enters via the union below, so one
+        # join + one groupBy — not two joins — per round; sym is
+        # symmetric, so grouping by the v side sees every neighbor)
         lab_u = labels.select(F.col("id").alias("u"), F.col("comp").alias("cu"))
-        lab_v = labels.select(F.col("id").alias("v"), F.col("comp").alias("cv"))
         prop = (
             sym.join(lab_u, "u")
-            .join(lab_v, "v")
-            .select(F.col("u").alias("id"), F.least("cu", "cv").alias("comp"))
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("cu").alias("comp"))
         )
         # pointer jump with in-plan path doubling: comp <- comp(comp),
         # squared ``jump_squarings`` times in ONE plan. Labels always
@@ -133,12 +145,16 @@ def connected_components(
                 ),
                 "comp",
             ).select("id", F.col("comp2").alias("comp"))
+        # lazy checkpoint + the convergence probe as the materializing
+        # action: one job per round (eager checkpoint + separate probe
+        # was two). The probe reads the checkpointed partitions, so the
+        # next round's joins re-read cached rows, not lineage.
         new_labels = (
             labels.unionByName(prop)
             .unionByName(jump)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)  # truncate iterative lineage
+            .localCheckpoint(eager=False)  # truncate iterative lineage
         )
         if numeric_ids:
             labels = new_labels
