@@ -1037,6 +1037,7 @@ from model_presto_spark.plans import queries_ml as _queries_ml  # noqa: E402,F40
 from model_presto_spark.plans import queries_ops as _queries_ops  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops2 as _queries_ops2  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops3 as _queries_ops3  # noqa: E402,F401
+from model_presto_spark.plans import queries_llm3 as _queries_llm3  # noqa: E402,F401
 from model_presto_spark.plans import queries_llm2 as _queries_llm2  # noqa: E402,F401
 from model_presto_spark.plans import queries_sql2 as _queries_sql2  # noqa: E402,F401
 
@@ -1071,6 +1072,12 @@ from model_presto_spark.plans import queries_sql2 as _queries_sql2  # noqa: E402
 #                         concat golden + splits paginate tests
 #   (the three demotions make room for the round-3 novel-operator
 #   queries q63_sessionize / q64_range_join / q65_hash_sample)
+#   q01_scan_project   -> P1/P20/O1-O6 also via q21/q42/q57 orderings and
+#                         every head query's projections (S7/S8 = all)
+#   q12_dict_join      -> J7 broadcast dict join; the join shape is J2
+#                         (q08) + broadcast, and broadcast placement is
+#                         asserted by t:test_bucketing plan checks
+#   (these two make room for q66_chunking / q67_ingest_funnel)
 # Every query (head and tail) still runs in bench.py and in the local gate
 # (tools/check_correctness.py), which has no cap.
 # ---------------------------------------------------------------------------
@@ -1081,6 +1088,8 @@ _ADJUDICATION_TAIL = [
     "q04_null_counts",
     "q28_mod_split",
     "q58_zip_pages",
+    "q01_scan_project",
+    "q12_dict_join",
     "q02_derived_expr",
     "q22_topk_order",
     "q27_math",

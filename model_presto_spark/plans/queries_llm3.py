@@ -1,0 +1,202 @@
+"""Conformance queries: training-data chunking and the end-to-end
+ingest funnel (round 3).
+
+q66 turns documents into fixed-size overlapping token chunks — the
+standard shape handed to a tokenizer/packer in an LLM data pipeline
+(window 64 tokens, stride 48, so 16 tokens of overlap). One explode
+over a computed chunk count; no UDFs, no shuffle beyond the source
+scan.
+
+q67 is the composed ingest gate a corpus actually runs: raw ->
+prefix-fingerprint dedup -> length gate -> alpha-ratio gate ->
+stopword gate, reported as a funnel of surviving-document counts.
+Every stage reuses the engine's oracle-parity expressions (h60
+fingerprints, tokens, quality features), so the whole pipeline is
+hash-checked end-to-end against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from model_presto_spark.functions import text as T
+from model_presto_spark.plans.queries import _t, register
+from model_presto_spark.plans.queries_docs import DD_TOKENS
+
+# ---------------------------------------------------------------------------
+# Q66 — overlapping token chunking (window 64, stride 48)
+# ---------------------------------------------------------------------------
+_W, _S = 64, 48
+
+_Q66_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             {DD_TOKENS.format(t='text')} AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             greatest(1, CAST(ceil((len(toks) - {_W}) / {_S}.0) AS BIGINT) + 1)
+               AS n_chunks
+      FROM t
+    ), e AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM c
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(list_slice(toks, chunk_idx*{_S} + 1, chunk_idx*{_S} + {_W}))
+                AS BIGINT) AS n_tokens,
+           CAST(length(array_to_string(
+                  list_slice(toks, chunk_idx*{_S} + 1, chunk_idx*{_S} + {_W}),
+                  ' ')) AS BIGINT) AS chunk_chars
+    FROM e
+"""
+
+
+@register(
+    "q66_chunking",
+    _Q66_ORACLE,
+    doc="Overlapping token chunking (window 64, stride 48): each doc "
+    "explodes into ceil((n-w)/s)+1 chunks; emits per-chunk token and "
+    "character counts. Pure expressions (sequence + explode + slice); "
+    "the tokenizer-feed shape of an LLM ingest pipeline.",
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toksed = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    n_chunks = F.greatest(
+        F.lit(1),
+        (F.ceil((n - F.lit(_W)).cast("double") / float(_S)) + 1).cast("int"),
+    )
+    # explode_outer: the sequence is non-empty by construction
+    # (n_chunks >= 1), and a plain explode would get the inferred
+    # size>0 pre-filter that re-evaluates the token split per row.
+    chunks = toksed.select(
+        "doc_id",
+        "toks",
+        F.explode_outer(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    sl = F.slice(F.col("toks"), F.col("chunk_idx") * _S + 1, _W)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(sl).cast("bigint").alias("n_tokens"),
+        F.length(F.array_join(sl, " ")).cast("bigint").alias("chunk_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q67 — ingest funnel: raw -> dedup -> length -> alpha -> stopword
+# ---------------------------------------------------------------------------
+# Gate thresholds tuned against the synthetic corpus's feature
+# distributions so EVERY stage drops rows (a vacuous funnel stage
+# would make the oracle check meaningless): at sf0.01 the funnel is
+# 500 -> 357 (prefix dedup) -> ~300 (length) -> ... monotone
+# decreasing with real attrition at each gate.
+_MIN_TOK, _MAX_TOK = 24, 5000
+_MIN_ALPHA = 0.815
+_MIN_STOP = 0.03
+# dedup key: first-2-token boilerplate prefix (the exact fingerprint
+# has zero collisions in the synthetic corpus — same reasoning as
+# q55's blocking key; hashed to 60 bits so the shuffle ships 8-byte
+# keys, not strings)
+_PREFIX_TOKS = 2
+
+_Q67_ORACLE = f"""
+    WITH base0 AS (
+      SELECT doc_id, text, {DD_TOKENS.format(t='text')} AS toks
+      FROM documents
+    ), base AS (
+      SELECT doc_id, text, toks,
+             CAST(('0x' || substr(md5(array_to_string(
+                    list_slice(toks, 1, {_PREFIX_TOKS}), ' ')), 1, 15))
+                  AS BIGINT) AS fp
+      FROM base0
+    ), dedup AS (
+      SELECT * FROM base
+      WHERE doc_id = (SELECT MIN(b2.doc_id) FROM base b2 WHERE b2.fp = base.fp)
+    ), feat AS (
+      SELECT doc_id, len(toks) AS n_tok,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                            AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END AS alpha_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks,
+                         t -> t IN ('the','and','of','to','a','in','is',
+                                    'it','that','for')))
+                       AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS stop_ratio
+      FROM dedup
+    ), s1 AS (SELECT COUNT(*) AS n FROM base),
+       s2 AS (SELECT COUNT(*) AS n FROM dedup),
+       s3 AS (SELECT COUNT(*) AS n FROM feat
+              WHERE n_tok BETWEEN {_MIN_TOK} AND {_MAX_TOK}),
+       s4 AS (SELECT COUNT(*) AS n FROM feat
+              WHERE n_tok BETWEEN {_MIN_TOK} AND {_MAX_TOK}
+                AND alpha_ratio >= {_MIN_ALPHA}),
+       s5 AS (SELECT COUNT(*) AS n FROM feat
+              WHERE n_tok BETWEEN {_MIN_TOK} AND {_MAX_TOK}
+                AND alpha_ratio >= {_MIN_ALPHA} AND stop_ratio >= {_MIN_STOP})
+    SELECT 1 AS stage, 'raw' AS gate, n FROM s1
+    UNION ALL SELECT 2, 'prefix_dedup', n FROM s2
+    UNION ALL SELECT 3, 'length', n FROM s3
+    UNION ALL SELECT 4, 'alpha', n FROM s4
+    UNION ALL SELECT 5, 'stopword', n FROM s5
+"""
+
+
+@register(
+    "q67_ingest_funnel",
+    _Q67_ORACLE,
+    doc="End-to-end ingest gate funnel: raw -> prefix-fingerprint dedup "
+    "(min-id per 60-bit hash of the 2-token boilerplate prefix) -> "
+    "token-length gate -> alpha-ratio gate -> stopword-ratio gate, "
+    "reported as surviving-document counts per stage. Composes the "
+    "engine's oracle-parity dedup and quality expressions into the "
+    "pipeline a corpus ingest actually runs; thresholds chosen so "
+    "every stage has real attrition on the synthetic corpus.",
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toksed = docs.select(
+        "doc_id", "text", T.tokens(F.col("text")).alias("toks")
+    )
+    base = toksed.select(
+        "doc_id",
+        "text",
+        "toks",
+        T.h60(F.array_join(F.slice("toks", 1, _PREFIX_TOKS), " ")).alias("fp"),
+    )
+    # min-id representative per fingerprint: window-min beats a
+    # groupBy+join re-attach (one shuffle, no second scan)
+    from pyspark.sql import Window
+
+    wmin = F.min("doc_id").over(Window.partitionBy("fp"))
+    dedup = base.withColumn("__m", wmin).filter(F.col("doc_id") == F.col("__m"))
+    feats = T.quality_features(F.col("text"), F.col("toks"))
+    feat = dedup.select(
+        "doc_id",
+        F.size("toks").alias("n_tok"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["stopword_ratio"].alias("stop_ratio"),
+    ).persist()
+
+    len_ok = F.col("n_tok").between(_MIN_TOK, _MAX_TOK)
+    alpha_ok = len_ok & (F.col("alpha_ratio") >= _MIN_ALPHA)
+    stop_ok = alpha_ok & (F.col("stop_ratio") >= _MIN_STOP)
+
+    def stage(i: int, gate: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(i).alias("stage"), F.lit(gate).alias("gate"), "n"
+        )
+
+    return (
+        stage(1, "raw", base)
+        .unionByName(stage(2, "prefix_dedup", feat))
+        .unionByName(stage(3, "length", feat.filter(len_ok)))
+        .unionByName(stage(4, "alpha", feat.filter(alpha_ok)))
+        .unionByName(stage(5, "stopword", feat.filter(stop_ok)))
+    )
