@@ -90,3 +90,22 @@ def test_hash_rank_sample_deterministic_and_stable(spark):
     # global (unstratified) path
     g = hash_rank_sample(df, "id", 7).collect()
     assert len(g) == 7
+
+
+def test_interval_join_plan_has_no_nested_loop(spark):
+    """The banded rewrite must plan as an equi-join (hash/sort-merge),
+    never the BroadcastNestedLoopJoin a raw range predicate gets."""
+    from model_presto_spark.operators.temporal import interval_join
+
+    points = spark.createDataFrame(
+        [(i, _ts(1, 0, i)) for i in range(10)], "pid int, pt timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(0, _ts(1, 0, 0), _ts(1, 0, 30))], "iid int, lo timestamp, hi timestamp"
+    )
+    plan = (
+        interval_join(points, intervals, "pt", "lo", "hi", 900)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
