@@ -112,3 +112,32 @@ def dedup_stream(stream: DataFrame, key_cols: list[str], watermark_col: str,
     return stream.withWatermark(watermark_col, watermark).dropDuplicates(
         [*key_cols, watermark_col]
     )
+
+
+def session_aggregate(
+    stream: DataFrame,
+    ts_col: str,
+    entity_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based session aggregation on a stream: Spark's native
+    session_window merges events of one entity whose gaps stay under
+    ``gap`` into one growing window, finalized once the watermark
+    passes the session end. The streaming counterpart of
+    operators/temporal.sessionize (which exposes per-row session
+    indexes for batch); state per open session is O(1) and evicted at
+    finalization, so state-store size tracks concurrent sessions, not
+    history — the shape that survives an unbounded stream."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), F.col(entity_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            entity_col,
+            "n_events",
+            "total",
+        )
+    )

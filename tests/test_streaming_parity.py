@@ -143,3 +143,33 @@ def test_windowed_counts_drops_late_data(spark, tmp_path):
         if str(r.window_start) == "2024-01-01 00:00:00"
     ]
     assert res == [1.0]
+
+
+def test_session_aggregate_matches_batch(spark, events_landing, tmp_path):
+    """Native session_window sessions on the stream == the same
+    session_window aggregation run in batch over the full table."""
+    from model_presto_spark.streaming.pipeline import session_aggregate
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    stream = spark.readStream.schema(schema).parquet(events_landing)
+    sess = session_aggregate(stream, "ts", "user_id", gap="2 hours",
+                             watermark="4 hours")
+    got = _run_to_memory(spark, sess, "sess_parity", str(tmp_path / "ck4"))
+
+    batch = spark.read.schema(schema).parquet(events_landing)
+    want = (
+        batch.groupBy(
+            F.session_window(F.col("ts"), "2 hours").alias("sw"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id", "n_events", "total",
+        )
+    )
+    key = lambda r: (str(r.session_start), str(r.session_end), r.user_id,
+                     r.n_events, round(r.total, 6))
+    g = sorted(map(key, got.collect()))
+    w = sorted(map(key, want.collect()))
+    assert g == w and len(g) > 50
