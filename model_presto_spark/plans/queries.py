@@ -1078,6 +1078,10 @@ from model_presto_spark.plans import queries_sql2 as _queries_sql2  # noqa: E402
 #                         (q08) + broadcast, and broadcast placement is
 #                         asserted by t:test_bucketing plan checks
 #   (these two make room for q66_chunking / q67_ingest_funnel)
+#   q03_filter_sum     -> P7-P9 predicates also via q16 (date-range
+#                         filter + aggregate, TPC-H Q1) and the
+#                         equality/range filters in q36/q64
+#   (makes room for q68_session_conversion)
 # Every query (head and tail) still runs in bench.py and in the local gate
 # (tools/check_correctness.py), which has no cap.
 # ---------------------------------------------------------------------------
@@ -1090,6 +1094,7 @@ _ADJUDICATION_TAIL = [
     "q58_zip_pages",
     "q01_scan_project",
     "q12_dict_join",
+    "q03_filter_sum",
     "q02_derived_expr",
     "q22_topk_order",
     "q27_math",

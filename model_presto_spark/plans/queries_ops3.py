@@ -156,3 +156,96 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_rank_sample(
         docs, "doc_id", 20, strata_cols=["lang"]
     ).select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Q68 — in-session conversion sequencing (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+_Q68_GAP_US = 8 * 3600 * 1_000_000
+
+_Q68_ORACLE = f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                          OR epoch_us(ts) - epoch_us(prev_ts) > {_Q68_GAP_US}
+                     THEN 1 ELSE 0 END AS new_s
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), s1 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                  OVER (PARTITION BY user_id, sid) AS mv
+      FROM sess
+    ), s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND epoch_us(ts) > mv
+                         THEN epoch_us(ts) END)
+                  OVER (PARTITION BY user_id, sid) AS mc
+      FROM s1
+    ), s3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND epoch_us(ts) > mc
+                         THEN epoch_us(ts) END)
+                  OVER (PARTITION BY user_id, sid) AS mp
+      FROM s2
+    ), per_sess AS (
+      SELECT user_id, sid,
+             MAX(CASE WHEN mp IS NOT NULL THEN 1 ELSE 0 END) AS conv
+      FROM s3 GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(conv) AS BIGINT) AS n_converted
+    FROM per_sess GROUP BY user_id
+"""
+
+
+@register(
+    "q68_session_conversion",
+    _Q68_ORACLE,
+    doc="In-session conversion sequencing: a session converts iff it "
+    "contains a view, then a strictly-later click, then a "
+    "strictly-later purchase (chained conditional window minima over "
+    "the sessionized stream — three same-partition window passes, "
+    "one underlying sort). Per-user session and conversion counts.",
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from model_presto_spark.operators.temporal import _epoch_us, sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, "user_id", "ts", gap_seconds=8 * 3600, order_tiebreak="event_id"
+    )
+    us = _epoch_us("ts")
+    w = Window.partitionBy("user_id", "session_idx")
+    s1 = sess.withColumn(
+        "mv", F.min(F.when(F.col("event_type") == "view", us)).over(w)
+    )
+    s2 = s1.withColumn(
+        "mc",
+        F.min(
+            F.when((F.col("event_type") == "click") & (us > F.col("mv")), us)
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "mp",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (us > F.col("mc")), us
+            )
+        ).over(w),
+    )
+    per_sess = s3.groupBy("user_id", "session_idx").agg(
+        F.max(F.when(F.col("mp").isNotNull(), 1).otherwise(0)).alias("conv")
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("conv").alias("n_converted"),
+    )
