@@ -1,0 +1,64 @@
+"""Z-order layout: key locality and file-level pruning effect."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+
+def _grid_df(spark, n=64):
+    rows = [
+        (float(x), float(y), x * n + y)
+        for x, y in itertools.product(range(n), range(n))
+    ]
+    return spark.createDataFrame(rows, "x double, y double, v long")
+
+
+def test_zorder_key_is_morton(spark):
+    from model_presto_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)], "x double, y double"
+    )
+    out = df.select(
+        "x", "y", zorder_key(F.col("x"), F.col("y"), (0.0, 1.0), (0.0, 1.0), bits=1).alias("z")
+    ).collect()
+    got = {(r["x"], r["y"]): r["z"] for r in out}
+    # bit 1 <- x, bit 0 <- y
+    assert got == {(0.0, 0.0): 0, (0.0, 1.0): 1, (1.0, 0.0): 2, (1.0, 1.0): 3}
+
+
+def test_zorder_layout_prunes_bbox_reads(spark, tmp_path):
+    """A small bbox query over the Z-ordered layout must touch a
+    fraction of the files; the same query over a round-robin layout
+    touches all of them."""
+    from model_presto_spark.operators.layout import write_zordered
+
+    n, n_files = 64, 16
+    df = _grid_df(spark, n)
+    zpath = str(tmp_path / "zordered")
+    rpath = str(tmp_path / "roundrobin")
+    write_zordered(df, zpath, "x", "y", (0.0, 64.0), (0.0, 64.0), n_files)
+    df.repartition(n_files).write.mode("overwrite").parquet(rpath)
+
+    bbox = (F.col("x") >= 8) & (F.col("x") < 16) & (F.col("y") >= 8) & (F.col("y") < 16)
+
+    def files_touched(path):
+        return (
+            spark.read.parquet(path)
+            .filter(bbox)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    z_files = files_touched(zpath)
+    r_files = files_touched(rpath)
+    # same answer either way
+    zc = spark.read.parquet(zpath).filter(bbox).count()
+    rc = spark.read.parquet(rpath).filter(bbox).count()
+    assert zc == rc == 8 * 8
+    # locality: the 1/64-area box lives in a handful of z-runs
+    assert r_files == n_files
+    assert z_files <= n_files // 4
