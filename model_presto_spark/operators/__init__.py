@@ -9,6 +9,10 @@ from model_presto_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
+from model_presto_spark.operators.layout import (
+    write_zordered,
+    zorder_key,
+)
 from model_presto_spark.operators.grid import (
     bilinear_resample,
     positional_concat,
@@ -96,4 +100,6 @@ __all__ = [
     "stride_sample",
     "terrain_derivatives",
     "write_bucketed",
+    "write_zordered",
+    "zorder_key",
 ]

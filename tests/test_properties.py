@@ -93,3 +93,74 @@ def test_jaccard_range_and_symmetry(spark, a, b):
     assert r.ab == r.ba
     if set(a) == set(b):
         assert r.ab == 1.0
+
+
+@given(
+    ts=st.lists(st.integers(0, 100_000), min_size=1, max_size=40),
+    gap=st.integers(1, 10_000),
+)
+@FAST
+def test_sessionize_matches_linear_reference(spark, ts, gap):
+    """Gap sessionization == the obvious single-pass reference over
+    the sorted run (one entity; seconds-scale timestamps)."""
+    import datetime as dt
+
+    from model_presto_spark.operators.temporal import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(seconds=t), i) for i, t in enumerate(sorted(ts))
+    ]
+    df = spark.createDataFrame(rows, "uid int, ts timestamp, eid int")
+    got = {
+        r["eid"]: r["session_idx"]
+        for r in sessionize(df, "uid", "ts", gap, order_tiebreak="eid").collect()
+    }
+    # linear reference
+    want, sid, prev = {}, 0, None
+    for i, t in enumerate(sorted(ts)):
+        if prev is None or t - prev > gap:
+            sid += 1
+        want[i] = sid
+        prev = t
+    assert got == want
+
+
+@given(
+    pts=st.lists(st.integers(0, 50_000), min_size=0, max_size=25),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 50_000), st.integers(0, 20_000)),
+        min_size=0,
+        max_size=10,
+    ),
+    band=st.integers(60, 7_200),
+)
+@FAST
+def test_interval_join_matches_naive_property(spark, pts, ivs, band):
+    """Banded interval join == naive range predicate for arbitrary
+    points, intervals (start + nonneg length), and band widths."""
+    import datetime as dt
+
+    from model_presto_spark.operators.temporal import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)
+    pdf = spark.createDataFrame(
+        [(i, t(s)) for i, s in enumerate(pts)] or [(0, t(0))][:0],
+        "pid int, pt timestamp",
+    ) if pts else None
+    if not pts or not ivs:
+        return  # nothing to compare
+    idf = spark.createDataFrame(
+        [(j, t(lo), t(lo + ln)) for j, (lo, ln) in enumerate(ivs)],
+        "iid int, lo timestamp, hi timestamp",
+    )
+    banded = interval_join(pdf, idf, "pt", "lo", "hi", band)
+    got = sorted((r["iid"], r["pid"]) for r in banded.collect())
+    want = sorted(
+        (j, i)
+        for i, s in enumerate(pts)
+        for j, (lo, ln) in enumerate(ivs)
+        if lo <= s <= lo + ln
+    )
+    assert got == want
