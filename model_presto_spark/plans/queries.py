@@ -1095,6 +1095,10 @@ _ADJUDICATION_TAIL = [
     "q01_scan_project",
     "q12_dict_join",
     "q03_filter_sum",
+    # q69_tpch_q3 parks in the tail by design: its J2/A3 composition is
+    # adjudicated via q08/q19; it exists for join-order/broadcast plan
+    # conformance (pytest-oracle-verified like the rest of the tail)
+    "q69_tpch_q3",
     "q02_derived_expr",
     "q22_topk_order",
     "q27_math",

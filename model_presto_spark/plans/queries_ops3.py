@@ -249,3 +249,61 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("conv").alias("n_converted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q69 — TPC-H Q3 shape: three-table join, revenue rollup (J2/A3 composed)
+# ---------------------------------------------------------------------------
+_Q69_ORACLE = """
+    SELECT o.o_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 5e-10, 2)
+             AS revenue,
+           MIN(o.o_orderdate) AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY o.o_orderkey
+    HAVING SUM(l.l_extendedprice * (1 - l.l_discount)) > 100000
+"""
+
+
+@register(
+    "q69_tpch_q3",
+    _Q69_ORACLE,
+    doc="TPC-H Q3 shape adapted to the synthetic star schema: "
+    "segment-filtered customer -> orders -> lineitem three-table "
+    "join, per-order revenue rollup with a HAVING threshold (the "
+    "deterministic stand-in for Q3's float top-k). Catalyst gets the "
+    "join order; the dimension side broadcasts.",
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    rev = F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    return (
+        li.join(
+            orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            rev.alias("__rev"),
+            F.min("o_orderdate").alias("o_orderdate"),
+        )
+        .filter(F.col("__rev") > 100000)
+        .select(
+            "o_orderkey",
+            F.round(F.col("__rev") + 5e-10, 2).alias("revenue"),
+            "o_orderdate",
+        )
+    )
