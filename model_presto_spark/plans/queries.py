@@ -1099,6 +1099,10 @@ _ADJUDICATION_TAIL = [
     # adjudicated via q08/q19; it exists for join-order/broadcast plan
     # conformance (pytest-oracle-verified like the rest of the tail)
     "q69_tpch_q3",
+    # q65 parks in the tail: the md5 hash-coin determinism family is
+    # adjudicated via q70_domain_mix (same h60 convention, plan+apply
+    # composition); hash_rank_sample keeps its unit/property tests
+    "q65_hash_sample",
     "q02_derived_expr",
     "q22_topk_order",
     "q27_math",

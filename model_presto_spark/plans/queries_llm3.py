@@ -200,3 +200,75 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(4, "alpha", feat.filter(alpha_ok)))
         .unionByName(stage(5, "stopword", feat.filter(stop_ok)))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q70 — domain-mix planning + deterministic application
+# ---------------------------------------------------------------------------
+_Q70_BUDGET = 15_000
+
+_Q70_ORACLE = f"""
+    WITH tok AS (
+      SELECT source, doc_id,
+             len({DD_TOKENS.format(t='text')}) AS n_tok
+      FROM documents
+    ), plan AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+             CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                  THEN 2.0 ELSE 1.0 END AS w
+      FROM tok GROUP BY source
+    ), norm AS (
+      SELECT source,
+             least(1.0, {_Q70_BUDGET}.0 * (w / SUM(w) OVER ())
+                          / CAST(n_tokens AS DOUBLE)) AS keep_rate
+      FROM plan
+    ), applied AS (
+      SELECT t.source, t.n_tok, p.keep_rate
+      FROM tok t JOIN norm p USING (source)
+      WHERE CAST(('0x' || substr(md5('mix#' || CAST(t.doc_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) % 1000000
+            < CAST(floor(p.keep_rate * 1000000) AS BIGINT)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens_kept,
+           ROUND(ANY_VALUE(keep_rate) + 5e-12, 6) AS keep_rate
+    FROM applied GROUP BY source
+"""
+
+
+@register(
+    "q70_domain_mix",
+    _Q70_ORACLE,
+    doc="Domain-mix planning and application: per-source token totals "
+    "-> share-normalized target weights -> capped keep rates toward a "
+    "15k-token budget (operators/mixing.mix_plan), applied with the "
+    "deterministic md5 hash coin (apply_mix; no RNG, cluster-size- "
+    "and retry-invariant). Per-source kept docs/tokens and rate.",
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.mixing import apply_mix, mix_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", "doc_id", F.size(T.tokens(F.col("text"))).alias("n_tok")
+    )
+    w = F.when(
+        F.expr("CAST(substring(source, 4) AS INT)") % 2 == 0, F.lit(2.0)
+    ).otherwise(F.lit(1.0))
+    plan = mix_plan(tok, "source", w, F.col("n_tok"), _Q70_BUDGET)
+    kept = apply_mix(tok, plan, "source", "doc_id")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens_kept"),
+        )
+        .join(F.broadcast(plan.select("source", "keep_rate")), "source")
+        .select(
+            "source",
+            "n_docs_kept",
+            "n_tokens_kept",
+            F.round(F.col("keep_rate") + 5e-12, 6).alias("keep_rate"),
+        )
+    )

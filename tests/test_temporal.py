@@ -109,3 +109,23 @@ def test_interval_join_plan_has_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_mix_plan_and_apply(spark):
+    """Budget math: capped rates, share normalization, deterministic
+    application (same kept set on repeat runs)."""
+    from model_presto_spark.operators.mixing import apply_mix, mix_plan
+
+    rows = [(f"s{i%2}", i, 100) for i in range(40)]  # 2 sources, 2000 tok each
+    df = spark.createDataFrame(rows, "source string, id long, n_tok int")
+    w = F.when(F.col("source") == "s0", F.lit(3.0)).otherwise(F.lit(1.0))
+    plan = mix_plan(df, "source", w, F.col("n_tok"), budget_tokens=2000)
+    rates = {r["source"]: r["keep_rate"] for r in plan.collect()}
+    # s0 target: 2000*0.75=1500 of 2000 -> 0.75; s1: 500 of 2000 -> 0.25
+    assert abs(rates["s0"] - 0.75) < 1e-12 and abs(rates["s1"] - 0.25) < 1e-12
+    k1 = sorted(r["id"] for r in apply_mix(df, plan, "source", "id").collect())
+    k2 = sorted(r["id"] for r in apply_mix(df, plan, "source", "id").collect())
+    assert k1 == k2 and 0 < len(k1) < 40
+    # cap: huge budget -> rate 1.0 -> everything kept
+    plan_all = mix_plan(df, "source", w, F.col("n_tok"), budget_tokens=10**9)
+    assert apply_mix(df, plan_all, "source", "id").count() == 40
