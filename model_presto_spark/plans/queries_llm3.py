@@ -182,24 +182,32 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").alias("n_tok"),
         feats["alpha_ratio"].alias("alpha_ratio"),
         feats["stopword_ratio"].alias("stop_ratio"),
-    ).persist()
+    )
 
     len_ok = F.col("n_tok").between(_MIN_TOK, _MAX_TOK)
     alpha_ok = len_ok & (F.col("alpha_ratio") >= _MIN_ALPHA)
     stop_ok = alpha_ok & (F.col("stop_ratio") >= _MIN_STOP)
 
-    def stage(i: int, gate: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n")).select(
-            F.lit(i).alias("stage"), F.lit(gate).alias("gate"), "n"
-        )
+    def cnt(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
 
-    return (
-        stage(1, "raw", base)
-        .unionByName(stage(2, "prefix_dedup", feat))
-        .unionByName(stage(3, "length", feat.filter(len_ok)))
-        .unionByName(stage(4, "alpha", feat.filter(alpha_ok)))
-        .unionByName(stage(5, "stopword", feat.filter(stop_ok)))
+    # one conditional-aggregation pass over the gated relation (no
+    # persist, no per-stage re-scan), unpivoted to funnel rows; the
+    # raw pre-dedup count is its own scalar aggregate
+    gates = feat.agg(
+        F.count(F.lit(1)).alias("s2"),
+        cnt(len_ok).alias("s3"),
+        cnt(alpha_ok).alias("s4"),
+        cnt(stop_ok).alias("s5"),
     )
+    raw = base.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(1).alias("stage"), F.lit("raw").alias("gate"), "n"
+    )
+    funnel = gates.selectExpr(
+        "stack(4, 2, 'prefix_dedup', s2, 3, 'length', s3, "
+        "4, 'alpha', s4, 5, 'stopword', s5) AS (stage, gate, n)"
+    )
+    return raw.unionByName(funnel)
 
 
 # ---------------------------------------------------------------------------
