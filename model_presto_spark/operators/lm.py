@@ -1,0 +1,106 @@
+"""Corpus-fit unigram language model + per-document perplexity
+scoring — the CCNet-style "how surprising is this document relative
+to the corpus" quality signal an LLM data pipeline runs at scale.
+
+Two-pass distributed plan, zero Python UDFs:
+
+1. ``doc_token_counts``: one explode of the whitespace tokenization
+   into ``(doc_id, token, cnt)`` — the per-doc combine happens in the
+   same shuffle (map-side partial aggregation), so token *instances*
+   are never shuffled, only per-doc type counts.
+2. ``perplexity_scores``: the corpus vocabulary is a second, much
+   smaller aggregation over token types; the per-doc score is a
+   token-keyed equi-join back onto the per-doc counts (both sides
+   hash-partitioned on token — co-located at any scale, no broadcast
+   assumption on the vocabulary) followed by one groupBy(doc_id).
+
+Model: add-one smoothing over the observed vocabulary plus a single
+OOV bucket, i.e. ``p(t) = (tf(t) + 1) / (N + V + 1)`` with ``tf = 0``
+for out-of-vocabulary tokens (N = corpus token count, V = vocabulary
+size after the ``min_count`` cut). The uniform formula keeps the
+whole computation one expression and makes it DuckDB-expressible for
+the oracle (q71).
+
+The per-doc counts relation feeds three branches (vocab, totals,
+scoring), so it is persisted — at 100 TB this is the relation you
+would materialize anyway (it is the corpus's posting list).
+
+Reference anchor: quality-filter stage of the reference's dataset
+hygiene (presto-tolbi/presto/dataops/dataset.py clean-up semantics);
+perplexity filtering itself is the standard public CCNet recipe.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from model_presto_spark.functions import text as T
+
+_LN2 = math.log(2.0)
+
+
+def doc_token_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, token, cnt) — the corpus posting list. explode_outer
+    avoids the InferFiltersFromGenerate double-evaluation of the
+    tokenize expression (see verify-skill gotchas); whitespace-only
+    docs yield a null token row that is filtered right after."""
+    toks = docs.select(
+        id_col, F.explode_outer(T.tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token").isNotNull())
+    return toks.groupBy(id_col, "token").agg(F.count("*").alias("cnt"))
+
+
+def fit_unigram_vocab(
+    dtc: DataFrame, min_count: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """(vocab, denom): vocab = (token, tf) surviving the min_count
+    cut; denom = single row (n_corpus, v_vocab). n_corpus counts ALL
+    tokens (including those cut from the vocab — they are OOV mass,
+    not deleted mass)."""
+    vocab = (
+        dtc.groupBy("token")
+        .agg(F.sum("cnt").alias("tf"))
+        .where(F.col("tf") >= min_count)
+    )
+    denom = dtc.agg(F.sum("cnt").alias("n_corpus")).crossJoin(
+        vocab.agg(F.count("*").alias("v_vocab"))
+    )
+    return vocab, denom
+
+
+def perplexity_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document bits-per-token under the corpus unigram LM:
+    ``-mean_t log2 p(t)``. Lower = closer to the corpus distribution.
+    Documents with no tokens produce no row (no defined perplexity).
+    """
+    dtc = doc_token_counts(docs, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    vocab, denom = fit_unigram_vocab(dtc, min_count)
+    logp = F.log(
+        (F.coalesce(F.col("tf"), F.lit(0)) + F.lit(1.0))
+        / (F.col("n_corpus") + F.col("v_vocab") + F.lit(1.0))
+    )
+    return (
+        dtc.join(vocab, "token", "left")
+        .crossJoin(F.broadcast(denom))
+        .groupBy(id_col)
+        .agg(
+            (-F.sum(F.col("cnt") * logp) / F.sum("cnt") / F.lit(_LN2)).alias(
+                "bits_per_token"
+            ),
+            F.sum("cnt").alias("n_tokens"),
+            (F.sum(F.when(F.col("tf").isNull(), F.col("cnt")).otherwise(0)) / F.sum("cnt")).alias("oov_ratio"),
+        )
+    )

@@ -1103,6 +1103,11 @@ _ADJUDICATION_TAIL = [
     # adjudicated via q70_domain_mix (same h60 convention, plan+apply
     # composition); hash_rank_sample keeps its unit/property tests
     "q65_hash_sample",
+    # q48 parks in the tail: F15/F16 math/trig are adjudicated far
+    # more stringently by q56_utm (transverse-Mercator forward+inverse
+    # series) and q47_terrain; geodesic keeps its oracle in the local
+    # gate (makes room for q71_perplexity)
+    "q48_geodesic",
     "q02_derived_expr",
     "q22_topk_order",
     "q27_math",

@@ -280,3 +280,70 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("keep_rate") + 5e-12, 6).alias("keep_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q71 — corpus unigram-LM perplexity quality signal (operators/lm.py)
+# ---------------------------------------------------------------------------
+_Q71_MIN_COUNT = 2
+
+_Q71_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({DD_TOKENS.format(t='text')}) AS token
+      FROM documents
+    ), dtc AS (
+      SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+    ), vocab AS (
+      SELECT token, SUM(cnt) AS tf FROM dtc GROUP BY 1
+      HAVING SUM(cnt) >= {_Q71_MIN_COUNT}
+    ), denom AS (
+      SELECT (SELECT SUM(cnt) FROM dtc) AS n_corpus,
+             (SELECT COUNT(*) FROM vocab) AS v_vocab
+    ), scored AS (
+      SELECT d.doc_id,
+             -SUM(d.cnt * ln((COALESCE(v.tf, 0) + 1.0)
+                             / (m.n_corpus + m.v_vocab + 1.0)))
+               / SUM(d.cnt) / ln(2) AS bits_per_token,
+             SUM(d.cnt) AS n_tokens,
+             SUM(CASE WHEN v.tf IS NULL THEN d.cnt ELSE 0 END) * 1.0
+               / SUM(d.cnt) AS oov_ratio
+      FROM dtc d LEFT JOIN vocab v USING (token) CROSS JOIN denom m
+      GROUP BY d.doc_id
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(sc.n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(sc.bits_per_token) + 5e-10, 4) AS avg_bits_per_token,
+           ROUND(AVG(sc.oov_ratio) + 5e-12, 6) AS avg_oov_ratio
+    FROM scored sc JOIN documents s USING (doc_id)
+    GROUP BY s.source
+"""
+
+
+@register(
+    "q71_perplexity",
+    _Q71_ORACLE,
+    doc="Corpus-fit unigram LM (add-one smoothing over the min_count-"
+    "cut vocabulary + one OOV bucket) scoring every document's "
+    "bits-per-token and OOV ratio - the CCNet-style perplexity "
+    "quality signal - rolled up per source. operators/lm.py: one "
+    "explode, posting-list persist, token-keyed co-located join, "
+    "zero UDFs.",
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.lm import perplexity_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = perplexity_scores(docs, min_count=_Q71_MIN_COUNT)
+    return (
+        scores.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("bits_per_token") + 5e-10, 4).alias(
+                "avg_bits_per_token"
+            ),
+            F.round(F.avg("oov_ratio") + 5e-12, 6).alias("avg_oov_ratio"),
+        )
+    )

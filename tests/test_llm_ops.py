@@ -208,3 +208,34 @@ def test_scrub_pii_and_normalize(spark):
     assert out[2] == "server <IP> logs at <URL> end"
     assert out[3] == "no pii here just words"
     assert out[4] == "tabs and spaces and ctl"
+
+
+def test_unigram_perplexity_semantics(spark):
+    import math
+
+    from model_presto_spark.operators.lm import perplexity_scores
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),
+        (3, "zyx wvu tsr qpo"),  # all OOV at min_count=2
+        (4, "   "),  # whitespace-only: no perplexity row
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in perplexity_scores(df, min_count=2).collect()}
+    assert 4 not in out and set(out) == {1, 2, 3}
+    # duplicate corpus-typical docs score identically and lower than
+    # the all-OOV doc
+    assert out[1].bits_per_token == out[2].bits_per_token
+    assert out[1].bits_per_token < out[3].bits_per_token
+    assert out[1].oov_ratio == 0.0 and out[3].oov_ratio == 1.0
+    assert out[1].n_tokens == 6 and out[3].n_tokens == 4
+    # closed form: corpus has N=16 tokens, vocab {the(4), cat(2),
+    # sat(2), on(2), mat(2)} -> V=5, denominator N+V+1=22
+    n, v = 16, 5
+    lp = {"the": math.log(5 / 22), "cat": math.log(3 / 22),
+          "oov": math.log(1 / 22)}
+    expect1 = -(2 * lp["the"] + 4 * lp["cat"]) / 6 / math.log(2)
+    assert abs(out[1].bits_per_token - expect1) < 1e-12
+    expect3 = -lp["oov"] / math.log(2)
+    assert abs(out[3].bits_per_token - expect3) < 1e-12
