@@ -1040,6 +1040,7 @@ from model_presto_spark.plans import queries_ops3 as _queries_ops3  # noqa: E402
 from model_presto_spark.plans import queries_llm3 as _queries_llm3  # noqa: E402,F401
 from model_presto_spark.plans import queries_llm2 as _queries_llm2  # noqa: E402,F401
 from model_presto_spark.plans import queries_sql2 as _queries_sql2  # noqa: E402,F401
+from model_presto_spark.plans import queries_approx as _queries_approx  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
@@ -1108,6 +1109,10 @@ _ADJUDICATION_TAIL = [
     # series) and q47_terrain; geodesic keeps its oracle in the local
     # gate (makes room for q71_perplexity)
     "q48_geodesic",
+    # q08 parks in the tail: J2 inner equi-join + aggregate is
+    # adjudicated by q19 (three-way join stats) and q09/q10's join
+    # family (makes room for q72_sketches)
+    "q08_join_agg",
     "q02_derived_expr",
     "q22_topk_order",
     "q27_math",

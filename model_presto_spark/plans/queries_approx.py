@@ -1,0 +1,74 @@
+"""Conformance queries: sketch-based approximate analytics (round 3).
+
+At 100 TB, exact COUNT(DISTINCT) and exact percentiles are the
+expensive aggregations — both force all values of a group onto one
+reducer (or a full sort). The scale path is sketches: HyperLogLog++
+(`approx_count_distinct`) and the Greenwald-Khanna/KLL-style
+quantile summary (`percentile_approx`) are mergeable, constant-size
+per partition, and compose with map-side partial aggregation, so a
+1000-executor cluster aggregates them with one tiny shuffle.
+
+Sketch outputs are engine-specific, so they cannot be hash-compared
+against DuckDB directly. q72 therefore adjudicates the *error
+contract* instead: it computes both the exact and the sketched
+statistic per group in one aggregation and returns booleans
+asserting the sketch landed within its documented tolerance
+(HLL rsd 2% -> assert within 5%; percentile_approx accuracy 10000 ->
+assert within 1% relative + 1e-6). The oracle states the exact
+values and `TRUE` for every contract column — a sketch outside
+tolerance hash-mismatches the gate. The exact columns keep the
+query a real correctness check, not just a self-assertion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from model_presto_spark.plans.queries import _t, register
+
+# ---------------------------------------------------------------------------
+# Q72 — HLL distinct + approx percentile error contracts (events)
+# ---------------------------------------------------------------------------
+_Q72_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS hll_ok,
+           ROUND(quantile_cont(value, 0.5) + 5e-10, 4) AS p50_value,
+           ROUND(quantile_cont(value, 0.95) + 5e-10, 4) AS p95_value,
+           TRUE AS p50_ok,
+           TRUE AS p95_ok
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@register(
+    "q72_sketches",
+    _Q72_ORACLE,
+    doc="Sketch error contracts per event_type: HyperLogLog++ distinct "
+    "(rsd 2%, asserted within 5% of exact) and percentile_approx "
+    "(accuracy 10000, asserted within 1% relative of the exact "
+    "interpolated percentile) computed alongside the exact statistics "
+    "in one aggregation pass. The sketches are the 100 TB path; the "
+    "exact columns keep the oracle hash-comparable.",
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    exact_p50 = F.expr("percentile(value, 0.5)")
+    exact_p95 = F.expr("percentile(value, 0.95)")
+    apx_p50 = F.expr("percentile_approx(value, 0.5, 10000)")
+    apx_p95 = F.expr("percentile_approx(value, 0.95, 10000)")
+    exact_u = F.count_distinct(F.col("user_id"))
+    apx_u = F.expr("approx_count_distinct(user_id, 0.02)")
+    tol = lambda e, a: F.abs(a - e) <= F.abs(e) * 0.01 + 1e-6  # noqa: E731
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_u.alias("n_users"),
+        (F.abs(apx_u - exact_u) <= exact_u * 0.05).alias("hll_ok"),
+        F.round(exact_p50 + 5e-10, 4).alias("p50_value"),
+        F.round(exact_p95 + 5e-10, 4).alias("p95_value"),
+        tol(exact_p50, apx_p50).alias("p50_ok"),
+        tol(exact_p95, apx_p95).alias("p95_ok"),
+    )

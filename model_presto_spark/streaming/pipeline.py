@@ -141,3 +141,41 @@ def session_aggregate(
             "total",
         )
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[tuple[str, str]],
+    left_ts: str,
+    right_ts: str,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a time-interval bound:
+    right rows match left rows with the same key(s) and
+    ``left_ts <= right_ts <= left_ts + within``.
+
+    The watermark + time-range condition is what makes this run on an
+    unbounded stream: Spark derives a state-eviction bound from them,
+    so each side buffers only ``watermark + within`` of history per
+    key instead of the whole stream — state is O(arrival rate x
+    window), not O(stream length). ``how`` may be 'inner' or
+    'leftOuter' (outer emission waits for the watermark to prove no
+    match can still arrive). Column names must be disjoint across the
+    two sides (rename before joining) — the usual streaming-join
+    hygiene that keeps the output schema unambiguous.
+
+    Batch counterpart: the identical join condition on static frames
+    (or operators/temporal.interval_join for the banded shuffle plan);
+    parity is asserted in tests/test_streaming_parity.py.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (F.col(right_ts) >= F.col(left_ts)) & (
+        F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}")
+    )
+    for lk, rk in on:
+        cond = cond & (F.col(lk) == F.col(rk))
+    return l.join(r, cond, how)

@@ -173,3 +173,41 @@ def test_session_aggregate_matches_batch(spark, events_landing, tmp_path):
     g = sorted(map(key, got.collect()))
     w = sorted(map(key, want.collect()))
     assert g == w and len(g) > 50
+
+
+def test_stream_stream_join_matches_batch(spark, events_landing, tmp_path):
+    """Watermarked stream-stream interval join == the identical batch
+    join: views (even event_id) joined to clicks (odd event_id) of
+    the same user within 6 hours."""
+    from model_presto_spark.streaming.pipeline import stream_stream_join
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def sides(df):
+        views = df.where(F.col("event_id") % 2 == 0).select(
+            F.col("user_id").alias("view_user"), F.col("ts").alias("view_ts")
+        )
+        clicks = df.where(F.col("event_id") % 2 == 1).select(
+            F.col("user_id").alias("click_user"), F.col("ts").alias("click_ts")
+        )
+        return views, clicks
+
+    sv, sc = sides(spark.readStream.schema(schema).parquet(events_landing))
+    joined = stream_stream_join(
+        sv, sc, [("view_user", "click_user")], "view_ts", "click_ts",
+        within="6 hours", watermark="365 days",
+    )
+    got = _run_to_memory(
+        spark, joined, "ssj_parity", str(tmp_path / "ck_ssj"), mode="append"
+    )
+
+    bv, bc = sides(spark.read.schema(schema).parquet(events_landing))
+    want = bv.join(
+        bc,
+        (F.col("view_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 6 hours")),
+    )
+    g = {(r.view_user, str(r.view_ts), str(r.click_ts)) for r in got.collect()}
+    w = {(r.view_user, str(r.view_ts), str(r.click_ts)) for r in want.collect()}
+    assert g == w and len(g) > 50
