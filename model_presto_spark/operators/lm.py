@@ -104,3 +104,58 @@ def perplexity_scores(
             (F.sum(F.when(F.col("tf").isNull(), F.col("cnt")).otherwise(0)) / F.sum("cnt")).alias("oov_ratio"),
         )
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k characteristic terms per group by TF-IDF: group-level
+    term frequency x smoothed inverse *document* frequency
+    (``idf = ln((n_docs+1)/(df+1)) + 1``). The per-group profile an
+    LLM pipeline uses for domain fingerprinting / mixture sanity
+    checks.
+
+    Same posting-list backbone as perplexity_scores: one explode,
+    then every downstream relation is a token- or group-keyed
+    aggregation (map-side combinable). Ranking ties are broken on
+    the rounded score then the token so the top-k frontier is
+    deterministic and cross-engine stable.
+    """
+    from pyspark.sql import Window
+
+    dtc = doc_token_counts(docs, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dfreq = dtc.groupBy("token").agg(F.count("*").alias("dfq"))
+    nd = dtc.agg(F.count_distinct(id_col).alias("n_docs"))
+    src = (
+        dtc.join(docs.select(id_col, group_col), id_col)
+        .groupBy(group_col, "token")
+        .agg(F.sum("cnt").alias("tf_s"))
+    )
+    scored = (
+        src.join(dfreq, "token")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score",
+            F.col("tf_s")
+            * (F.log((F.col("n_docs") + 1.0) / (F.col("dfq") + 1.0)) + 1.0),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            group_col,
+            "rank",
+            "token",
+            F.round(F.col("score") + F.lit(5e-10), 4).alias("score"),
+        )
+    )

@@ -1113,6 +1113,9 @@ _ADJUDICATION_TAIL = [
     # adjudicated by q19 (three-way join stats) and q09/q10's join
     # family (makes room for q72_sketches)
     "q08_join_agg",
+    # q26 parks in the tail: F2-F4 split/regex are adjudicated via
+    # the regex-heavy q36/q37/q61/q66 (makes room for q73_tfidf)
+    "q26_strings",
     "q02_derived_expr",
     "q22_topk_order",
     "q27_math",

@@ -347,3 +347,55 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("oov_ratio") + 5e-12, 6).alias("avg_oov_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q73 — TF-IDF characteristic terms per source (operators/lm.py)
+# ---------------------------------------------------------------------------
+_Q73_K = 10
+
+_Q73_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({DD_TOKENS.format(t='text')}) AS token
+      FROM documents
+    ), dtc AS (
+      SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS dfq FROM dtc GROUP BY 1
+    ), nd AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dtc
+    ), src AS (
+      SELECT d.source, t.token, SUM(t.cnt) AS tf_s
+      FROM dtc t JOIN documents d USING (doc_id)
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT s.source, s.token,
+             s.tf_s * (ln((nd.n_docs + 1.0) / (f.dfq + 1.0)) + 1.0) AS score
+      FROM src s JOIN dfreq f USING (token) CROSS JOIN nd
+    ), ranked AS (
+      SELECT source, token, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ROUND(score, 6) DESC, token
+             ) AS rk
+      FROM scored
+    )
+    SELECT source, CAST(rk AS INT) AS rank, token,
+           ROUND(score + 5e-10, 4) AS score
+    FROM ranked WHERE rk <= {_Q73_K}
+"""
+
+
+@register(
+    "q73_tfidf",
+    _Q73_ORACLE,
+    doc="Top-10 characteristic terms per source by TF-IDF (group term "
+    "frequency x smoothed inverse document frequency) - the domain-"
+    "fingerprinting profile over the corpus posting list. Determinism: "
+    "rank on (rounded score desc, token).",
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.lm import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=_Q73_K)

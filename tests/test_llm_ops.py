@@ -239,3 +239,21 @@ def test_unigram_perplexity_semantics(spark):
     assert abs(out[1].bits_per_token - expect1) < 1e-12
     expect3 = -lp["oov"] / math.log(2)
     assert abs(out[3].bits_per_token - expect3) < 1e-12
+
+
+def test_tfidf_top_terms_distinctive_words(spark):
+    from model_presto_spark.operators.lm import tfidf_top_terms
+
+    rows = [
+        (1, "a", "common words plus quantum flux quantum"),
+        (2, "a", "common words plus quantum"),
+        (3, "b", "common words plus farming soil farming"),
+        (4, "b", "common words plus farming"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    top = {
+        r.source: r.token
+        for r in tfidf_top_terms(df, k=1).collect()
+    }
+    # the group-exclusive term wins over corpus-wide stopwords
+    assert top == {"a": "quantum", "b": "farming"}
