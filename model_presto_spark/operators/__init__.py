@@ -34,6 +34,11 @@ from model_presto_spark.operators.knn import (
     quantize_vectors,
     quantized_knn_join,
 )
+from model_presto_spark.operators.lm import (
+    perplexity_scores,
+    tfidf_top_terms,
+)
+from model_presto_spark.operators.packing import pack_sequences, prefix_sum
 from model_presto_spark.operators.skew import salted_count, salted_join
 from model_presto_spark.operators.splits import (
     balanced_sample,
@@ -66,6 +71,10 @@ __all__ = [
     "build_ivf_index",
     "ivf_index_search",
     "ngram_contamination",
+    "pack_sequences",
+    "perplexity_scores",
+    "prefix_sum",
+    "tfidf_top_terms",
     "quantize_vectors",
     "quantized_knn_join",
     "connected_components",

@@ -1116,6 +1116,12 @@ _ADJUDICATION_TAIL = [
     # q26 parks in the tail: F2-F4 split/regex are adjudicated via
     # the regex-heavy q36/q37/q61/q66 (makes room for q73_tfidf)
     "q26_strings",
+    # q62 parks in the tail: running-total-until-budget semantics are
+    # adjudicated via q53 (running frames) and q74 (prefix-sum
+    # packing, the strictly stronger distributed form); the stateful
+    # streaming twin keeps its golden test (makes room for
+    # q74_seq_packing)
+    "q62_token_budget",
     "q02_derived_expr",
     "q22_topk_order",
     "q27_math",

@@ -399,3 +399,64 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, k=_Q73_K)
+
+
+# ---------------------------------------------------------------------------
+# Q74 — sequence packing (operators/packing.py, distributed prefix sum)
+# ---------------------------------------------------------------------------
+_Q74_L = 512
+
+_Q74_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({DD_TOKENS.format(t='text')}) AS n_tok,
+             CAST(('0x' || substr(md5('pack#' || CAST(doc_id AS VARCHAR)),
+                   1, 15)) AS BIGINT) AS rk
+      FROM documents
+    ), nz AS (
+      SELECT * FROM t WHERE n_tok > 0
+    ), cum AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY rk, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS tok_end
+      FROM nz
+    ), spans AS (
+      SELECT doc_id, n_tok, tok_end, tok_end - n_tok AS s,
+             unnest(generate_series(
+               CAST(FLOOR((tok_end - n_tok) / {_Q74_L}.0) AS BIGINT),
+               CAST(FLOOR((tok_end - 1) / {_Q74_L}.0) AS BIGINT))) AS bin_id
+      FROM cum
+    )
+    SELECT bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEAST(tok_end, (bin_id + 1) * {_Q74_L})
+                    - GREATEST(s, bin_id * {_Q74_L})) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN s < bin_id * {_Q74_L} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_carried
+    FROM spans GROUP BY bin_id
+"""
+
+
+@register(
+    "q74_seq_packing",
+    _Q74_ORACLE,
+    doc="GPT-style sequence packing: documents laid end-to-end in "
+    "deterministic h60 order, token stream cut every 512 tokens "
+    "(documents split at boundaries). Spark side runs the two-phase "
+    "distributed prefix sum (operators/packing.py) - no global-order "
+    "single-task window; the oracle states the equivalent global "
+    "window. Per-bin docs/tokens/carried-doc counts.",
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", F.size(T.tokens(F.col("text"))).alias("n_tok")
+    )
+    packed = pack_sequences(lens, "n_tok", _Q74_L)
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens_in_bin").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("carried").cast("int")).cast("bigint").alias("n_carried"),
+    )
