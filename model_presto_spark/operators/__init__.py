@@ -39,6 +39,11 @@ from model_presto_spark.operators.lm import (
     tfidf_top_terms,
 )
 from model_presto_spark.operators.packing import pack_sequences, prefix_sum
+from model_presto_spark.operators.pq import (
+    pq_encode,
+    pq_knn_join,
+    train_pq_codebooks,
+)
 from model_presto_spark.operators.skew import salted_count, salted_join
 from model_presto_spark.operators.splits import (
     balanced_sample,
@@ -72,6 +77,9 @@ __all__ = [
     "ivf_index_search",
     "ngram_contamination",
     "pack_sequences",
+    "pq_encode",
+    "pq_knn_join",
+    "train_pq_codebooks",
     "perplexity_scores",
     "prefix_sum",
     "tfidf_top_terms",
