@@ -55,20 +55,39 @@ _Q72_ORACLE = """
     "exact columns keep the oracle hash-comparable.",
 )
 def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two narrow aggregations joined on the tiny group key, NOT one
+    # combined agg: mixing count_distinct with sketch/percentile
+    # aggregates forces a two-phase ObjectHashAggregate keyed by
+    # (event_type, user_id) in which the ~410-long HLL buffer and the
+    # exact-percentile value buffers ride a 400+-column shuffle row —
+    # plan-audited at 4.6s vs ~0.6s for this split at sf0.1.
     ev = _t(spark, sf_dir, "events")
     exact_p50 = F.expr("percentile(value, 0.5)")
     exact_p95 = F.expr("percentile(value, 0.95)")
     apx_p50 = F.expr("percentile_approx(value, 0.5, 10000)")
     apx_p95 = F.expr("percentile_approx(value, 0.95, 10000)")
-    exact_u = F.count_distinct(F.col("user_id"))
     apx_u = F.expr("approx_count_distinct(user_id, 0.02)")
     tol = lambda e, a: F.abs(a - e) <= F.abs(e) * 0.01 + 1e-6  # noqa: E731
-    return ev.groupBy("event_type").agg(
+    sketches = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        exact_u.alias("n_users"),
-        (F.abs(apx_u - exact_u) <= exact_u * 0.05).alias("hll_ok"),
+        apx_u.alias("__apx_u"),
         F.round(exact_p50 + 5e-10, 4).alias("p50_value"),
         F.round(exact_p95 + 5e-10, 4).alias("p95_value"),
         tol(exact_p50, apx_p50).alias("p50_ok"),
         tol(exact_p95, apx_p95).alias("p95_ok"),
+    )
+    exact_users = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_users")
+    )
+    return sketches.join(exact_users, "event_type").select(
+        "event_type",
+        "n_events",
+        "n_users",
+        (F.abs(F.col("__apx_u") - F.col("n_users")) <= F.col("n_users") * 0.05).alias(
+            "hll_ok"
+        ),
+        "p50_value",
+        "p95_value",
+        "p50_ok",
+        "p95_ok",
     )
