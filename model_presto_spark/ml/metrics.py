@@ -119,3 +119,38 @@ def cohens_kappa(df: DataFrame, label: str, pred: str) -> DataFrame:
     spark = df.sparkSession
     kappa = (po - marg) / (1.0 - marg) if marg < 1.0 else 1.0
     return spark.createDataFrame([(float(kappa),)], "kappa: double")
+
+
+def binary_auc(df: DataFrame, score: str, label: str) -> DataFrame:
+    """Exact ROC-AUC as the Mann-Whitney rank-sum statistic, computed
+    scale-out: ``AUC = Σ_s n_pos(s)·(cum_neg_below(s) + n_neg(s)/2)
+    / (N_pos·N_neg)`` over per-distinct-score counts. No global-order
+    single-task window: scores aggregate by value (one shuffle), the
+    cumulative-negatives term runs through the two-phase distributed
+    prefix sum (operators/packing.prefix_sum), and the totals ride a
+    broadcast crossJoin. Ties get the standard midrank 0.5 credit.
+    Returns one row: (auc, n_pos, n_neg)."""
+    from model_presto_spark.operators.packing import prefix_sum
+
+    y = F.col(label).cast("int")
+    per = df.groupBy(F.col(score).alias("__s")).agg(
+        F.sum(y).alias("__np"), F.sum(1 - y).alias("__nn")
+    )
+    cum = prefix_sum(per, ["__s"], "__nn", "__cn")
+    tot = df.agg(
+        F.sum(y).alias("__tp"), F.sum(1 - y).alias("__tn")
+    )
+    contrib = cum.select(
+        (
+            F.col("__np")
+            * (F.col("__cn") - F.col("__nn") + F.col("__nn") / 2.0)
+        ).alias("__c")
+    ).agg(F.sum("__c").alias("__num"))
+    return (
+        contrib.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("__num") / (F.col("__tp") * F.col("__tn"))).alias("auc"),
+            F.col("__tp").cast("bigint").alias("n_pos"),
+            F.col("__tn").cast("bigint").alias("n_neg"),
+        )
+    )

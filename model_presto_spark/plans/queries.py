@@ -1122,6 +1122,14 @@ _ADJUDICATION_TAIL = [
     # streaming twin keeps its golden test (makes room for
     # q74_seq_packing)
     "q62_token_budget",
+    # q57 parks in the tail: the grid pipeline composes F24/F25/W7
+    # pieces adjudicated via q47 + q58 + t:test_heads_geo_grid
+    # (makes room for q75_auc)
+    "q57_grid_pipeline",
+    # q42 parks in the tail: W4 capped split shares the rank+filter
+    # machinery adjudicated via q21 top-N per group; exact split
+    # semantics keep their unit tests (makes room for q76_pivot)
+    "q42_capped_split",
     "q02_derived_expr",
     "q22_topk_order",
     "q27_math",

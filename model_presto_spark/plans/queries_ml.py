@@ -183,3 +183,55 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("budget", "rc_budget")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q75 — exact distributed ROC-AUC (ml/metrics.binary_auc)
+# ---------------------------------------------------------------------------
+_Q75_ORACLE = """
+    WITH scored AS (
+      SELECT embedding[1] + (label - 4.5) * 0.3 AS s,
+             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ), per AS (
+      SELECT s, SUM(y) AS np, SUM(1 - y) AS nn
+      FROM scored GROUP BY s
+    ), cum AS (
+      SELECT np, nn,
+             SUM(nn) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cn
+      FROM per
+    ), tot AS (
+      SELECT SUM(y) AS tp, SUM(1 - y) AS tn FROM scored
+    )
+    SELECT ROUND(SUM(np * (cn - nn + nn / 2.0))
+                 / (tot.tp * tot.tn) + 5e-12, 6) AS auc,
+           CAST(tot.tp AS BIGINT) AS n_pos,
+           CAST(tot.tn AS BIGINT) AS n_neg
+    FROM cum CROSS JOIN tot
+    GROUP BY tot.tp, tot.tn
+"""
+
+
+@register(
+    "q75_auc",
+    _Q75_ORACLE,
+    doc="Exact ROC-AUC as the Mann-Whitney rank-sum, computed without "
+    "a global-order window: per-score counts (one shuffle), "
+    "cumulative negatives via the two-phase distributed prefix sum, "
+    "broadcast totals. Midrank tie credit. Score/label derived "
+    "deterministically from the embeddings table.",
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.ml.metrics import binary_auc
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        (
+            F.element_at(F.col("embedding").cast("array<double>"), 1)
+            + (F.col("label") - 4.5) * 0.3
+        ).alias("s"),
+        (F.col("label") >= 5).cast("int").alias("y"),
+    )
+    return binary_auc(scored, "s", "y").select(
+        F.round(F.col("auc") + 5e-12, 6).alias("auc"), "n_pos", "n_neg"
+    )

@@ -133,3 +133,48 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.lag("v").over(w), F.lit(0.0)) + 5e-12, 4
         ).alias("prev_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q76 — pivot (wide conditional aggregation) of the events stream
+# ---------------------------------------------------------------------------
+_Q76_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_Q76_ORACLE = """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(COUNT(*) AS BIGINT) AS total
+    FROM events
+    GROUP BY 1
+"""
+
+
+@register(
+    "q76_pivot",
+    _Q76_ORACLE,
+    doc="Relational pivot: one row per day, one count column per "
+    "event_type (explicit value list so the output schema is static "
+    "- the Spark pivot plans as a single wide conditional "
+    "aggregation, no second pass to discover values). Missing "
+    "(day, type) combos coalesce to 0.",
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.withColumn("day", F.col("ts").cast("date"))
+        .groupBy("day")
+        .pivot("event_type", list(_Q76_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [
+        F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t)
+        for t in _Q76_TYPES
+    ]
+    total = sum(
+        (F.coalesce(F.col(t), F.lit(0)) for t in _Q76_TYPES), F.lit(0)
+    )
+    return wide.select("day", *cols, total.cast("bigint").alias("total"))

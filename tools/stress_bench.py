@@ -169,12 +169,52 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     clustered = dedup_clusters(docs.select("doc_id"), mh, "doc_id")
     n_clusters = clustered.select("cluster").distinct().count()
     timings["cc_clusters"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    # round-3 ops: distributed-prefix-sum packing, unigram-LM
+    # perplexity, PQ encode + ADC top-k
+    from model_presto_spark.functions.text import tokens
+    from model_presto_spark.operators.lm import perplexity_scores
+    from model_presto_spark.operators.packing import pack_sequences
+    from model_presto_spark.operators.pq import (
+        pq_encode,
+        pq_knn_join,
+        train_pq_codebooks,
+    )
+
+    t0 = time.time()
+    lens = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tok"))
+    n_bins = (
+        pack_sequences(lens, "n_tok", 512).select("bin_id").distinct().count()
+    )
+    timings["seq_packing"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    n_scored = perplexity_scores(docs).count()
+    timings["perplexity"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    books = train_pq_codebooks(emb, "embedding", m=8, n_codes=16,
+                               sample_limit=2000)
+    enc = pq_encode(
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding")),
+        "cand_id", "embedding", books,
+    )
+    n_pq = pq_knn_join(
+        probes, enc, "probe_id", "cand_id", books, k=5
+    ).count()
+    timings["pq_adc"] = time.time() - t0
 
     timings["_counts"] = {  # type: ignore[assignment]
         "minhash_pairs": n_mh,
         "ngram_pairs": n_ng,
         "ann_rows": n_ann,
         "clusters": n_clusters,
+        "pack_bins": n_bins,
+        "scored_docs": n_scored,
+        "pq_rows": n_pq,
     }
     return timings
 
@@ -205,6 +245,9 @@ def main() -> int:
         "ngram_jaccard_fast",
         "ann_lsh",
         "cc_clusters",
+        "seq_packing",
+        "perplexity",
+        "pq_adc",
     ):
         r = results[big_tag][op] / max(results[small_tag][op], 1e-9)
         exponents[op] = round(math.log(r) / math.log(ratio_n), 3)
