@@ -5,6 +5,7 @@ AND across query restarts via the checkpoint."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -95,3 +96,80 @@ def test_streaming_budget_equals_batch_analog(spark, tmp_path):
         budget=2000,
     )
     assert out == batch and len(out) > 0
+
+
+def test_transform_with_state_dedup(spark, tmp_path):
+    """transformWithStateInPandas first-seen dedup: duplicates
+    collapse across micro-batches without any event-time column, and
+    a second wave arriving later (same checkpoint) is still deduped
+    against the state-store ledger.
+
+    The transformWithState Python protocol needs google.protobuf
+    (not shipped in this container) — skip cleanly when absent; the
+    operator itself is protocol-complete (streaming/tws.py)."""
+    import importlib.util
+
+    import pandas as pd
+
+    try:
+        if importlib.util.find_spec("google.protobuf") is None:
+            raise ModuleNotFoundError
+    except ModuleNotFoundError:
+        pytest.skip("google.protobuf not installed (transformWithState protocol)")
+
+    from model_presto_spark.streaming.tws import dedup_stream_ttl
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        landing = tmp_path / "tws_landing"
+        landing.mkdir()
+        out_dir = str(tmp_path / "tws_out")
+        ckpt = str(tmp_path / "tws_ck")
+
+        def write_wave(name, rows):
+            pd.DataFrame(rows, columns=["fp", "payload"]).to_parquet(
+                str(landing / name)
+            )
+
+        # wave 1: keys a,b,c with duplicates in-batch
+        write_wave("w1.parquet", [("a", 1), ("a", 2), ("b", 3), ("c", 4)])
+
+        def run():
+            stream = spark.readStream.schema("fp string, payload bigint").parquet(
+                str(landing)
+            )
+            q = (
+                dedup_stream_ttl(stream, ["fp"])
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        got1 = spark.read.parquet(out_dir).collect()
+        assert sorted(r.fp for r in got1) == ["a", "b", "c"]
+
+        # wave 2: replays a+b (must NOT re-emit — cross-batch ledger),
+        # introduces d (must emit)
+        write_wave("w2.parquet", [("a", 9), ("b", 9), ("d", 5)])
+        run()
+        got2 = spark.read.parquet(out_dir).collect()
+        assert sorted(r.fp for r in got2) == ["a", "b", "c", "d"]
+        # the replayed 'a' kept its first payload
+        pays = {r.fp: r.payload for r in got2}
+        assert pays["a"] in (1, 2) and pays["d"] == 5
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
