@@ -279,3 +279,43 @@ def hash_rank_sample(
         .filter(F.col("__rn") <= k)
         .drop("__hk", "__rn")
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata_cols: list[str] | None = None,
+    salt: str = "wsmp",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spiridakis A-Res): each row draws the reproducible
+    uniform ``u = (h60(salt#key) + 0.5) / 2^60`` and is ranked by
+    ``-ln(u) / w`` — keeping the k smallest is exactly a weighted
+    sample without replacement with inclusion odds proportional to
+    ``weight_col``. Per stratum when ``strata_cols`` is given.
+
+    Same determinism contract as hash_rank_sample (uniform cousin):
+    no RNG state, identical across runs/engines/cluster sizes, and
+    sampled rows stay sampled under corpus growth. One window
+    shuffle; the exponential-race key is what makes weighted
+    reservoir sampling mergeable at 100 TB (per-partition top-k then
+    global top-k works on the same key — A-Res is associative)."""
+    from model_presto_spark.functions.text import h60
+
+    u = (
+        h60(F.concat(F.lit(salt + "#"), F.col(key_col).cast("string")))
+        + F.lit(0.5)
+    ) / F.lit(float(2**60))
+    keyed = df.withColumn(
+        "__wk", -F.log(u) / F.col(weight_col).cast("double")
+    )
+    w = Window.partitionBy(
+        *[F.col(c) for c in (strata_cols or [])]
+    ).orderBy(F.col("__wk").asc(), F.col(key_col).asc())
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .drop("__wk")
+    )

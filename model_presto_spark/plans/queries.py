@@ -1130,6 +1130,14 @@ _ADJUDICATION_TAIL = [
     # machinery adjudicated via q21 top-N per group; exact split
     # semantics keep their unit tests (makes room for q76_pivot)
     "q42_capped_split",
+    # q29 parks in the tail: A14 metric aggregates are adjudicated
+    # via q75 (distributed AUC) in the head plus q44's oracle in the
+    # local gate and t:test_ml (makes room for q77_cube)
+    "q29_confusion",
+    # q39 parks in the tail: A11 exact distinct is adjudicated via
+    # q72 (n_users beside the HLL contract); the h60 fingerprint
+    # family via q31/q74 (makes room for q78_weighted_sample)
+    "q39_fingerprint_stats",
     "q02_derived_expr",
     "q22_topk_order",
     "q27_math",

@@ -460,3 +460,50 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens_in_bin").cast("bigint").alias("n_tokens"),
         F.sum(F.col("carried").cast("int")).cast("bigint").alias("n_carried"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q78 — weighted sampling without replacement (splits.weighted_hash_sample)
+# ---------------------------------------------------------------------------
+_Q78_K = 15
+
+_Q78_ORACLE = f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             -ln((CAST(('0x' || substr(md5('wsmp#' || CAST(doc_id AS VARCHAR)),
+                        1, 15)) AS BIGINT) + 0.5) / 1152921504606846976.0)
+               / n_chars AS wk
+      FROM documents
+    ), ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY wk, doc_id) AS sample_rank
+      FROM keyed
+    )
+    SELECT source, doc_id, CAST(n_chars AS INT) AS n_chars,
+           CAST(sample_rank AS INT) AS sample_rank
+    FROM ranked WHERE sample_rank <= {_Q78_K}
+"""
+
+
+@register(
+    "q78_weighted_sample",
+    _Q78_ORACLE,
+    doc="Efraimidis-Spiridakis weighted sampling without replacement, "
+    "deterministic: exponential-race key -ln(u)/w with the md5-derived "
+    "uniform, 15 docs per source weighted by n_chars. Reproducible "
+    "across engines/cluster sizes and mergeable (per-partition top-k "
+    "then global top-k on the same key).",
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.splits import weighted_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_hash_sample(
+        docs.select("source", "doc_id", "n_chars"),
+        "doc_id", "n_chars", _Q78_K, strata_cols=["source"],
+    ).select(
+        "source", "doc_id",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        "sample_rank",
+    )

@@ -178,3 +178,31 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col(t), F.lit(0)) for t in _Q76_TYPES), F.lit(0)
     )
     return wide.select("day", *cols, total.cast("bigint").alias("total"))
+
+
+# ---------------------------------------------------------------------------
+# Q77 — CUBE grouping sets with GROUPING() provenance flags
+# ---------------------------------------------------------------------------
+@register(
+    "q77_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over (returnflag, linestatus) with per-column GROUPING "
+    "flags disambiguating subtotal rows from real NULL groups - all "
+    "2^2 grouping sets in one pass (Catalyst Expand).",
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )

@@ -76,3 +76,26 @@ def test_early_stopping():
     assert stops == [False, False, False, True]
     es2 = EarlyStopping(patience=2)
     assert not any(es2.should_stop(v) for v in [3.0, 2.0, 1.0, 0.5])
+
+
+def test_weighted_hash_sample_properties(spark):
+    from model_presto_spark.operators.splits import weighted_hash_sample
+
+    rows = [(i, "s", 1.0) for i in range(100)] + [(100, "s", 1e9)]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string, w double")
+    got = weighted_hash_sample(df, "doc_id", "w", 10, strata_cols=["src"])
+    out = got.collect()
+    assert len(out) == 10
+    # the ~1e9x-weight row wins the exponential race
+    ranks = {r.doc_id: r.sample_rank for r in out}
+    assert ranks[100] == 1
+    # deterministic across invocations
+    again = {r.doc_id: r.sample_rank for r in
+             weighted_hash_sample(df, "doc_id", "w", 10,
+                                  strata_cols=["src"]).collect()}
+    assert again == ranks
+    # per-stratum cap respected with two strata
+    two = df.withColumn("src", (F.col("doc_id") % 2).cast("string"))
+    per = (weighted_hash_sample(two, "doc_id", "w", 7, strata_cols=["src"])
+           .groupBy("src").count().collect())
+    assert {r["count"] for r in per} == {7}
