@@ -19,7 +19,7 @@ only shuffle is the fact aggregation itself.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _AGGS = {
@@ -150,3 +150,37 @@ def patch_pool(
         )
         .agg(_AGGS[agg](F.col(value_col)).alias("pooled"))
     )
+
+
+def interpolate_series(
+    df: DataFrame, entity_col: str, idx_col: str, value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear gap-fill of a row-form series: null ``value_col`` rows
+    get ``prev + (next - prev) * (idx - prev_idx) / (next_idx -
+    prev_idx)`` from the nearest non-null neighbors within the
+    entity; leading/trailing gaps take the nearest available value
+    (ffill/bfill). ``idx_col`` must be numeric (day index, epoch...).
+
+    One shuffle on the entity key; the four neighbor lookups are
+    IGNORE NULLS window functions over the same sort, so Catalyst
+    evaluates them in a single Window stage per direction — the
+    standard scale-out gap-fill (no per-entity collect, no UDF).
+    Pair with a spine join (month_spine / a generate_series cross
+    join) to materialize the missing rows first."""
+    out = out_col or value_col
+    v, i = F.col(value_col), F.col(idx_col)
+    w = Window.partitionBy(entity_col).orderBy(idx_col)
+    back = w.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    prev_v = F.last(v, ignorenulls=True).over(back)
+    prev_i = F.last(F.when(v.isNotNull(), i), ignorenulls=True).over(back)
+    next_v = F.first(v, ignorenulls=True).over(fwd)
+    next_i = F.first(F.when(v.isNotNull(), i), ignorenulls=True).over(fwd)
+    interp = prev_v + (next_v - prev_v) * (i - prev_i) / (next_i - prev_i)
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+        .otherwise(F.coalesce(prev_v, next_v))
+    )
+    return df.withColumn(out, filled)

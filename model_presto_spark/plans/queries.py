@@ -1138,6 +1138,11 @@ _ADJUDICATION_TAIL = [
     # q72 (n_users beside the HLL contract); the h60 fingerprint
     # family via q31/q74 (makes room for q78_weighted_sample)
     "q39_fingerprint_stats",
+    # q11 parks in the tail: semi/anti join semantics are adjudicated
+    # via q60 (broadcast anti decontamination) and the anti-join
+    # keep-representatives path inside q31/q67 (makes room for
+    # q79_gap_fill)
+    "q11_semi_anti",
     "q02_derived_expr",
     "q22_topk_order",
     "q27_math",

@@ -307,3 +307,87 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q79 — spine join + linear gap-fill (timeseries.interpolate_series)
+# ---------------------------------------------------------------------------
+_Q79_ORACLE = """
+    WITH days AS (
+      SELECT unnest(generate_series(0, 29)) AS day_idx
+    ), users AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id < 20
+    ), spine AS (
+      SELECT u.user_id, d.day_idx FROM users u CROSS JOIN days d
+    ), daily AS (
+      SELECT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+             AVG(value) AS v
+      FROM events WHERE user_id < 20
+      GROUP BY 1, 2
+    ), joined AS (
+      SELECT s.user_id, s.day_idx, d.v
+      FROM spine s LEFT JOIN daily d USING (user_id, day_idx)
+    ), neigh AS (
+      SELECT user_id, day_idx, v,
+        LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN day_idx END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+        FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day_idx
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day_idx END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day_idx
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+      FROM joined
+    )
+    SELECT user_id, CAST(day_idx AS INT) AS day_idx,
+           CAST(v IS NULL AS BOOLEAN) AS was_gap,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (day_idx - pi) / (ni - pi)
+             ELSE COALESCE(pv, nv)
+           END + 5e-10, 4) AS value_filled
+    FROM neigh
+"""
+
+
+@register(
+    "q79_gap_fill",
+    _Q79_ORACLE,
+    doc="Daily spine join + linear interpolation of missing days per "
+    "user (timeseries.interpolate_series): nearest non-null neighbors "
+    "via IGNORE NULLS windows in one shuffle on the entity key; "
+    "ffill/bfill at the edges; was_gap marks synthesized rows.",
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.timeseries import interpolate_series
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    daily = (
+        ev.withColumn(
+            "day_idx",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")),
+        )
+        .groupBy("user_id", "day_idx")
+        .agg(F.avg("value").alias("v"))
+    )
+    spine = (
+        daily.select("user_id")
+        .distinct()
+        .crossJoin(
+            _t(spark, sf_dir, "events")
+            .sparkSession.range(0, 30)
+            .select(F.col("id").cast("int").alias("day_idx"))
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day_idx"], "left")
+    filled = interpolate_series(joined, "user_id", "day_idx", "v", "vf")
+    return filled.select(
+        "user_id",
+        F.col("day_idx").cast("int").alias("day_idx"),
+        F.col("v").isNull().alias("was_gap"),
+        F.round(F.col("vf") + 5e-10, 4).alias("value_filled"),
+    )

@@ -129,3 +129,23 @@ def test_mix_plan_and_apply(spark):
     # cap: huge budget -> rate 1.0 -> everything kept
     plan_all = mix_plan(df, "source", w, F.col("n_tok"), budget_tokens=10**9)
     assert apply_mix(df, plan_all, "source", "id").count() == 40
+
+
+def test_interpolate_series_golden(spark):
+    from model_presto_spark.operators.timeseries import interpolate_series
+
+    rows = [
+        ("a", 0, 10.0), ("a", 1, None), ("a", 2, None), ("a", 3, 40.0),
+        ("a", 4, None),            # trailing gap -> bfill/ffill = 40
+        ("b", 0, None), ("b", 1, 5.0),  # leading gap -> 5
+        ("c", 0, None),            # all-null entity stays null
+    ]
+    df = spark.createDataFrame(rows, "e string, i int, v double")
+    got = {
+        (r.e, r.i): r.vf
+        for r in interpolate_series(df, "e", "i", "v", "vf").collect()
+    }
+    assert got[("a", 1)] == 20.0 and got[("a", 2)] == 30.0  # linear
+    assert got[("a", 4)] == 40.0   # trailing ffill
+    assert got[("b", 0)] == 5.0    # leading bfill
+    assert got[("c", 0)] is None   # nothing to fill from
