@@ -91,3 +91,32 @@ def test_hdf5_roundtrip(variables):
         assert np.array_equal(got[name].astype("f8"), arr.astype("f8"))
         # the subset codec preserves these dtypes exactly
         assert got[name].dtype == arr.dtype
+
+
+# --- WAV -------------------------------------------------------------------
+
+@st.composite
+def wave_arrays(draw):
+    n = draw(st.integers(1, 500))
+    ch = draw(st.integers(1, 4))
+    fmt = draw(st.sampled_from(["int16", "float32"]))
+    rate = draw(st.sampled_from([4000, 8000, 16000, 44100]))
+    x = draw(
+        arrays(
+            "f8", (n, ch),
+            elements=st.floats(-1.0, 1.0, allow_nan=False, width=32),
+        )
+    )
+    return x, ch, fmt, rate
+
+
+@PURE
+@given(wave_arrays())
+def test_wav_roundtrip_property(case):
+    from model_presto_spark.sources.wav import decode_wav, encode_wav
+
+    x, ch, fmt, rate = case
+    y, got_rate = decode_wav(encode_wav(x, rate, fmt))
+    assert got_rate == rate and y.shape == x.shape
+    tol = 1.0 / 32000 if fmt == "int16" else 1e-6
+    assert np.max(np.abs(y - x)) <= tol
