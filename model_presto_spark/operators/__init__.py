@@ -34,6 +34,11 @@ from model_presto_spark.operators.knn import (
     quantize_vectors,
     quantized_knn_join,
 )
+from model_presto_spark.operators.bpe import (
+    apply_bpe,
+    train_bpe_merges,
+    word_freqs,
+)
 from model_presto_spark.operators.lm import (
     perplexity_scores,
     tfidf_top_terms,
@@ -76,6 +81,9 @@ __all__ = [
     "build_ivf_index",
     "ivf_index_search",
     "ngram_contamination",
+    "apply_bpe",
+    "train_bpe_merges",
+    "word_freqs",
     "pack_sequences",
     "pq_encode",
     "pq_knn_join",
