@@ -14,7 +14,9 @@ contract* instead: it computes both the exact and the sketched
 statistic per group in one aggregation and returns booleans
 asserting the sketch landed within its documented tolerance
 (HLL rsd 2% -> assert within 5%; percentile_approx accuracy 10000 ->
-assert within 1% relative + 1e-6). The oracle states the exact
+assert rank-window containment between the exact p±2% percentiles,
+since the sketch's guarantee is a rank bound, not a value bound).
+The oracle states the exact
 values and `TRUE` for every contract column — a sketch outside
 tolerance hash-mismatches the gate. The exact columns keep the
 query a real correctness check, not just a self-assertion.
@@ -49,8 +51,9 @@ _Q72_ORACLE = """
     _Q72_ORACLE,
     doc="Sketch error contracts per event_type: HyperLogLog++ distinct "
     "(rsd 2%, asserted within 5% of exact) and percentile_approx "
-    "(accuracy 10000, asserted within 1% relative of the exact "
-    "interpolated percentile) computed alongside the exact statistics "
+    "(accuracy 10000, asserted to land inside the exact p±2% "
+    "rank window - the sketch guarantee is a rank bound) "
+    "computed alongside the exact statistics "
     "in one aggregation pass. The sketches are the 100 TB path; the "
     "exact columns keep the oracle hash-comparable.",
 )
@@ -61,20 +64,42 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (event_type, user_id) in which the ~410-long HLL buffer and the
     # exact-percentile value buffers ride a 400+-column shuffle row —
     # plan-audited at 4.6s vs ~0.6s for this split at sf0.1.
+    # The percentile_approx guarantee is a RANK bound (error <=
+    # n/accuracy ranks), not a relative-value bound — at small group
+    # sizes the value gap between adjacent order statistics in the
+    # tail easily exceeds 1% of the value. The sound contract is
+    # rank-window containment: the sketch's p must land between the
+    # exact (p - 2%) and (p + 2%) percentiles. One shared exact-
+    # percentile buffer serves all six rank probes.
     ev = _t(spark, sf_dir, "events")
-    exact_p50 = F.expr("percentile(value, 0.5)")
-    exact_p95 = F.expr("percentile(value, 0.95)")
-    apx_p50 = F.expr("percentile_approx(value, 0.5, 10000)")
-    apx_p95 = F.expr("percentile_approx(value, 0.95, 10000)")
     apx_u = F.expr("approx_count_distinct(user_id, 0.02)")
-    tol = lambda e, a: F.abs(a - e) <= F.abs(e) * 0.01 + 1e-6  # noqa: E731
-    sketches = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        apx_u.alias("__apx_u"),
-        F.round(exact_p50 + 5e-10, 4).alias("p50_value"),
-        F.round(exact_p95 + 5e-10, 4).alias("p95_value"),
-        tol(exact_p50, apx_p50).alias("p50_ok"),
-        tol(exact_p95, apx_p95).alias("p95_ok"),
+    sketches = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            apx_u.alias("__apx_u"),
+            F.expr(
+                "percentile(value, array(0.48D, 0.5D, 0.52D, "
+                "0.93D, 0.95D, 0.97D))"
+            ).alias("__ex"),
+            F.expr("percentile_approx(value, 0.5, 10000)").alias("__a50"),
+            F.expr("percentile_approx(value, 0.95, 10000)").alias("__a95"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "__apx_u",
+            F.round(F.element_at("__ex", 2) + 5e-10, 4).alias("p50_value"),
+            F.round(F.element_at("__ex", 5) + 5e-10, 4).alias("p95_value"),
+            (
+                (F.col("__a50") >= F.element_at("__ex", 1))
+                & (F.col("__a50") <= F.element_at("__ex", 3))
+            ).alias("p50_ok"),
+            (
+                (F.col("__a95") >= F.element_at("__ex", 4))
+                & (F.col("__a95") <= F.element_at("__ex", 6))
+            ).alias("p95_ok"),
+        )
     )
     exact_users = ev.groupBy("event_type").agg(
         F.count_distinct(F.col("user_id")).alias("n_users")
