@@ -44,6 +44,10 @@ from model_presto_spark.operators.lm import (
     tfidf_top_terms,
 )
 from model_presto_spark.operators.packing import pack_sequences, prefix_sum
+from model_presto_spark.operators.profile import (
+    check_constraints,
+    profile_columns,
+)
 from model_presto_spark.operators.pq import (
     pq_encode,
     pq_knn_join,
@@ -86,6 +90,8 @@ __all__ = [
     "word_freqs",
     "pack_sequences",
     "pq_encode",
+    "check_constraints",
+    "profile_columns",
     "pq_knn_join",
     "train_pq_codebooks",
     "perplexity_scores",

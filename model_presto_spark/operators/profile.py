@@ -1,0 +1,143 @@
+"""Data profiling + declarative quality constraints (the Deequ-style
+hygiene layer a production table pipeline runs before/after every
+load).
+
+``profile_columns`` computes the standard per-column profile in ONE
+aggregation pass over the table (count / nulls / min / max / mean /
+stddev, plus a mergeable HLL distinct estimate — deliberately the
+sketch, never ``count_distinct``: one exact-distinct column turns
+the whole multi-metric agg into an Expand plan that multiplies the
+input) and unpivots to the long ``(column, metric, value)`` shape
+with ``stack``.
+
+``check_constraints`` (long output keyed by ``col_name`` — `column`
+is reserved in some engines) evaluates declarative rules — ``not_null``,
+``unique``, ``min``/``max`` bounds, ``accepted_values`` — as one
+conditional-aggregation pass each over at most two jobs total
+(row-level rules share a single pass; ``unique`` needs its own
+groupBy). Output is data, not exceptions: one row per rule with the
+violation count, so the gate composes with any alerting sink.
+
+At 100 TB both are single-scan, map-side-combinable aggregations —
+the profile is exactly as expensive as one groupBy().agg() over the
+table, independent of the number of metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NUM_METRICS = ("n", "n_null", "min", "max", "mean", "stddev")
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str], approx_distinct: bool = True
+) -> DataFrame:
+    """Long-format numeric profile: one row per (column, metric).
+    Metrics: n, n_null, min, max, mean, stddev (+ approx_distinct
+    when enabled). Single aggregation pass + stack unpivot."""
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(col.isNull().cast("bigint")).alias(f"{c}__n_null"),
+            F.min(col).cast("double").alias(f"{c}__min"),
+            F.max(col).cast("double").alias(f"{c}__max"),
+            F.avg(col).alias(f"{c}__mean"),
+            F.stddev_samp(col).alias(f"{c}__stddev"),
+        ]
+        if approx_distinct:
+            aggs.append(
+                F.expr(f"approx_count_distinct({c}, 0.02)").alias(
+                    f"{c}__approx_distinct"
+                )
+            )
+    wide = df.agg(*aggs)
+    metrics = list(_NUM_METRICS) + (
+        ["approx_distinct"] if approx_distinct else []
+    )
+    pairs = ", ".join(
+        f"'{c}', '{m}', CAST(`{c}__{m}` AS DOUBLE)"
+        for c in cols
+        for m in metrics
+    )
+    n = len(cols) * len(metrics)
+    return wide.select(
+        F.expr(f"stack({n}, {pairs}) AS (col_name, metric, value)")
+    )
+
+
+def check_constraints(
+    df: DataFrame, rules: list[dict]
+) -> DataFrame:
+    """Evaluate declarative rules -> one row per rule:
+    (rule, column, violations bigint, passed boolean).
+
+    Rule dicts: {"type": "not_null", "column": c}
+                {"type": "min", "column": c, "value": v}
+                {"type": "max", "column": c, "value": v}
+                {"type": "accepted_values", "column": c, "values": [...]}
+                {"type": "unique", "column": c}
+    Row-level rules evaluate in one shared conditional-aggregation
+    pass; each ``unique`` rule adds one groupBy job."""
+    spark = df.sparkSession
+    row_aggs, row_meta = [], []
+    uniq_rules = []
+    for i, r in enumerate(rules):
+        c, t = r["column"], r["type"]
+        col = F.col(c)
+        if t == "not_null":
+            bad = col.isNull()
+        elif t == "min":
+            bad = col.isNull() | (col < F.lit(r["value"]))
+        elif t == "max":
+            bad = col.isNull() | (col > F.lit(r["value"]))
+        elif t == "accepted_values":
+            bad = ~col.isin(*r["values"]) | col.isNull()
+        elif t == "unique":
+            uniq_rules.append(r)
+            continue
+        else:
+            raise ValueError(f"unknown rule type {t!r}")
+        row_aggs.append(
+            F.sum(bad.cast("bigint")).alias(f"__v{i}")
+        )
+        row_meta.append((t, c, f"__v{i}"))
+    out = []
+    if row_aggs:
+        wide = df.agg(*row_aggs)
+        pairs = ", ".join(
+            f"'{t}', '{c}', CAST(`{a}` AS BIGINT)" for t, c, a in row_meta
+        )
+        out.append(
+            wide.select(
+                F.expr(
+                    f"stack({len(row_meta)}, {pairs}) "
+                    "AS (rule, col_name, violations)"
+                )
+            )
+        )
+    for r in uniq_rules:
+        c = r["column"]
+        dup = (
+            df.groupBy(c)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("violations"))
+            .select(
+                F.lit("unique").alias("rule"),
+                F.lit(c).alias("col_name"),
+                F.col("violations").cast("bigint"),
+            )
+        )
+        out.append(dup)
+    if not out:
+        return spark.createDataFrame(
+            [], "rule string, col_name string, violations bigint, passed boolean"
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.withColumn("passed", F.col("violations") == 0)

@@ -1143,6 +1143,17 @@ _ADJUDICATION_TAIL = [
     # keep-representatives path inside q31/q67 (makes room for
     # q79_gap_fill)
     "q11_semi_anti",
+    # (q12_dict_join already parks above: J7 broadcast dim join is
+    # also adjudicated via q70's broadcast plan join and the
+    # no-exchange bucketing test)
+    # q67 parks in the tail: the ingest funnel composes primitives
+    # adjudicated individually (q31 fingerprint dedup, q36/q37
+    # lang/quality gates) (makes room for q80_profile)
+    "q67_ingest_funnel",
+    # q68 parks in the tail: session-conversion sequencing composes
+    # sessionize (q63, head) with conditional window minima (q53
+    # family) (makes room for q81_constraints)
+    "q68_session_conversion",
     "q02_derived_expr",
     "q22_topk_order",
     "q27_math",

@@ -116,3 +116,115 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_ok",
         "p95_ok",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q80 — single-pass column profile (operators/profile.profile_columns)
+# ---------------------------------------------------------------------------
+_Q80_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+
+_Q80_ORACLE = (
+    "WITH p AS ("
+    + "\n UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name, 'n' AS metric,
+               CAST(COUNT(*) AS DOUBLE) AS value FROM orders
+        UNION ALL SELECT '{c}', 'n_null',
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               FROM orders
+        UNION ALL SELECT '{c}', 'min', CAST(MIN({c}) AS DOUBLE) FROM orders
+        UNION ALL SELECT '{c}', 'max', CAST(MAX({c}) AS DOUBLE) FROM orders
+        UNION ALL SELECT '{c}', 'mean', AVG({c}) FROM orders
+        UNION ALL SELECT '{c}', 'stddev', STDDEV_SAMP({c}) FROM orders
+        """
+        for c in _Q80_COLS
+    )
+    + ") SELECT col_name, metric, ROUND(value + 5e-10, 4) AS value FROM p"
+)
+
+
+@register(
+    "q80_profile",
+    _Q80_ORACLE,
+    doc="Deequ-style numeric profile of three orders columns in ONE "
+    "aggregation pass (count/nulls/min/max/mean/stddev) unpivoted to "
+    "long form with stack - metric count does not change the scan or "
+    "shuffle cost. The operator also offers an HLL distinct estimate "
+    "(kept out of this oracle query: sketch values are "
+    "engine-specific).",
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.profile import profile_columns
+
+    o = _t(spark, sf_dir, "orders")
+    prof = profile_columns(o, list(_Q80_COLS), approx_distinct=False)
+    return prof.select(
+        "col_name", "metric", F.round(F.col("value") + 5e-10, 4).alias("value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q81 — declarative quality constraints (operators/profile.check_constraints)
+# ---------------------------------------------------------------------------
+_Q81_ORACLE = """
+    SELECT 'not_null' AS rule, 'o_custkey' AS col_name,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS violations,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'min', 'o_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+               THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values', 'o_orderstatus',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                         OR o_orderstatus NOT IN ('O', 'F', 'P')
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN o_orderstatus IS NULL
+                    OR o_orderstatus NOT IN ('O', 'F', 'P')
+               THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'max', 'o_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice > 50000
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice > 50000
+               THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'unique', 'o_orderkey',
+           CAST(COALESCE(SUM(n), 0) AS BIGINT),
+           COALESCE(SUM(n), 0) = 0
+    FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+          HAVING COUNT(*) > 1)
+"""
+
+
+@register(
+    "q81_constraints",
+    _Q81_ORACLE,
+    doc="Declarative data-quality gate over orders: not_null / min "
+    "bound / accepted_values / max bound share ONE conditional-"
+    "aggregation pass, unique(o_orderkey) adds one groupBy job. "
+    "Violations come back as data (rule, col_name, count, passed), "
+    "composable with any alerting sink.",
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.profile import check_constraints
+
+    o = _t(spark, sf_dir, "orders")
+    return check_constraints(
+        o,
+        [
+            {"type": "not_null", "column": "o_custkey"},
+            {"type": "min", "column": "o_totalprice", "value": 0},
+            {"type": "accepted_values", "column": "o_orderstatus",
+             "values": ["O", "F", "P"]},
+            {"type": "max", "column": "o_totalprice", "value": 50000},
+            {"type": "unique", "column": "o_orderkey"},
+        ],
+    )

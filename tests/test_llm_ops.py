@@ -257,3 +257,52 @@ def test_tfidf_top_terms_distinctive_words(spark):
     }
     # the group-exclusive term wins over corpus-wide stopwords
     assert top == {"a": "quantum", "b": "farming"}
+
+
+def test_check_constraints_rules(spark):
+    from model_presto_spark.operators.profile import check_constraints
+
+    rows = [
+        (1, "O", 10.0), (2, "F", -5.0), (2, "X", 20.0), (4, None, None),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, status string, amount double")
+    out = {
+        (r.rule, r.col_name): (r.violations, r.passed)
+        for r in check_constraints(
+            df,
+            [
+                {"type": "not_null", "column": "status"},
+                {"type": "min", "column": "amount", "value": 0},
+                {"type": "accepted_values", "column": "status",
+                 "values": ["O", "F"]},
+                {"type": "unique", "column": "k"},
+            ],
+        ).collect()
+    }
+    assert out[("not_null", "status")] == (1, False)
+    assert out[("min", "amount")] == (2, False)      # -5 and the null
+    assert out[("accepted_values", "status")] == (2, False)  # X + null
+    assert out[("unique", "k")] == (2, False)        # both k=2 rows
+    clean = check_constraints(
+        df.where("k = 1"), [{"type": "unique", "column": "k"},
+                            {"type": "not_null", "column": "status"}]
+    ).collect()
+    assert all(r.passed and r.violations == 0 for r in clean)
+
+
+def test_profile_columns_single_pass(spark):
+    from model_presto_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, None), (3, 6.0)], "a bigint, b double"
+    )
+    prof = profile_columns(df, ["a", "b"])
+    vals = {(r.col_name, r.metric): r.value for r in prof.collect()}
+    assert vals[("a", "n")] == 3 and vals[("a", "n_null")] == 0
+    assert vals[("b", "n_null")] == 1 and vals[("b", "mean")] == 4.0
+    assert vals[("a", "approx_distinct")] == 3.0
+    # single pass: all metrics fold into one aggregate over one scan
+    # (partial aggregation present; no Expand — the count_distinct
+    # trap this operator deliberately avoids)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "partial_" in plan and "Expand" not in plan
