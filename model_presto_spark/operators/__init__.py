@@ -34,6 +34,12 @@ from model_presto_spark.operators.knn import (
     quantize_vectors,
     quantized_knn_join,
 )
+from model_presto_spark.operators.compaction import (
+    compact_parquet,
+    compaction_stats,
+    equi_depth_histogram,
+    plan_compaction,
+)
 from model_presto_spark.operators.bpe import (
     apply_bpe,
     train_bpe_merges,
@@ -86,6 +92,10 @@ __all__ = [
     "ivf_index_search",
     "ngram_contamination",
     "apply_bpe",
+    "compact_parquet",
+    "compaction_stats",
+    "equi_depth_histogram",
+    "plan_compaction",
     "train_bpe_merges",
     "word_freqs",
     "pack_sequences",
