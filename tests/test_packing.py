@@ -73,3 +73,23 @@ def test_pack_drops_zero_length(spark):
     )
     got = pack_sequences(df, "n_tok", 16).collect()
     assert {r.doc_id for r in got} == {2}
+
+
+def test_pack_long_doc_spans_many_bins(spark):
+    from model_presto_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 1000), (2, 10)], "doc_id bigint, n_tok int"
+    )
+    rows = sorted(
+        pack_sequences(df, "n_tok", 64).collect(),
+        key=lambda r: (r.doc_id, r.bin_id),
+    )
+    one = [r for r in rows if r.doc_id == 1]
+    # 1000 tokens somewhere in a 1010-token stream -> 16 or 17 bins
+    assert len(one) in (16, 17)
+    assert sum(r.n_tokens_in_bin for r in one) == 1000
+    # all interior slices fill their bin end-to-end
+    for r in one[1:-1]:
+        assert r.offset_in_bin == 0 and r.n_tokens_in_bin == 64 and r.carried
+    assert not one[0].carried
