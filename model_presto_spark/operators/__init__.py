@@ -55,6 +55,8 @@ from model_presto_spark.operators.profile import (
     profile_columns,
 )
 from model_presto_spark.operators.pq import (
+    build_ivfpq_index,
+    ivfpq_search,
     pq_encode,
     pq_knn_join,
     train_pq_codebooks,
@@ -100,6 +102,8 @@ __all__ = [
     "word_freqs",
     "pack_sequences",
     "pq_encode",
+    "build_ivfpq_index",
+    "ivfpq_search",
     "check_constraints",
     "profile_columns",
     "pq_knn_join",

@@ -87,3 +87,50 @@ def test_pq_knn_recall_and_rerank(spark, vec_data):
     for r in rr:
         if (r.vid, r.nid) in ex:
             assert abs(r.dist - ex[(r.vid, r.nid)]) < 1e-9
+
+
+def test_ivfpq_index_search(spark, vec_data, tmp_path):
+    from model_presto_spark.operators.knn import knn_join
+    from model_presto_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_search,
+    )
+
+    df, probes = vec_data
+    cand = df.withColumnRenamed("vid", "nid")
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(cand, "nid", path, cand_vec="vec",
+                      n_lists=5, m=16, n_codes=32)
+
+    k = 10
+    got = ivfpq_search(
+        spark, path, probes, "vid", "vec", k=k, n_probe=2,
+        exclude_self=True,
+    ).collect()
+    exact = knn_join(
+        probes, cand, "vid", "nid", "vec", "vec", k=k, exclude_self=True
+    ).collect()
+    g = {}
+    for r in got:
+        g.setdefault(r.vid, set()).add(r.cid)
+    e = {}
+    for r in exact:
+        e.setdefault(r.vid, set()).add(r.nid)
+    recall = sum(len(g.get(p, set()) & e[p]) for p in e) / (len(e) * k)
+    # residual coding inside the right cell: high recall at n_probe=2
+    assert recall >= 0.7
+
+    # plan-time partition pruning: the literal cell IN (...) filter
+    # lands in PartitionFilters, so unprobed cell dirs are skipped
+    from pyspark.sql import functions as F
+
+    pruned = spark.read.parquet(f"{path}/cells").where(
+        F.col("cell").isin([0, 1])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0] and "IN (0,1)" in pf[0]
+    assert (
+        spark.read.parquet(f"{path}/cells").select("cell").distinct().count()
+        == 5
+    )
