@@ -13,7 +13,11 @@ from model_presto_spark.operators.layout import (
     write_zordered,
     zorder_key,
 )
-from model_presto_spark.operators.mixing import apply_mix, mix_plan
+from model_presto_spark.operators.mixing import (
+    apply_mix,
+    apply_mix_epochs,
+    mix_plan,
+)
 from model_presto_spark.operators.grid import (
     bilinear_resample,
     positional_concat,
@@ -88,6 +92,7 @@ from model_presto_spark.operators.timeseries import (
 __all__ = [
     "ann_lsh_join",
     "apply_mix",
+    "apply_mix_epochs",
     "mix_plan",
     "asof_join",
     "build_ivf_index",

@@ -38,6 +38,7 @@ def mix_plan(
     weight: Column,
     token_count: Column,
     budget_tokens: int,
+    max_epochs: float = 1.0,
 ) -> DataFrame:
     """Per-source plan: (source, n_docs, n_tokens, keep_rate).
 
@@ -55,8 +56,11 @@ def mix_plan(
     )
     total_w = F.sum("__w").over(Window.partitionBy())
     share = F.col("__w") / total_w
+    # max_epochs > 1 allows up-sampling small high-weight sources:
+    # a rate of 2.6 means two full passes plus a 60% hash-sampled
+    # third (applied by apply_mix_epochs)
     rate = F.least(
-        F.lit(1.0),
+        F.lit(float(max_epochs)),
         F.lit(float(budget_tokens)) * share / F.col("n_tokens").cast("double"),
     )
     return per_src.select(
@@ -81,4 +85,37 @@ def apply_mix(
         df.join(F.broadcast(plan.select(source_col, "keep_rate")), source_col)
         .filter(coin < thresh)
         .drop("keep_rate")
+    )
+
+
+def apply_mix_epochs(
+    df: DataFrame,
+    plan: DataFrame,
+    source_col: str,
+    id_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Epoch-aware application: a source's keep_rate may exceed 1
+    (up-sampling). Every row gets ``floor(rate)`` full copies plus
+    one more iff its hash coin lands under the fractional part —
+    deterministic, O(1)/row, and the emitted ``epoch`` column
+    (1-based copy index) lets downstream shuffling re-salt per copy
+    so repeated documents don't co-locate. With rates <= 1 this
+    degrades exactly to apply_mix (0 or 1 copies)."""
+    coin = h60(
+        F.concat(F.lit(salt + "#"), F.col(id_col).cast("string"))
+    ) % _SCALE
+    rate = F.col("keep_rate")
+    frac_thresh = F.floor((rate - F.floor(rate)) * _SCALE)
+    n_copies = (F.floor(rate) + (coin < frac_thresh).cast("int")).cast("int")
+    joined = (
+        df.join(F.broadcast(plan.select(source_col, "keep_rate")), source_col)
+        .withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+    )
+    return (
+        joined.withColumn(
+            "epoch", F.explode_outer(F.sequence(F.lit(1), F.col("__n")))
+        )
+        .drop("__n", "keep_rate")
     )

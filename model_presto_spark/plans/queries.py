@@ -1154,6 +1154,12 @@ _ADJUDICATION_TAIL = [
     # sessionize (q63, head) with conditional window minima (q53
     # family) (makes room for q81_constraints)
     "q68_session_conversion",
+    # q82 parks in the tail BY CHOICE (head is at the driver's
+    # 50-cap): the hash-coin mix family is driver-adjudicated via
+    # q70; the epochs extension is still oracle-checked by the
+    # pytest gate (test_queries_oracle) and the local
+    # check_correctness run, both uncapped
+    "q82_mix_epochs",
     "q02_derived_expr",
     "q22_topk_order",
     "q27_math",

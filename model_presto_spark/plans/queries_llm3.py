@@ -507,3 +507,84 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("int").alias("n_chars"),
         "sample_rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q82 — epoch-aware mix application (up-sampling; mixing.apply_mix_epochs)
+# ---------------------------------------------------------------------------
+_Q82_BUDGET = 200_000  # >> corpus tokens at sf0.01 so weighted sources up-sample
+_Q82_EPOCHS = 3.0
+
+_Q82_ORACLE = f"""
+    WITH tok AS (
+      SELECT source, doc_id,
+             len({DD_TOKENS.format(t='text')}) AS n_tok
+      FROM documents
+    ), plan AS (
+      SELECT source, SUM(n_tok) AS n_tokens,
+             CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                  THEN 2.0 ELSE 1.0 END AS w
+      FROM tok GROUP BY source
+    ), norm AS (
+      SELECT source,
+             least({_Q82_EPOCHS}, {_Q82_BUDGET}.0 * (w / SUM(w) OVER ())
+                          / CAST(n_tokens AS DOUBLE)) AS keep_rate
+      FROM plan
+    ), counted AS (
+      SELECT t.source, t.n_tok, p.keep_rate,
+             CAST(floor(p.keep_rate) AS BIGINT)
+             + CASE WHEN CAST(('0x' || substr(md5('mix#'
+                        || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 1000000
+                    < CAST(floor((p.keep_rate - floor(p.keep_rate))
+                                 * 1000000) AS BIGINT)
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM tok t JOIN norm p USING (source)
+    ), exploded AS (
+      SELECT source, n_tok, keep_rate,
+             unnest(generate_series(1, n_copies)) AS epoch
+      FROM counted WHERE n_copies > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_instances,
+           CAST(SUM(n_tok) AS BIGINT) AS n_token_instances,
+           CAST(MAX(epoch) AS INT) AS max_epoch,
+           ROUND(ANY_VALUE(keep_rate) + 5e-12, 6) AS keep_rate
+    FROM exploded GROUP BY source
+"""
+
+
+@register(
+    "q82_mix_epochs",
+    _Q82_ORACLE,
+    doc="Epoch-aware domain mix: budget >> corpus so high-weight "
+    "sources up-sample past 1.0 (floor(rate) full copies + hash-coin "
+    "fractional copy, deterministic, O(1)/row; epoch column indexes "
+    "the copies). Per-source instance/token counts and max epoch.",
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.mixing import apply_mix_epochs, mix_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", "doc_id", F.size(T.tokens(F.col("text"))).alias("n_tok")
+    )
+    w = F.when(
+        F.expr("CAST(substring(source, 4) AS INT)") % 2 == 0, F.lit(2.0)
+    ).otherwise(F.lit(1.0))
+    plan = mix_plan(tok, "source", w, F.col("n_tok"), _Q82_BUDGET,
+                    max_epochs=_Q82_EPOCHS)
+    kept = apply_mix_epochs(tok, plan, "source", "doc_id")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_instances"),
+            F.sum("n_tok").cast("bigint").alias("n_token_instances"),
+            F.max("epoch").cast("int").alias("max_epoch"),
+        )
+        .join(F.broadcast(plan.select("source", "keep_rate")), "source")
+        .select(
+            "source", "n_instances", "n_token_instances", "max_epoch",
+            F.round(F.col("keep_rate") + 5e-12, 6).alias("keep_rate"),
+        )
+    )

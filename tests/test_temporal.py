@@ -149,3 +149,36 @@ def test_interpolate_series_golden(spark):
     assert got[("a", 4)] == 40.0   # trailing ffill
     assert got[("b", 0)] == 5.0    # leading bfill
     assert got[("c", 0)] is None   # nothing to fill from
+
+
+def test_apply_mix_epochs_upsampling(spark):
+    from model_presto_spark.operators.mixing import apply_mix, apply_mix_epochs
+
+    df = spark.createDataFrame(
+        [("a", i, 10) for i in range(40)] + [("b", 100 + i, 10) for i in range(40)],
+        "source string, doc_id bigint, n_tok int",
+    )
+    plan = spark.createDataFrame(
+        [("a", 2.5), ("b", 0.5)], "source string, keep_rate double"
+    )
+    out = apply_mix_epochs(df, plan, "source", "doc_id").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault((r.source, r.doc_id), []).append(r.epoch)
+    # source a: every doc has 2 or 3 copies, epochs contiguous from 1
+    a_counts = [sorted(v) for (s, d), v in by_doc.items() if s == "a"]
+    assert all(v in ([1, 2], [1, 2, 3]) for v in a_counts)
+    assert len(a_counts) == 40
+    frac3 = sum(1 for v in a_counts if len(v) == 3) / 40
+    assert 0.2 < frac3 < 0.8  # hash coin ~50%
+    # source b: 0 or 1 copies, ~half the docs
+    b_docs = [d for (s, d) in by_doc if s == "b"]
+    assert 5 < len(b_docs) < 35
+    # rates <= 1 degrade exactly to apply_mix
+    only_b = apply_mix(df, plan, "source", "doc_id").where("source = 'b'")
+    assert {r.doc_id for r in only_b.collect()} == set(b_docs)
+    # determinism
+    again = apply_mix_epochs(df, plan, "source", "doc_id").collect()
+    assert {(r.source, r.doc_id, r.epoch) for r in again} == {
+        (r.source, r.doc_id, r.epoch) for r in out
+    }
