@@ -164,31 +164,62 @@ def resize_images(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video blob -> one row per sampled frame timestamp
-    (media_id, frame_ts_ms, frame_digest). Frame *selection* math is
-    real (duration/every_ms grid); frame decode is the faked part."""
+    """Video blob -> one row per sampled frame
+    (media_id, frame_ts_ms, frame_digest, n_bytes, demuxed).
+
+    REAL for AVI containers (sources/avi.py): the RIFF chunk walk
+    yields true frame boundaries and bytes; sampling keeps the first
+    frame of each every_ms window and digests the actual frame
+    payload (the digest an exact-dedup pass would key on). Other
+    containers fall back to the duration-grid fake with
+    ``demuxed=false`` — same schema contract as the image/audio
+    fallbacks."""
+    from model_presto_spark.sources.avi import extract_frames, is_avi
 
     def go(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for _, r in pdf.iterrows():
-                dur = int(r["meta"]["duration_ms"] or 0)
                 blob = bytes(r["blob"])
+                mid = int(r["media_id"])
+                if is_avi(blob):
+                    next_emit = 0.0
+                    for _i, ts, fb in extract_frames(blob, "video"):
+                        if ts + 1e-9 < next_emit:
+                            continue
+                        next_emit = ts + every_ms
+                        out.append(
+                            {
+                                "media_id": mid,
+                                "frame_ts_ms": int(round(ts)),
+                                "frame_digest": hashlib.md5(fb).hexdigest(),
+                                "n_bytes": len(fb),
+                                "demuxed": True,
+                            }
+                        )
+                    continue
+                dur = int(r["meta"]["duration_ms"] or 0)
                 for ts in range(0, max(dur, 1), every_ms):
                     digest = hashlib.md5(blob + ts.to_bytes(8, "big")).hexdigest()
                     out.append(
                         {
-                            "media_id": int(r["media_id"]),
+                            "media_id": mid,
                             "frame_ts_ms": ts,
                             "frame_digest": digest,
+                            "n_bytes": len(blob),
+                            "demuxed": False,
                         }
                     )
             yield pd.DataFrame(
-                out, columns=["media_id", "frame_ts_ms", "frame_digest"]
+                out,
+                columns=["media_id", "frame_ts_ms", "frame_digest",
+                         "n_bytes", "demuxed"],
             )
 
     return df.select("media_id", "blob", "meta").mapInPandas(
-        go, "media_id bigint, frame_ts_ms int, frame_digest string"
+        go,
+        "media_id bigint, frame_ts_ms int, frame_digest string, "
+        "n_bytes int, demuxed boolean",
     )
 
 

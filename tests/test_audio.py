@@ -156,3 +156,61 @@ def test_spectral_features_peak_band(spark, audio_df):
     # rfft bins -> band floor(28.2/(257/16)) = 1
     assert int(np.argmax(feats)) == 1
     assert len(out[2]) == 16  # fake path keeps the schema contract
+
+
+# --- AVI demux (video container) -------------------------------------------
+
+
+def test_avi_roundtrip_demux():
+    import hashlib
+
+    from model_presto_spark.sources.avi import (
+        demux_avi,
+        encode_avi_mjpeg,
+        extract_frames,
+        is_avi,
+    )
+
+    frames = [b"\xff\xd8FRAME%d\xff\xd9" % i * (i + 1) for i in range(10)]
+    blob = encode_avi_mjpeg(frames, fps=10.0, width=64, height=48)
+    assert is_avi(blob)
+    meta = demux_avi(blob)
+    assert abs(meta["fps"] - 10.0) < 1e-6 and meta["n_streams"] == 1
+    got = extract_frames(blob, "video")
+    assert len(got) == 10
+    for i, (idx, ts, fb) in enumerate(got):
+        assert idx == i and abs(ts - i * 100.0) < 1e-6
+        assert fb == frames[i]
+        assert hashlib.md5(fb).hexdigest() == hashlib.md5(frames[i]).hexdigest()
+
+
+def test_sample_frames_real_avi(spark):
+    from pyspark.sql import Row
+
+    from model_presto_spark.multimodal.blobs import sample_frames
+    from model_presto_spark.sources.avi import encode_avi_mjpeg
+
+    import hashlib
+
+    frames = [b"\xff\xd8JPEGDATA%02d\xff\xd9" % i for i in range(10)]
+    blob = encode_avi_mjpeg(frames, fps=10.0)  # 100ms per frame
+    rows = [
+        Row(
+            media_id=7,
+            kind="video",
+            blob=blob,
+            meta=Row(width=0, height=0, channels=0, sample_rate=0,
+                     duration_ms=1000, codec="mjpeg"),
+        )
+    ]
+    df = spark.createDataFrame(rows)
+    got = sorted(
+        sample_frames(df, every_ms=300).collect(),
+        key=lambda r: r.frame_ts_ms,
+    )
+    # frames at 0,100,...,900ms; 300ms sampling keeps 0,300,600,900
+    assert [r.frame_ts_ms for r in got] == [0, 300, 600, 900]
+    assert all(r.demuxed for r in got)
+    # digests are of the ACTUAL frame payloads
+    assert got[1].frame_digest == hashlib.md5(frames[3]).hexdigest()
+    assert got[0].n_bytes == len(frames[0])
