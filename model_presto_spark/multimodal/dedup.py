@@ -98,3 +98,108 @@ def audio_dup_pairs(
         "cosine_sim",
     ).filter(F.col("cosine_sim") >= threshold)
     return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def image_phash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """(media_id, phash bigint) — average-hash perceptual fingerprint:
+    decode (REAL for TIFF/PPM), grayscale, box-downsample to
+    ``grid x grid``, threshold at the mean -> a 64-bit signature
+    whose Hamming distance tracks visual similarity. Arrow-batched
+    mapInPandas like every decode stage."""
+    from collections.abc import Iterator as _It
+
+    import numpy as np_
+    import pandas as pd_
+
+    from model_presto_spark.multimodal.blobs import decode_pixels
+
+    def go(it: _It) -> _It:
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                meta = r["meta"]
+                px = decode_pixels(
+                    bytes(r["blob"]), meta["height"] or grid,
+                    meta["width"] or grid, meta["channels"] or 1,
+                )
+                gray = px.mean(axis=2)
+                h, w = gray.shape
+                # box-downsample via trimmed reshape means
+                th, tw = (h // grid) * grid, (w // grid) * grid
+                if th >= grid and tw >= grid:
+                    small = gray[:th, :tw].reshape(
+                        grid, th // grid, grid, tw // grid
+                    ).mean(axis=(1, 3))
+                else:  # image smaller than the grid: repeat-pad
+                    small = np_.resize(gray, (grid, grid))
+                bits = (small > small.mean()).flatten()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                # keep in signed-64 range for a Spark bigint
+                out.append({
+                    "media_id": int(r["media_id"]),
+                    "phash": int(np_.int64(np_.uint64(val))),
+                })
+            yield pd_.DataFrame(out, columns=["media_id", "phash"])
+
+    return media.select("media_id", "blob", "meta").mapInPandas(
+        go, "media_id bigint, phash bigint"
+    )
+
+
+def image_dup_pairs(
+    media: DataFrame, max_hamming: int = 6, bands: int = 8
+) -> DataFrame:
+    """(id_a, id_b, hamming) for visually near-identical images: the
+    64-bit aHash splits into ``bands`` equal bands; a pair within
+    ``max_hamming < bands`` bit flips cannot touch every band, so it
+    MUST agree on at least one (pigeonhole — recall 1.0 within the
+    radius) — band equi-join produces candidates, exact bit_count
+    verifies. The SimHash-banding shape on a perceptual hash (no
+    pairwise scan)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs bands > max_hamming "
+            f"(got {bands} <= {max_hamming})"
+        )
+    from model_presto_spark.operators.dedup import _pairs_within
+
+    hashed = image_phash(media)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_rows = hashed.select(
+        F.col("media_id").alias("id"),
+        "phash",
+        F.explode(
+            F.array(*[
+                F.concat(
+                    F.lit(f"b{b}#"),
+                    F.shiftrightunsigned(F.col("phash"), b * width)
+                    .bitwiseAND(F.lit(mask)).cast("string"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band_key"),
+    )
+    buckets = (
+        band_rows.groupBy("band_key")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        buckets.select(F.explode_outer(_pairs_within("ids")).alias("pr"))
+        .select(F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b"))
+        .distinct()
+    )
+    ha = hashed.select(F.col("media_id").alias("id_a"), F.col("phash").alias("ha"))
+    hb = hashed.select(F.col("media_id").alias("id_b"), F.col("phash").alias("hb"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -81,3 +81,36 @@ def test_audio_dup_pairs(spark):
     }
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def _ppm(gray: "np.ndarray") -> bytes:
+    h, w = gray.shape
+    return b"P5 %d %d 255\n" % (w, h) + gray.astype(np.uint8).tobytes()
+
+
+def test_image_dup_pairs_phash(spark):
+    from model_presto_spark.multimodal.dedup import image_dup_pairs, image_phash
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, size=(32, 32))
+    rows = [
+        Row(media_id=1, kind="image", blob=_ppm(base), meta=_meta()),
+        # brightness-scaled copy: aHash thresholds at the mean, so the
+        # bit pattern survives affine scaling -> tiny hamming
+        Row(media_id=2, kind="image", blob=_ppm((base * 0.8)), meta=_meta()),
+        Row(media_id=3, kind="image",
+            blob=_ppm(rng.integers(0, 256, size=(32, 32))), meta=_meta()),
+    ]
+    df = spark.createDataFrame(rows)
+    hashes = {r.media_id: r.phash for r in image_phash(df).collect()}
+    assert bin(hashes[1] ^ hashes[2]).count("1") <= 4
+    assert bin(hashes[1] ^ hashes[3]).count("1") > 10
+
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in image_dup_pairs(df, max_hamming=6).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 4
+    assert all(3 not in p for p in pairs)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="pigeonhole"):
+        image_dup_pairs(df, max_hamming=8, bands=8)
