@@ -59,3 +59,35 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast("bigint"))
     out = b.join(s, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_stats(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
+    """Key-distribution diagnosis that decides whether a join/agg
+    needs salting: one groupBy pass -> (n_keys, n_rows, max_share,
+    top_keys). ``max_share`` is the hottest key's fraction of all
+    rows — the number AQE's skew threshold reasons about; > a few
+    percent at 100 TB means the hot key's partition dominates the
+    stage and the salted paths above are worth their extra shuffle.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("__max_n"),
+    )
+    # top-k keys via TakeOrdered (never a full collect of the key set)
+    topk = (
+        counts.orderBy(F.desc("n"), F.col(key_col).cast("string"))
+        .limit(top)
+        .agg(
+            F.collect_list(
+                F.struct(F.col("n"), F.col(key_col).cast("string").alias("k"))
+            ).alias("top_keys")
+        )
+    )
+    return totals.crossJoin(F.broadcast(topk)).select(
+        "n_keys",
+        "n_rows",
+        (F.col("__max_n") / F.col("n_rows")).alias("max_share"),
+        "top_keys",
+    )

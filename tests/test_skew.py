@@ -33,3 +33,21 @@ def test_salted_join_matches_plain(spark):
         out.groupBy("k").agg(F.sum("v").alias("s")).orderBy("k").collect()
         == plain.groupBy("k").agg(F.sum("v").alias("s")).orderBy("k").collect()
     )
+
+
+def test_skew_stats(spark):
+    from model_presto_spark.operators.skew import skew_stats
+
+    from pyspark.sql import functions as F
+
+    # 1000 rows: key 'hot' holds 40%, the rest spread over 60 keys
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 400, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 60).cast("string")))
+        .alias("key")
+    )
+    s = skew_stats(df, "key", top=3).collect()[0]
+    assert s.n_rows == 1000 and s.n_keys == 61
+    assert abs(s.max_share - 0.4) < 1e-9
+    assert s.top_keys[0].k == "hot" and s.top_keys[0].n == 400
+    assert len(s.top_keys) == 3

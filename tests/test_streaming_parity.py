@@ -211,3 +211,58 @@ def test_stream_stream_join_matches_batch(spark, events_landing, tmp_path):
     g = {(r.view_user, str(r.view_ts), str(r.click_ts)) for r in got.collect()}
     w = {(r.view_user, str(r.view_ts), str(r.click_ts)) for r in want.collect()}
     assert g == w and len(g) > 50
+
+
+def test_stream_stream_left_outer_join(spark, events_landing, tmp_path):
+    """leftOuter stream-stream join: unmatched views emit null click
+    columns once the watermark proves no match can arrive — equals
+    the batch left join."""
+    from model_presto_spark.streaming.pipeline import stream_stream_join
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def sides(df):
+        views = df.where(F.col("event_id") % 7 == 0).select(
+            F.col("user_id").alias("view_user"), F.col("ts").alias("view_ts")
+        )
+        clicks = df.where(F.col("event_id") % 7 == 3).select(
+            F.col("user_id").alias("click_user"), F.col("ts").alias("click_ts")
+        )
+        return views, clicks
+
+    sv, sc = sides(spark.readStream.schema(schema).parquet(events_landing))
+    joined = stream_stream_join(
+        sv, sc, [("view_user", "click_user")], "view_ts", "click_ts",
+        within="2 hours", watermark="1 minute", how="leftOuter",
+    )
+    got = _run_to_memory(
+        spark, joined, "ssj_outer", str(tmp_path / "ck_ssjo"), mode="append"
+    )
+
+    bv, bc = sides(spark.read.schema(schema).parquet(events_landing))
+    want = bv.join(
+        bc,
+        (F.col("view_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 2 hours")),
+        "left",
+    )
+    # Outer rows near the stream's end are not finalized (the
+    # watermark cannot prove absence-of-match past the last event),
+    # so parity holds for views older than max_ts - within - slack.
+    cutoff = (
+        bv.agg(F.max("view_ts").alias("m")).collect()[0].m
+        - __import__("datetime").timedelta(hours=3)
+    )
+
+    def keyset(rows):
+        return {
+            (r.view_user, str(r.view_ts), str(r.click_ts))
+            for r in rows
+            if r.view_ts <= cutoff
+        }
+
+    g = keyset(got.collect())
+    w = keyset(want.collect())
+    assert g == w
+    assert any(ts == "None" for _, _, ts in g)  # outer rows present
