@@ -154,3 +154,64 @@ def binary_auc(df: DataFrame, score: str, label: str) -> DataFrame:
             F.col("__tn").cast("bigint").alias("n_neg"),
         )
     )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """Retrieval-quality aggregates over a ranked run vs relevance
+    judgments: one row (mrr, recall_at_k, ndcg_at_k, n_queries).
+
+    ``ranked``: (query, doc, rank 1-based) — e.g. the output of
+    knn_join / ann_lsh_join / ivfpq_search. ``qrels``: (query, doc)
+    binary relevance. Plan: one left join of the run onto qrels
+    (both sides hash-partitioned on (query, doc)), one groupBy per
+    query, one global mean — no windows, no collect. nDCG uses
+    binary gains with the ideal DCG from the per-query relevant
+    count; ties beyond ``k`` are ignored (standard trec_eval
+    behavior)."""
+    q = qrels.select(
+        F.col(query_col).alias("__q"), F.col(doc_col).alias("__d"),
+        F.lit(1).alias("__rel"),
+    )
+    r = ranked.select(
+        F.col(query_col).alias("__q"), F.col(doc_col).alias("__d"),
+        F.col(rank_col).alias("__rank"),
+    ).where(F.col(rank_col) <= k)
+    hits = r.join(q, ["__q", "__d"], "left")
+    per_q = hits.groupBy("__q").agg(
+        F.coalesce(
+            F.max(F.when(F.col("__rel").isNotNull(), 1.0 / F.col("__rank"))),
+            F.lit(0.0),
+        ).alias("rr"),
+        F.sum(F.coalesce(F.col("__rel"), F.lit(0))).alias("n_hit"),
+        F.sum(
+            F.when(
+                F.col("__rel").isNotNull(),
+                1.0 / F.log2(F.col("__rank") + 1.0),
+            ).otherwise(0.0)
+        ).alias("dcg"),
+    )
+    totals = q.groupBy("__q").agg(F.count(F.lit(1)).alias("n_rel"))
+    # ideal DCG for binary gains: sum_{i=1..min(n_rel,k)} 1/log2(i+1)
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(k))),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
+    )
+    joined = totals.join(per_q, "__q", "left")
+    return joined.select(
+        F.coalesce(F.col("rr"), F.lit(0.0)).alias("rr"),
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_rel")).alias("rec"),
+        (F.coalesce(F.col("dcg"), F.lit(0.0)) / idcg).alias("ndcg"),
+    ).agg(
+        F.avg("rr").alias("mrr"),
+        F.avg("rec").alias("recall_at_k"),
+        F.avg("ndcg").alias("ndcg_at_k"),
+        F.count(F.lit(1)).alias("n_queries"),
+    )

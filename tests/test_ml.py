@@ -283,3 +283,29 @@ def test_add_reconstruction_error_udf(spark):
     _, want = reconstruct_batch(x, months, make_weights(), mask)
     got = np.array([r.recon_mse for r in out], dtype=np.float32)
     assert np.allclose(got, want, atol=1e-5)
+
+
+def test_ranking_metrics_golden(spark):
+    import math
+
+    from model_presto_spark.ml.metrics import ranking_metrics
+
+    # q1: rel docs {a, b}; run ranks a@1, x@2, b@3
+    # q2: rel docs {c};    run ranks y@1, z@2 (miss)
+    # q3: rel docs {d};    not in the run at all
+    ranked = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "x", 2), ("q1", "b", 3),
+         ("q2", "y", 1), ("q2", "z", 2)],
+        "query_id string, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "a"), ("q1", "b"), ("q2", "c"), ("q3", "d")],
+        "query_id string, doc_id string",
+    )
+    m = ranking_metrics(ranked, qrels, k=10).collect()[0]
+    assert m.n_queries == 3
+    assert abs(m.mrr - (1.0 + 0.0 + 0.0) / 3) < 1e-12
+    assert abs(m.recall_at_k - (1.0 + 0.0 + 0.0) / 3) < 1e-12
+    dcg1 = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg1 = 1 / math.log2(2) + 1 / math.log2(3)
+    assert abs(m.ndcg_at_k - (dcg1 / idcg1) / 3) < 1e-12
