@@ -1160,6 +1160,10 @@ _ADJUDICATION_TAIL = [
     # pytest gate (test_queries_oracle) and the local
     # check_correctness run, both uncapped
     "q82_mix_epochs",
+    # q83 parks in the tail by the same policy: the cosine run is
+    # driver-adjudicated via q35; the metric math is oracle-checked
+    # by the uncapped pytest/local gates
+    "q83_ranking_metrics",
     "q02_derived_expr",
     "q22_topk_order",
     "q27_math",

@@ -528,3 +528,95 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cosine_sim") + 5e-12, 6).alias("cosine_sim"),
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q83 — retrieval-quality metrics (MRR / recall@k / nDCG@k) over exact kNN
+# ---------------------------------------------------------------------------
+_Q83_K = 10
+
+_Q83_ORACLE = f"""
+    WITH p AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id < 20),
+    scored AS (
+      SELECT p.vec_id AS q, c.vec_id AS d,
+             1.0 - {_DD_DOT.format(a='p.embedding', b='c.embedding')}
+                   / ({_DD_NORM.format(a='p.embedding')}
+                      * {_DD_NORM.format(a='c.embedding')}) AS dist
+      FROM p CROSS JOIN embeddings c
+      WHERE p.vec_id <> c.vec_id
+    ), run AS (
+      SELECT q, d,
+             ROW_NUMBER() OVER (PARTITION BY q ORDER BY dist, d) AS rank
+      FROM scored
+    ), qrels AS (
+      SELECT p.vec_id AS q, c.vec_id AS d
+      FROM p JOIN embeddings c ON p.label = c.label AND p.vec_id <> c.vec_id
+    ), hits AS (
+      SELECT r.q, r.rank, (qr.q IS NOT NULL) AS rel
+      FROM (SELECT * FROM run WHERE rank <= {_Q83_K}) r
+      LEFT JOIN qrels qr ON r.q = qr.q AND r.d = qr.d
+    ), per_q AS (
+      SELECT q,
+             COALESCE(MAX(CASE WHEN rel THEN 1.0 / rank END), 0.0) AS rr,
+             SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS n_hit,
+             SUM(CASE WHEN rel THEN 1.0 / log2(rank + 1.0) ELSE 0 END) AS dcg
+      FROM hits GROUP BY q
+    ), totals AS (
+      SELECT q, COUNT(*) AS n_rel FROM qrels GROUP BY q
+    ), per AS (
+      SELECT t.q,
+             COALESCE(p2.rr, 0.0) AS rr,
+             COALESCE(p2.n_hit, 0) * 1.0 / t.n_rel AS rec,
+             COALESCE(p2.dcg, 0.0)
+               / list_sum(list_transform(
+                   generate_series(1, CAST(least(t.n_rel, {_Q83_K}) AS BIGINT)),
+                   i -> 1.0 / log2(i + 1.0))) AS ndcg
+      FROM totals t LEFT JOIN per_q p2 USING (q)
+    )
+    SELECT ROUND(AVG(rr) + 5e-12, 6) AS mrr,
+           ROUND(AVG(rec) + 5e-12, 6) AS recall_at_k,
+           ROUND(AVG(ndcg) + 5e-12, 6) AS ndcg_at_k,
+           CAST(COUNT(*) AS BIGINT) AS n_queries
+    FROM per
+"""
+
+
+@register(
+    "q83_ranking_metrics",
+    _Q83_ORACLE,
+    doc="Retrieval evaluation end-to-end: exact cosine top-10 run "
+    "(knn_join) scored against label-match qrels with "
+    "ml/metrics.ranking_metrics - MRR, recall@10, binary-gain "
+    "nDCG@10, one (query, doc) join + per-query aggregation, no "
+    "windows in the metric math.",
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.ml.metrics import ranking_metrics
+    from model_presto_spark.operators.knn import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    ranked = knn_join(
+        probes.select(F.col("vec_id").alias("q"), F.col("embedding").alias("vec")),
+        emb.select(F.col("vec_id").alias("d"), F.col("embedding").alias("vec"),
+                   "label"),
+        "q", "d", "vec", "vec", k=_Q83_K, metric="cosine",
+        exclude_self=True,
+    )
+    qrels = (
+        probes.select(F.col("vec_id").alias("q"), F.col("label").alias("pl"))
+        .join(
+            emb.select(F.col("vec_id").alias("d"), F.col("label").alias("cl")),
+            F.col("pl") == F.col("cl"),
+        )
+        .where(F.col("q") != F.col("d"))
+        .select("q", "d")
+    )
+    m = ranking_metrics(ranked, qrels, "q", "d", "rank", k=_Q83_K)
+    return m.select(
+        F.round(F.col("mrr") + 5e-12, 6).alias("mrr"),
+        F.round(F.col("recall_at_k") + 5e-12, 6).alias("recall_at_k"),
+        F.round(F.col("ndcg_at_k") + 5e-12, 6).alias("ndcg_at_k"),
+        "n_queries",
+    )
