@@ -1164,6 +1164,7 @@ _ADJUDICATION_TAIL = [
     # driver-adjudicated via q35; the metric math is oracle-checked
     # by the uncapped pytest/local gates
     "q83_ranking_metrics",
+    "q84_embedding_qc",
     "q02_derived_expr",
     "q22_topk_order",
     "q27_math",

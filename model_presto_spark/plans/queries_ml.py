@@ -235,3 +235,61 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_auc(scored, "s", "y").select(
         F.round(F.col("auc") + 5e-12, 6).alias("auc"), "n_pos", "n_neg"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q84 — embedding QC: distance-to-centroid outliers (ml/embedding_qc.py)
+# ---------------------------------------------------------------------------
+_Q84_ORACLE = """
+    WITH pos AS (
+      SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+    ), per_pos AS (
+      SELECT label, pos, AVG(val) AS c FROM pos GROUP BY label, pos
+    ), cents AS (
+      SELECT label, list(c ORDER BY pos) AS centroid FROM per_pos GROUP BY label
+    ), dists AS (
+      SELECT e.vec_id, e.label,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, 64),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                      * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))),
+               (acc, x) -> acc + x)) AS dist
+      FROM embeddings e JOIN cents c USING (label)
+    ), stats AS (
+      SELECT label, AVG(dist) AS mu, STDDEV_SAMP(dist) AS sigma
+      FROM dists GROUP BY label
+    )
+    SELECT d.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN (d.dist - s.mu) / s.sigma > 3.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(AVG(d.dist) + 5e-10, 4) AS avg_dist,
+           ROUND(MAX((d.dist - s.mu) / s.sigma) + 5e-10, 4) AS max_z
+    FROM dists d JOIN stats s USING (label)
+    GROUP BY d.label
+"""
+
+
+@register(
+    "q84_embedding_qc",
+    _Q84_ORACLE,
+    doc="Embedding quality control per label: positional-explode "
+    "centroids (no vector collect_list), broadcast back, distance "
+    "z-scores, >3-sigma outlier counts (ml/embedding_qc.py). The "
+    "mislabeled-row / collapsed-encoder gate before training or "
+    "indexing.",
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.ml.embedding_qc import embedding_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_outliers(emb, "vec_id", "embedding", "label")
+    return out.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("is_outlier").cast("int")).cast("bigint").alias(
+            "n_outliers"
+        ),
+        F.round(F.avg("dist") + 5e-10, 4).alias("avg_dist"),
+        F.round(F.max("z") + 5e-10, 4).alias("max_z"),
+    )

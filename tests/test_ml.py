@@ -309,3 +309,34 @@ def test_ranking_metrics_golden(spark):
     dcg1 = 1 / math.log2(2) + 1 / math.log2(4)
     idcg1 = 1 / math.log2(2) + 1 / math.log2(3)
     assert abs(m.ndcg_at_k - (dcg1 / idcg1) / 3) < 1e-12
+
+
+def test_embedding_outliers_planted(spark):
+    import numpy as np
+
+    from model_presto_spark.ml.embedding_qc import (
+        embedding_outliers,
+        label_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for lab, center in (("a", 0.0), ("b", 50.0)):
+        for i in range(30):
+            rows.append(
+                (len(rows), lab,
+                 (center + rng.normal(0, 1, 8)).tolist())
+            )
+    # planted outlier: label 'a' vector sitting at label b's center
+    rows.append((len(rows), "a", (np.full(8, 50.0)).tolist()))
+    df = spark.createDataFrame(rows, "vid bigint, label string, vec array<double>")
+
+    cents = {r.label: r for r in label_centroids(df, "vec", "label").collect()}
+    assert cents["b"].n_vecs == 30 and len(cents["b"].centroid) == 8
+    assert abs(np.mean(cents["b"].centroid) - 50.0) < 1.0
+
+    out = embedding_outliers(df, "vid", "vec", "label").collect()
+    flagged = [r.vid for r in out if r.is_outlier]
+    assert flagged == [60]
+    z = {r.vid: r.z for r in out}
+    assert z[60] > 4.0
