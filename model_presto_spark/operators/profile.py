@@ -141,3 +141,77 @@ def check_constraints(
     for o in out[1:]:
         res = res.unionByName(o)
     return res.withColumn("passed", F.col("violations") == 0)
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference snapshot and a
+    current one for a numeric column — the standard drift alarm for
+    a continuously-ingesting pipeline (PSI < 0.1 stable, 0.1-0.25
+    moderate shift, > 0.25 action).
+
+    Bucket boundaries come from the REFERENCE quantiles (equi-depth
+    on ref, so every ref bucket holds ~1/n of mass and the statistic
+    is well-conditioned), then both sides bucket with the same
+    literal boundaries — two single-pass aggregations + a ~n_buckets
+    row join. Returns one row per bucket plus the total:
+    (bucket, p_ref, p_cur, contrib) with bucket NULL on the total
+    row carrying psi."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    qs = ref.agg(
+        F.expr(
+            f"percentile({col}, array({', '.join(f'{p}D' for p in probs)}))"
+        ).alias("qs")
+    ).collect()[0]["qs"]
+
+    def bucket(c):
+        b = F.lit(1)
+        for q in qs:
+            b = b + (c > F.lit(float(q))).cast("int")
+        return b
+
+    def shares(df, name):
+        c = F.col(col)
+        return (
+            df.where(c.isNotNull())
+            .groupBy(bucket(c).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .withColumn(
+                name,
+                F.col("__n")
+                / F.sum("__n").over(Window.partitionBy()),
+            )
+            .drop("__n")
+        )
+
+    from pyspark.sql import Window
+
+    r = shares(ref, "p_ref")
+    m = shares(cur, "p_cur")
+    per = (
+        r.join(m, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce(F.col("p_ref"), F.lit(0.0)).alias("p_ref"),
+            F.coalesce(F.col("p_cur"), F.lit(0.0)).alias("p_cur"),
+        )
+        .withColumn(
+            "contrib",
+            (F.col("p_cur") - F.col("p_ref"))
+            * F.log(
+                (F.col("p_cur") + eps) / (F.col("p_ref") + eps)
+            ),
+        )
+    )
+    total = per.agg(
+        F.lit(None).cast("int").alias("bucket"),
+        F.lit(None).cast("double").alias("p_ref"),
+        F.lit(None).cast("double").alias("p_cur"),
+        F.sum("contrib").alias("contrib"),
+    )
+    return per.unionByName(total)

@@ -306,3 +306,32 @@ def test_profile_columns_single_pass(spark):
     # trap this operator deliberately avoids)
     plan = prof._jdf.queryExecution().executedPlan().toString()
     assert "partial_" in plan and "Expand" not in plan
+
+
+def test_psi_drift(spark):
+    import numpy as np
+
+    from model_presto_spark.operators.profile import psi_drift
+
+    rng = np.random.default_rng(9)
+    ref = spark.createDataFrame(
+        [(float(x),) for x in rng.normal(0, 1, 2000)], "x double"
+    )
+    same = spark.createDataFrame(
+        [(float(x),) for x in rng.normal(0, 1, 2000)], "x double"
+    )
+    shifted = spark.createDataFrame(
+        [(float(x),) for x in rng.normal(1.0, 1, 2000)], "x double"
+    )
+
+    def psi(cur):
+        rows = psi_drift(ref, cur, "x", n_buckets=10).collect()
+        total = [r for r in rows if r.bucket is None]
+        buckets = [r for r in rows if r.bucket is not None]
+        # ref shares are equi-depth by construction
+        assert all(abs(r.p_ref - 0.1) < 0.02 for r in buckets)
+        assert abs(sum(r.p_cur for r in buckets) - 1.0) < 1e-9
+        return total[0].contrib
+
+    assert psi(same) < 0.05        # same distribution: stable
+    assert psi(shifted) > 0.25     # 1-sigma mean shift: actionable
