@@ -2,6 +2,7 @@ from model_presto_spark.operators.asof import asof_join
 from model_presto_spark.operators.bucketing import bucketed_join, write_bucketed
 from model_presto_spark.operators.contamination import ngram_contamination
 from model_presto_spark.operators.dedup import (
+    dedup_corpus,
     embedding_dup_pairs,
     exact_dedup,
     keep_representatives,
@@ -98,6 +99,7 @@ __all__ = [
     "build_ivf_index",
     "ivf_index_search",
     "ngram_contamination",
+    "dedup_corpus",
     "apply_bpe",
     "compact_parquet",
     "compaction_stats",

@@ -447,3 +447,46 @@ def keep_representatives(
     """
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    method: str = "minhash",
+    threshold: float = 0.8,
+    fast_hash: bool = True,
+    **kwargs,
+) -> DataFrame:
+    """One-call end-to-end near-dedup: candidate pairs (``method`` in
+    'exact' | 'minhash' | 'ngram') -> transitive clusters (connected
+    components) -> keep the min-id representative of every cluster.
+
+    The composition a pipeline actually runs, wired from the
+    individually-verified stages: pair generation is the bucketed
+    scale path of the chosen method, clustering is the O(log n)
+    pointer-jumping CC, and the keep is one join against the cluster
+    relation. ``fast_hash`` defaults to the xxhash64 production path
+    (flip off for md5 when cross-engine reproducibility of the hash
+    itself matters more than speed)."""
+    from model_presto_spark.operators.graph import (
+        keep_cluster_representatives,
+    )
+
+    if method == "exact":
+        return exact_dedup(df, id_col, text_col)
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(
+            df, id_col, text_col, threshold=threshold,
+            fast_hash=fast_hash, **kwargs,
+        )
+    elif method == "ngram":
+        pairs = ngram_jaccard_pairs(
+            df, id_col, text_col, threshold=threshold,
+            fast_hash=fast_hash, **kwargs,
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return keep_cluster_representatives(
+        df, pairs.select("id_a", "id_b"), id_col
+    )

@@ -335,3 +335,38 @@ def test_psi_drift(spark):
 
     assert psi(same) < 0.05        # same distribution: stable
     assert psi(shifted) > 0.25     # 1-sigma mean shift: actionable
+
+
+def test_dedup_corpus_end_to_end(spark):
+    from model_presto_spark.operators.dedup import dedup_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the rain keeps falling on the quiet empty streets"
+    )
+    rows = [
+        (1, base),
+        (2, base.replace("quiet", "silent")),       # near-dup of 1
+        (3, base.replace("rain", "snow")),          # near-dup of 1
+        (4, "completely different content about spark query engines "
+            "and distributed columnar execution at scale"),
+        (5, "another unrelated document mentioning satellites and "
+            "monthly composites over west africa croplands"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kept = {
+        r.doc_id
+        for r in dedup_corpus(
+            df, "doc_id", "text", method="minhash", threshold=0.6
+        ).collect()
+    }
+    # the {1,2,3} cluster collapses to its min id; 4 and 5 survive
+    assert kept == {1, 4, 5}
+    # ngram path agrees on this corpus
+    kept_ng = {
+        r.doc_id
+        for r in dedup_corpus(
+            df, "doc_id", "text", method="ngram", threshold=0.5
+        ).collect()
+    }
+    assert kept_ng == {1, 4, 5}
