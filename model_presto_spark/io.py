@@ -77,6 +77,16 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (second columnar format beside parquet; built into
+    Spark — same pushdown/pruning machinery)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
 def spread(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition to cluster parallelism.
 

@@ -483,3 +483,36 @@ def quantized_knn_join(
             "rank",
         )
     )
+
+
+def ivf_index_append(
+    spark,
+    path: str,
+    candidates: DataFrame,
+    cand_id: str,
+    cand_vec: str = "vec",
+) -> None:
+    """Incrementally add vectors to a persisted IVF index WITHOUT
+    rebuilding: new vectors assign to the EXISTING centroids
+    (broadcast argmin — no KMeans refit) and append into their cell
+    partitions. The maintenance path a continuously-ingesting corpus
+    needs; quantizer drift is bounded by how stationary the
+    embedding distribution is — rebuild with build_ivf_index when
+    drift (e.g. psi_drift on distances) says so. Searches see the
+    appended vectors immediately (same layout, same pruning)."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cent_df = spark.createDataFrame(
+        [(int(r["cell"]), [float(x) for x in r["centroid"]]) for r in cent_rows],
+        "cell int, centroid array<double>",
+    )
+    cvec = F.col(cand_vec).cast("array<double>")
+    c = candidates.select(F.col(cand_id).alias("cid"), cvec.alias("cvec"))
+    d = _distance(F.col("cvec"), F.col("centroid"), "sqeuclidean")
+    w = Window.partitionBy("cid").orderBy(d.asc(), F.col("cell").asc())
+    assigned = (
+        c.crossJoin(F.broadcast(cent_df))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("cid", "cvec", "cell")
+    )
+    assigned.write.partitionBy("cell").mode("append").parquet(f"{path}/cells")

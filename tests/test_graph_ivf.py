@@ -215,3 +215,41 @@ def test_quantized_knn_recall(spark):
     e = {(r.pid, r.cid) for r in exact.collect()}
     q = {(r.pid, r.cid) for r in quant.collect()}
     assert len(q & e) / len(e) > 0.9
+
+
+def test_ivf_index_append(spark, tmp_path):
+    import numpy as np
+
+    from model_presto_spark.operators.knn import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_search,
+    )
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(0, 20, size=(4, 16))
+    rows = [
+        (i, (centers[i % 4] + rng.normal(0, 1, 16)).tolist())
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "cid bigint, vec array<double>")
+    path = str(tmp_path / "ivf_inc")
+    build_ivf_index(df, "cid", path, cand_vec="vec", n_lists=4)
+
+    # append a new tight clone family near center 0
+    new_rows = [
+        (1000 + i, (centers[0] + rng.normal(0, 0.01, 16)).tolist())
+        for i in range(5)
+    ]
+    new_df = spark.createDataFrame(new_rows, "cid bigint, vec array<double>")
+    ivf_index_append(spark, path, new_df, "cid", "vec")
+
+    probe = spark.createDataFrame(
+        [(9999, centers[0].tolist())], "pid bigint, vec array<double>"
+    )
+    got = ivf_index_search(
+        spark, path, probe, "pid", "vec", k=5, n_probe=1
+    ).collect()
+    # the appended clones dominate the top-5 (they sit on the center)
+    appended_hits = sum(1 for r in got if r.cid >= 1000)
+    assert appended_hits == 5

@@ -99,3 +99,21 @@ def test_weighted_hash_sample_properties(spark):
     per = (weighted_hash_sample(two, "doc_id", "w", 7, strata_cols=["src"])
            .groupBy("src").count().collect())
     assert {r["count"] for r in per} == {7}
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from model_presto_spark.io import read_orc, write_orc
+
+    path = str(tmp_path / "orc_tbl")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"),
+        F.sha1(F.col("id").cast("string")).alias("s"),
+    )
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.count() == 1000
+    filtered = back.where(F.col("k") == 3).select("id")
+    assert filtered.count() == df.where("id % 7 = 3").count()
+    # predicate reaches the ORC scan
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "k" in plan.split("PushedFilters")[1][:80]
