@@ -490,3 +490,150 @@ def dedup_corpus(
     return keep_cluster_representatives(
         df, pairs.select("id_a", "id_b"), id_col
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (span) dedup — Lee et al., "Deduplicating Training
+# Data Makes Language Models Better" (public recipe: every k-token
+# window that occurs more than once in the corpus marks a duplicated
+# span; documents are scored by the fraction of their windows that
+# are duplicated, and the spans themselves can be cut out).
+#
+# Scale shape: identical to the corpus posting list (operators/lm.py)
+# — one explode of window *hashes* (8-byte keys, never window text),
+# per-doc pre-aggregation in the same shuffle (map-side combine), a
+# second much smaller aggregation over window types, and a
+# whash-keyed co-located join back. No O(n^2) pair generation at any
+# point; the suffix-array of the original paper is replaced by the
+# equivalent fixed-k window-hash formulation, which distributes as
+# plain groupBy/join.
+# ---------------------------------------------------------------------------
+
+
+def window_hashes(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fast_hash: bool = False,
+) -> DataFrame:
+    """One row per k-token window position: (id, i, whash).
+
+    ``fast_hash=True`` switches to native xxhash64 (production path);
+    the md5 default replays bit-for-bit in the DuckDB oracle.
+    Documents shorter than ``k`` tokens contribute a single null-hash
+    row (``explode_outer`` over an empty sequence) so callers can
+    left-account them; every aggregate here counts ``whash`` and so
+    ignores those rows.
+    """
+    from model_presto_spark.functions.text import h60, h60_fast
+
+    toksed = docs.select(id_col, tokens(F.col(text_col)).alias("toks"))
+    n = F.size("toks")
+    idx = F.when(
+        n >= k, F.sequence(F.lit(1), n - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    win = toksed.select(
+        id_col, "toks", F.explode_outer(idx).alias("i")
+    )
+    wtext = F.array_join(F.slice(F.col("toks"), F.col("i"), k), " ")
+    h = h60_fast(wtext) if fast_hash else h60(wtext)
+    return win.select(
+        id_col, "i", F.when(F.col("i").isNotNull(), h).alias("whash")
+    )
+
+
+def span_dup_stats(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fast_hash: bool = False,
+) -> DataFrame:
+    """Per-document duplicated-window statistics.
+
+    Returns (id, n_windows, dup_windows, dup_fraction): a window
+    position is duplicated iff its k-token window hash occurs more
+    than once in the ENTIRE corpus (other documents or a repeat
+    within the same document). Every document of the input appears in
+    the output; documents with fewer than ``k`` tokens have zero
+    windows and fraction 0.0.
+    """
+    w = window_hashes(docs, k, text_col, id_col, fast_hash)
+    # per-doc window-type counts: the explode's shuffle does map-side
+    # partial aggregation, so window instances never cross the wire
+    pc = w.where(F.col("whash").isNotNull()).groupBy(id_col, "whash").agg(
+        F.count("*").alias("cnt")
+    )
+    glob = pc.groupBy("whash").agg(F.sum("cnt").alias("total"))
+    d = (
+        pc.join(glob, "whash")  # both sides hash-partitioned on whash
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_windows"),
+            F.sum(F.when(F.col("total") > 1, F.col("cnt")).otherwise(0)).alias(
+                "dup_windows"
+            ),
+        )
+    )
+    out = docs.select(id_col).join(d, id_col, "left")
+    nw = F.coalesce(F.col("n_windows"), F.lit(0)).cast("bigint")
+    dw = F.coalesce(F.col("dup_windows"), F.lit(0)).cast("bigint")
+    return out.select(
+        id_col,
+        nw.alias("n_windows"),
+        dw.alias("dup_windows"),
+        F.when(nw > 0, dw.cast("double") / nw.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+    )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fast_hash: bool = True,
+) -> DataFrame:
+    """Cut duplicated spans out of each document (Lee et al. removal).
+
+    A token position is covered iff it lies inside any duplicated
+    window; the cleaned text is the remaining tokens joined in their
+    original order. Implemented without exploding windows to token
+    positions: the duplicated window *starts* of a doc come back as
+    one array per doc (bounded by document length), and the token
+    mask is a JVM-side positional ``filter`` with an ``exists`` over
+    that array — O(tokens x dup_windows) worst case per doc, all
+    inside whole-stage codegen.
+
+    Output: (id, text_col clean text, n_tokens_kept, n_tokens).
+    """
+    w = window_hashes(docs, k, text_col, id_col, fast_hash)
+    pc = w.where(F.col("whash").isNotNull()).groupBy(id_col, "whash").agg(
+        F.count("*").alias("cnt"), F.collect_list("i").alias("starts")
+    )
+    glob = pc.groupBy("whash").agg(F.sum("cnt").alias("total"))
+    dup_starts = (
+        pc.join(glob, "whash")
+        .where(F.col("total") > 1)
+        .select(id_col, F.explode("starts").alias("s"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("s")).alias("dup_starts"))
+    )
+    base = docs.select(
+        id_col, tokens(F.col(text_col)).alias("toks")
+    ).join(dup_starts, id_col, "left")
+    ds = F.coalesce(F.col("dup_starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, j: ~F.exists(
+            ds, lambda s: (s <= j + 1) & (j + 1 <= s + (k - 1))
+        ),
+    )
+    return base.select(
+        id_col,
+        F.array_join(kept, " ").alias(text_col),
+        F.size(kept).cast("bigint").alias("n_tokens_kept"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+    )

@@ -1041,6 +1041,7 @@ from model_presto_spark.plans import queries_llm3 as _queries_llm3  # noqa: E402
 from model_presto_spark.plans import queries_llm2 as _queries_llm2  # noqa: E402,F401
 from model_presto_spark.plans import queries_sql2 as _queries_sql2  # noqa: E402,F401
 from model_presto_spark.plans import queries_approx as _queries_approx  # noqa: E402,F401
+from model_presto_spark.plans import queries_llm4 as _queries_llm4  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
@@ -1087,6 +1088,13 @@ from model_presto_spark.plans import queries_approx as _queries_approx  # noqa: 
 # (tools/check_correctness.py), which has no cap.
 # ---------------------------------------------------------------------------
 _ADJUDICATION_TAIL = [
+    # q25 parks in the tail (round 3): F5-F9 date functions are
+    # adjudicated via q63_sessionize (epoch/timestamp arithmetic),
+    # q79_gap_fill (date spine + datediff) and q43 (month
+    # truncation), all in the head; q25 keeps its oracle in the
+    # uncapped local/pytest gates (makes room for q85_span_dedup,
+    # a genuinely new operator family)
+    "q25_dates",
     "q51_rollup",
     "q52_setops",
     "q53_running_window",

@@ -370,3 +370,65 @@ def test_dedup_corpus_end_to_end(spark):
         ).collect()
     }
     assert kept_ng == {1, 4, 5}
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. fixed-k window-hash form)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def span_docs(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, f"unique one two three {shared} tail words here", ),
+        (2, f"other opening phrase {shared} closing different run", ),
+        (3, "entirely unrelated text with no repeats at all whatsoever", ),
+        (4, "short doc", ),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_span_dup_stats(span_docs):
+    from model_presto_spark.operators.dedup import span_dup_stats
+
+    out = {r.doc_id: r for r in span_dup_stats(span_docs, k=8).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # every doc appears; the short doc has zero windows
+    assert out[4].n_windows == 0 and out[4].dup_windows == 0
+    assert out[4].dup_fraction == 0.0
+    # the unrelated doc has windows but none duplicated
+    assert out[3].n_windows > 0 and out[3].dup_windows == 0
+    # docs 1 and 2 share a 10-token run -> 3 duplicated 8-windows each
+    assert out[1].dup_windows == 3 and out[2].dup_windows == 3
+    assert 0.0 < out[1].dup_fraction < 1.0
+
+
+def test_remove_dup_spans(span_docs):
+    from model_presto_spark.operators.dedup import remove_dup_spans
+
+    out = {r.doc_id: r for r in remove_dup_spans(span_docs, k=8).collect()}
+    # the shared run is cut from BOTH docs; unique prefixes survive
+    assert "charlie" not in out[1].text and "charlie" not in out[2].text
+    assert out[1].text.startswith("unique one two three")
+    assert out[2].text.startswith("other opening phrase")
+    # untouched docs come back verbatim (token-joined)
+    assert out[3].text == span_docs.filter("doc_id = 3").first().text
+    assert out[4].text == "short doc"
+    assert out[4].n_tokens_kept == out[4].n_tokens == 2
+    # kept counts are consistent
+    for r in out.values():
+        assert r.n_tokens_kept == len(r.text.split())
+
+
+def test_remove_dup_spans_within_doc_repeat(spark):
+    from model_presto_spark.operators.dedup import remove_dup_spans
+
+    run = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, f"{run} middle filler words {run}")],
+        "doc_id bigint, text string",
+    )
+    out = remove_dup_spans(df, k=8).first()
+    # the 8-token run repeats within the same doc -> both occurrences cut
+    assert out.text == "middle filler words"
