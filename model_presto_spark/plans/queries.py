@@ -1095,6 +1095,11 @@ _ADJUDICATION_TAIL = [
     # uncapped local/pytest gates (makes room for q85_span_dedup,
     # a genuinely new operator family)
     "q25_dates",
+    # q09 parks in the tail (round 3): J1 left join is adjudicated
+    # via q10 (multi-key outer) and q43's spine left join +
+    # coalesce (P21), both in the head; q09 keeps its oracle in the
+    # uncapped local/pytest gates (makes room for q86_fuzzy_linkage)
+    "q09_left_join_coalesce",
     "q51_rollup",
     "q52_setops",
     "q53_running_window",

@@ -66,3 +66,113 @@ _Q85_ORACLE = f"""
 def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.span_dup_stats(docs, k=_K)
+
+
+# ---------------------------------------------------------------------------
+# Q86 — fuzzy entity linkage with blocking (dirty registry -> catalog)
+# ---------------------------------------------------------------------------
+# The part catalog has adjective+noun names. The query derives a
+# deterministic "dirty" registry in-plan (every record's adjective
+# loses one character at position 1 + partkey % len) and links it
+# back to the clean catalog by the canonical ER recipe: block on the
+# stable attribute (the noun), levenshtein-cap the noisy one (the
+# adjective), keep the best match per record with a deterministic
+# tie-break. Non-vacuous by construction: every record is corrupted
+# (edit_distance >= 1), and distinct adjectives can tie at the cap.
+
+_MAX_EDIT = 2
+
+_Q86_ORACLE = f"""
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             split_part(p_name, ' ', 1) AS adj,
+             split_part(p_name, ' ', 2) AS noun
+      FROM part
+    ), dirty AS (
+      SELECT p_partkey, noun,
+             concat(substr(adj, 1, CAST(p_partkey % length(adj) AS INT)),
+                    substr(adj,
+                           CAST(p_partkey % length(adj) AS INT) + 2,
+                           length(adj))) AS dirty_adj
+      FROM p
+    ), dirty2 AS (
+      SELECT p_partkey, noun, dirty_adj,
+             concat(dirty_adj, ' ', noun) AS dirty_name
+      FROM dirty
+    ), registry AS (
+      SELECT DISTINCT p_name AS clean_name,
+             split_part(p_name, ' ', 1) AS clean_adj,
+             split_part(p_name, ' ', 2) AS r_noun
+      FROM part
+    ), cand AS (
+      SELECT d.p_partkey, d.dirty_name, r.clean_name,
+             CAST(levenshtein(d.dirty_adj, r.clean_adj) AS BIGINT)
+               AS edit_distance
+      FROM dirty2 d JOIN registry r
+        ON d.noun = r.r_noun
+       AND levenshtein(d.dirty_adj, r.clean_adj) <= {_MAX_EDIT}
+    )
+    SELECT p_partkey, dirty_name, clean_name, edit_distance
+    FROM cand
+    QUALIFY row_number() OVER (
+      PARTITION BY p_partkey ORDER BY edit_distance, clean_name) = 1
+"""
+
+
+@register(
+    "q86_fuzzy_linkage",
+    _Q86_ORACLE,
+    doc="Fuzzy entity linkage with blocking: a deterministically "
+    "corrupted registry (one char deleted from each name's "
+    "adjective) links back to the clean catalog via a noun-block "
+    "equi-join + levenshtein cap + best-match window. The ER shape "
+    "that replaces O(n*m) all-pairs comparison with a plannable "
+    "equi-join (broadcast registry / AQE-split blocks).",
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from model_presto_spark.operators.linkage import blocked_fuzzy_join
+
+    part = _t(spark, sf_dir, "part")
+    adj = F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))
+    noun = F.split_part(F.col("p_name"), F.lit(" "), F.lit(2))
+    p = part.select(
+        "p_partkey", "p_name", adj.alias("adj"), noun.alias("noun")
+    )
+    dirty = p.select(
+        "p_partkey",
+        "noun",
+        F.concat(
+            F.expr("substr(adj, 1, CAST(p_partkey % length(adj) AS INT))"),
+            F.expr(
+                "substr(adj, CAST(p_partkey % length(adj) AS INT) + 2,"
+                " length(adj))"
+            ),
+        ).alias("dirty_adj"),
+    ).withColumn(
+        "dirty_name", F.concat_ws(" ", F.col("dirty_adj"), F.col("noun"))
+    )
+    registry = (
+        p.select(
+            F.col("p_name").alias("clean_name"),
+            F.col("adj").alias("clean_adj"),
+            F.col("noun").alias("r_noun"),
+        )
+        .distinct()
+    )
+    linked = blocked_fuzzy_join(
+        dirty,
+        registry,
+        block_on=[("noun", "r_noun")],
+        fuzzy_on=("dirty_adj", "clean_adj"),
+        max_edit=_MAX_EDIT,
+        left_key="p_partkey",
+        tie_break="clean_name",
+    )
+    return linked.select(
+        "p_partkey",
+        "dirty_name",
+        "clean_name",
+        F.col("edit_distance").cast("bigint").alias("edit_distance"),
+    )

@@ -432,3 +432,98 @@ def test_remove_dup_spans_within_doc_repeat(spark):
     out = remove_dup_spans(df, k=8).first()
     # the 8-token run repeats within the same doc -> both occurrences cut
     assert out.text == "middle filler words"
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity linkage with blocking
+# ---------------------------------------------------------------------------
+
+
+def test_blocked_fuzzy_join_best_match(spark):
+    from model_presto_spark.operators.linkage import blocked_fuzzy_join
+
+    dirty = spark.createDataFrame(
+        [
+            (1, "12345", "jonh smith"),    # typo of "john smith"
+            (2, "12345", "jane doe"),      # exact
+            (3, "99999", "john smith"),    # right name, wrong block
+            (4, "12345", "zzz qqq vvv"),   # no candidate within cap
+        ],
+        "rec_id bigint, zip string, name string",
+    )
+    registry = spark.createDataFrame(
+        [
+            ("12345", "john smith"),
+            ("12345", "jane doe"),
+            ("12345", "joan doe"),
+            ("54321", "john smith"),
+        ],
+        "r_zip string, r_name string",
+    )
+    out = {
+        r.rec_id: r
+        for r in blocked_fuzzy_join(
+            dirty,
+            registry,
+            block_on=[("zip", "r_zip")],
+            fuzzy_on=("name", "r_name"),
+            max_edit=2,
+            left_key="rec_id",
+        ).collect()
+    }
+    assert out[1].r_name == "john smith" and out[1].edit_distance == 2
+    assert out[2].r_name == "jane doe" and out[2].edit_distance == 0
+    # blocking is strict: record 3's zip has no registry entries
+    assert 3 not in out
+    # nothing within the edit cap
+    assert 4 not in out
+
+
+def test_blocked_fuzzy_join_tie_break_deterministic(spark):
+    from model_presto_spark.operators.linkage import blocked_fuzzy_join
+
+    dirty = spark.createDataFrame(
+        [(1, "b", "jane dot")], "rec_id bigint, blk string, name string"
+    )
+    registry = spark.createDataFrame(
+        [("b", "jane doe"), ("b", "jane dog")],
+        "r_blk string, r_name string",
+    )
+    # both candidates at distance 1 -> lexicographically smaller wins
+    row = blocked_fuzzy_join(
+        dirty,
+        registry,
+        block_on=[("blk", "r_blk")],
+        fuzzy_on=("name", "r_name"),
+        max_edit=2,
+        left_key="rec_id",
+    ).first()
+    assert row.r_name == "jane doe"
+
+
+def test_blocked_fuzzy_join_broadcasts_small_registry(spark):
+    """The registry side must broadcast: the dirty stream is never
+    shuffled by block key when the registry fits in memory."""
+    from pyspark.sql import functions as F
+
+    from model_presto_spark.operators.linkage import blocked_fuzzy_join
+
+    dirty = spark.range(1000).select(
+        F.col("id").alias("rec_id"),
+        (F.col("id") % 7).cast("string").alias("blk"),
+        F.concat(F.lit("name"), (F.col("id") % 13).cast("string")).alias(
+            "name"
+        ),
+    )
+    registry = spark.createDataFrame(
+        [(str(i), f"name{i}") for i in range(7)],
+        "r_blk string, r_name string",
+    )
+    plan = blocked_fuzzy_join(
+        dirty,
+        registry,
+        block_on=[("blk", "r_blk")],
+        fuzzy_on=("name", "r_name"),
+        max_edit=2,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
