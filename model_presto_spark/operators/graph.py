@@ -189,3 +189,65 @@ def keep_cluster_representatives(
     """Keep exactly one row (the min-id) per transitive dup cluster."""
     clustered = dedup_clusters(df, pairs, id_col)
     return clustered.filter(F.col(id_col) == F.col("cluster")).drop("cluster")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank by distributed power iteration.
+
+    Per round: one edges-by-src join + one groupBy(dst) — the same
+    join+aggregate shape as connected components, so it scales the
+    same way (both sides hash-partitioned on the join key, map-side
+    combined). Dangling mass (rank sitting on nodes with no
+    out-edges) is redistributed uniformly each round; it is computed
+    as a one-row aggregate crossJoined back into the plan — never a
+    driver-side collect. ``localCheckpoint`` per round truncates the
+    lineage exactly like the CC loop.
+
+    Fixed ``n_iter`` (no convergence probe) keeps the computation
+    restatable as plain SQL for the oracle. Returns (node, rank).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("out_deg")
+    )
+    n_nodes = nodes.count()  # O(1) scalar, computed once
+    d = damping
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("dst"))
+    for _ in range(n_iter):
+        with_deg = ranks.join(deg, "node", "left")
+        contrib = (
+            with_deg.join(e, "node")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
+        )
+        dang = with_deg.where(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - d) / n_nodes)
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dang") / n_nodes
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

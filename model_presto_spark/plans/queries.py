@@ -1100,6 +1100,13 @@ _ADJUDICATION_TAIL = [
     # coalesce (P21), both in the head; q09 keeps its oracle in the
     # uncapped local/pytest gates (makes room for q86_fuzzy_linkage)
     "q09_left_join_coalesce",
+    # q21 parks in the tail (round 3): W5 top-N-per-group's
+    # rank-window + filter machinery is adjudicated via
+    # q86_fuzzy_linkage's best-match window (row_number over a
+    # partition, deterministic tie-break) in the head; q21 keeps its
+    # oracle in the uncapped local/pytest gates (makes room for
+    # q87_pagerank)
+    "q21_topn_per_group",
     "q51_rollup",
     "q52_setops",
     "q53_running_window",

@@ -176,3 +176,88 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clean_name",
         F.col("edit_distance").cast("bigint").alias("edit_distance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q87 — PageRank (fixed-iteration power method) on a derived graph
+# ---------------------------------------------------------------------------
+# Graph: distinct (o_custkey % 60 -> o_orderkey % 60) edges from
+# orders, self-loops removed — a reproducible directed graph with
+# uneven degrees and (possibly) dangling nodes. Fixed 3 iterations so
+# the whole computation restates as plain unrolled SQL; dangling mass
+# is redistributed uniformly each round in BOTH engines. Ranks are
+# rounded per the repo's cross-engine float convention
+# (ROUND(x + 5e-12, 6)).
+
+_PR_ITER = 3
+_PR_D = 0.85
+_PR_MOD = 60
+
+
+def _pr_oracle() -> str:
+    head = f"""
+    WITH e AS (
+      SELECT DISTINCT CAST(o_custkey % {_PR_MOD} AS BIGINT) AS src,
+                      CAST(o_orderkey % {_PR_MOD} AS BIGINT) AS dst
+      FROM orders
+      WHERE o_custkey % {_PR_MOD} <> o_orderkey % {_PR_MOD}
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+    ), deg AS (
+      SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY 1
+    ), nn AS (
+      SELECT COUNT(*) AS n FROM nodes
+    ), r0 AS (
+      SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank
+      FROM nodes
+    )"""
+    steps = []
+    for i in range(_PR_ITER):
+        steps.append(f""", c{i} AS (
+      SELECT e.dst AS node, SUM(r.rank / deg.out_deg) AS contrib
+      FROM r{i} r JOIN e ON r.node = e.src JOIN deg ON deg.node = r.node
+      GROUP BY 1
+    ), dg{i} AS (
+      SELECT COALESCE(SUM(r.rank), CAST(0 AS DOUBLE)) AS dang
+      FROM r{i} r LEFT JOIN deg ON deg.node = r.node
+      WHERE deg.out_deg IS NULL
+    ), r{i + 1} AS (
+      SELECT n.node,
+             (CAST(1 AS DOUBLE) - {_PR_D}) / (SELECT n FROM nn)
+             + {_PR_D} * (COALESCE(c.contrib, CAST(0 AS DOUBLE))
+                          + (SELECT dang FROM dg{i}) / (SELECT n FROM nn))
+               AS rank
+      FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+    )""")
+    tail = f"""
+    SELECT node, ROUND(rank + 5e-12, 6) AS rank FROM r{_PR_ITER}"""
+    return head + "".join(steps) + tail
+
+
+@register(
+    "q87_pagerank",
+    _pr_oracle(),
+    doc=f"PageRank, {_PR_ITER} power iterations (damping {_PR_D}) "
+    "over a derived orders graph with dangling-mass redistribution. "
+    "Per round: one edges-by-src join + one groupBy(dst) (the CC "
+    "shape); dangling mass stays in-plan as a crossJoined one-row "
+    "aggregate, never a driver collect.",
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from model_presto_spark.operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    e = (
+        orders.select(
+            (F.col("o_custkey") % _PR_MOD).cast("bigint").alias("src"),
+            (F.col("o_orderkey") % _PR_MOD).cast("bigint").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pr = pagerank(e, n_iter=_PR_ITER, damping=_PR_D)
+    return pr.select(
+        "node", F.round(F.col("rank") + F.lit(5e-12), 6).alias("rank")
+    )

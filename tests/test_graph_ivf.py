@@ -253,3 +253,31 @@ def test_ivf_index_append(spark, tmp_path):
     # the appended clones dominate the top-5 (they sit on the center)
     appended_hits = sum(1 for r in got if r.cid >= 1000)
     assert appended_hits == 5
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    """3-iteration PageRank on a 4-node graph with a dangling node
+    equals a plain-python power iteration, including the uniform
+    dangling-mass redistribution."""
+    import pytest
+
+    from model_presto_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3)]  # 3 is dangling
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.rank for r in pagerank(e, n_iter=3, damping=0.85).collect()}
+
+    n, d = 4, 0.85
+    out = {0: [1, 3], 1: [2], 2: [0], 3: []}
+    r = {v: 1.0 / n for v in range(n)}
+    for _ in range(3):
+        dang = sum(r[v] for v in range(n) if not out[v])
+        nxt = {}
+        for v in range(n):
+            contrib = sum(r[u] / len(out[u]) for u in range(n) if v in out[u])
+            nxt[v] = (1.0 - d) / n + d * (contrib + dang / n)
+        r = nxt
+    for v in range(n):
+        assert got[v] == pytest.approx(r[v], abs=1e-12)
+    # total rank mass is conserved
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
