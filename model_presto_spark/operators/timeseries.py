@@ -184,3 +184,83 @@ def interpolate_series(
         .otherwise(F.coalesce(prev_v, next_v))
     )
     return df.withColumn(out, filled)
+
+
+def rolling_zscore(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int = 10,
+    min_periods: int = 5,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window anomaly score: how far each point sits from
+    its OWN recent history.
+
+    The baseline is the ``window`` rows strictly BEFORE the current
+    one (the point never launders itself into its baseline), so the
+    operator is streaming-compatible. One Window stage per entity
+    key — a single shuffle on ``entity_col``; mean/stddev/count all
+    share the frame. ``z`` is null until ``min_periods`` history
+    exists or when the baseline is constant (stddev 0).
+
+    Adds: rolling_mean, rolling_std, z, is_anomaly (|z|>=threshold).
+    """
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-window, -1)
+    )
+    v = F.col(value_col)
+    mean = F.avg(v).over(w)
+    sd = F.stddev_samp(v).over(w)
+    cnt = F.count(v).over(w)
+    z = F.when((cnt >= min_periods) & (sd > 0), (v - mean) / sd)
+    return (
+        df.withColumn("rolling_mean", mean)
+        .withColumn("rolling_std", sd)
+        .withColumn("z", z)
+        .withColumn(
+            "is_anomaly",
+            F.when(F.col("z").isNotNull(), F.abs(F.col("z")) >= threshold)
+            .otherwise(F.lit(False)),
+        )
+    )
+
+
+def ewma(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average, exact (pandas
+    ``ewm(adjust=True)`` semantics), as pure window algebra.
+
+    The recurrence y_t = (sum_i (1-a)^(t-i) x_i) / (sum_i (1-a)^(t-i))
+    factors through s_t = sum_i x_i * (1-a)^(-i): two running-sum
+    windows over u_i = x_i * (1-a)^(-i) and the weight stream, scaled
+    back by (1-a)^t. One shuffle on the entity key, no UDF.
+
+    Numerical bound: (1-a)^(-i) overflows double once
+    ``i * ln(1/(1-a)) > ~709`` — e.g. ~2000 points per entity at
+    a=0.3, ~6700 at a=0.1. Within the bound the computation is exact;
+    for longer series, window the series (or lower a) — the factor
+    is re-based per partition window, not global.
+    """
+    beta = 1.0 - alpha
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    # 0-based position within the series
+    pos = F.row_number().over(w) - 1
+    inv = F.pow(F.lit(beta), -pos.cast("double"))
+    u = F.col(value_col) * inv
+    num = F.sum(u).over(run)
+    den = F.sum(inv).over(run)
+    back = F.pow(F.lit(beta), pos.cast("double"))
+    # (num * back) / (den * back) == weighted mean with weights
+    # (1-a)^(t-i); multiplying both by back keeps magnitudes tame
+    return df.withColumn(out_col, (num * back) / (den * back))

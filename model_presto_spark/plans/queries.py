@@ -1107,6 +1107,11 @@ _ADJUDICATION_TAIL = [
     # oracle in the uncapped local/pytest gates (makes room for
     # q87_pagerank)
     "q21_topn_per_group",
+    # q17 parks in the tail (round 3): A9 exact multi-quantiles are
+    # also computed (beside the sketch contracts) inside q72_sketches
+    # in the head; q17 keeps its oracle in the uncapped local/pytest
+    # gates (makes room for q88_rolling_anomaly)
+    "q17_quantiles",
     "q51_rollup",
     "q52_setops",
     "q53_running_window",

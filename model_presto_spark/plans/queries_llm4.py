@@ -261,3 +261,65 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         "node", F.round(F.col("rank") + F.lit(5e-12), 6).alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q88 — rolling z-score anomaly detection over per-user event series
+# ---------------------------------------------------------------------------
+# Trailing baseline of the 10 events strictly before each point
+# (never the point itself), at least 5 required; anomaly = |z| >= 2.
+# The flag is computed from the ROUNDED z in both engines so the
+# boundary decision can never diverge on a last-ulp difference.
+
+_ZW, _ZMIN, _ZTHR = 10, 5, 2.0
+
+_Q88_ORACLE = f"""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             AVG(value) OVER fr AS m,
+             STDDEV_SAMP(value) OVER fr AS sd,
+             COUNT(value) OVER fr AS c
+      FROM events
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN {_ZW} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN c >= {_ZMIN} AND sd > 0
+                THEN ROUND((value - m) / sd + 5e-12, 6) END AS z,
+           COALESCE(abs(CASE WHEN c >= {_ZMIN} AND sd > 0
+                THEN ROUND((value - m) / sd + 5e-12, 6) END) >= {_ZTHR},
+                FALSE) AS is_anomaly
+    FROM w
+"""
+
+
+@register(
+    "q88_rolling_anomaly",
+    _Q88_ORACLE,
+    doc="Rolling z-score anomaly detection: each event scored "
+    "against the mean/stddev of its own trailing 10-event history "
+    "(strictly prior rows; min 5). One window stage per user key — "
+    "a single shuffle; streaming-compatible baseline.",
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from model_presto_spark.operators.timeseries import rolling_zscore
+
+    events = _t(spark, sf_dir, "events")
+    scored = rolling_zscore(
+        events,
+        entity_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        window=_ZW,
+        min_periods=_ZMIN,
+        threshold=_ZTHR,
+    )
+    zr = F.round(F.col("z") + F.lit(5e-12), 6)
+    return scored.select(
+        "event_id",
+        "user_id",
+        zr.alias("z"),
+        F.coalesce(F.abs(zr) >= _ZTHR, F.lit(False)).alias("is_anomaly"),
+    )

@@ -182,3 +182,61 @@ def test_apply_mix_epochs_upsampling(spark):
     assert {(r.source, r.doc_id, r.epoch) for r in again} == {
         (r.source, r.doc_id, r.epoch) for r in out
     }
+
+
+# ---------------------------------------------------------------------------
+# Rolling anomaly detection + EWMA
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    from model_presto_spark.operators.timeseries import rolling_zscore
+
+    # flat-ish series with one big spike at position 12
+    vals = [10.0, 11.0, 10.5, 9.5, 10.2, 10.8, 9.9, 10.1, 10.4, 9.8,
+            10.3, 10.0, 50.0, 10.1, 9.9]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "uid bigint, t bigint, value double")
+    out = {r.t: r for r in rolling_zscore(
+        df, "uid", ["t"], "value", window=10, min_periods=5, threshold=3.0
+    ).collect()}
+    assert out[12].is_anomaly and out[12].z > 3.0
+    # early rows have no z (insufficient history), and are not flagged
+    assert out[2].z is None and not out[2].is_anomaly
+    # normal rows before the spike are unflagged
+    assert not out[11].is_anomaly
+    # the spike contaminates the TRAILING baseline of later rows but
+    # those rows themselves are normal: never flagged
+    assert not out[13].is_anomaly and not out[14].is_anomaly
+
+
+def test_rolling_zscore_constant_baseline_no_flag(spark):
+    from model_presto_spark.operators.timeseries import rolling_zscore
+
+    rows = [(1, i, 5.0) for i in range(8)] + [(1, 8, 9.0)]
+    df = spark.createDataFrame(rows, "uid bigint, t bigint, value double")
+    out = {r.t: r for r in rolling_zscore(
+        df, "uid", ["t"], "value", window=10, min_periods=5
+    ).collect()}
+    # stddev of the constant baseline is 0 -> z undefined, not a flag
+    assert out[8].z is None and not out[8].is_anomaly
+
+
+def test_ewma_matches_pandas(spark):
+    import pandas as pd
+    import pytest
+
+    from model_presto_spark.operators.timeseries import ewma
+
+    rng_vals = [3.0, 7.5, 1.25, 9.0, 4.5, 6.75, 2.0, 8.25, 5.5, 0.5]
+    rows = [(u, i, v + u) for u in (1, 2) for i, v in enumerate(rng_vals)]
+    df = spark.createDataFrame(rows, "uid bigint, t bigint, value double")
+    got = {(r.uid, r.t): r.ewma for r in ewma(
+        df, "uid", ["t"], "value", alpha=0.3
+    ).collect()}
+    for u in (1, 2):
+        expect = (
+            pd.Series([v + u for v in rng_vals]).ewm(alpha=0.3, adjust=True).mean()
+        )
+        for i, e in enumerate(expect):
+            assert got[(u, i)] == pytest.approx(e, rel=1e-12)
