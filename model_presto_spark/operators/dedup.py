@@ -565,6 +565,11 @@ def span_dup_stats(
     pc = w.where(F.col("whash").isNotNull()).groupBy(id_col, "whash").agg(
         F.count("*").alias("cnt")
     )
+    # pc feeds two branches (global totals + the join back); without a
+    # persist the tokenize+hash pass over the corpus runs twice
+    from pyspark import StorageLevel
+
+    pc = pc.persist(StorageLevel.MEMORY_AND_DISK)
     glob = pc.groupBy("whash").agg(F.sum("cnt").alias("total"))
     d = (
         pc.join(glob, "whash")  # both sides hash-partitioned on whash
@@ -613,6 +618,10 @@ def remove_dup_spans(
     pc = w.where(F.col("whash").isNotNull()).groupBy(id_col, "whash").agg(
         F.count("*").alias("cnt"), F.collect_list("i").alias("starts")
     )
+    # two consumers (totals + dup-start extraction) — see span_dup_stats
+    from pyspark import StorageLevel
+
+    pc = pc.persist(StorageLevel.MEMORY_AND_DISK)
     glob = pc.groupBy("whash").agg(F.sum("cnt").alias("total"))
     dup_starts = (
         pc.join(glob, "whash")
