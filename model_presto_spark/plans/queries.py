@@ -1179,6 +1179,12 @@ _ADJUDICATION_TAIL = [
     # sessionize (q63, head) with conditional window minima (q53
     # family) (makes room for q81_constraints)
     "q68_session_conversion",
+    # q89/q90 park in the tail by the head-at-cap policy: their
+    # machinery (groupBy+join-back, fingerprint full-outer join) is
+    # driver-adjudicated via q19/q10/q31; the ops are oracle-checked
+    # by the uncapped pytest/local gates
+    "q89_k_anonymity",
+    "q90_snapshot_diff",
     # q82 parks in the tail BY CHOICE (head is at the driver's
     # 50-cap): the hash-coin mix family is driver-adjudicated via
     # q70; the epochs extension is still oracle-checked by the

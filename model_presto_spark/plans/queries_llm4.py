@@ -323,3 +323,117 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
         zr.alias("z"),
         F.coalesce(F.abs(zr) >= _ZTHR, F.lit(False)).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q89 — k-anonymity suppression over quasi-identifiers
+# ---------------------------------------------------------------------------
+# QI = (c_nationkey, c_mktsegment); class sizes at sf0.01 range
+# 5..21, so k=8 makes both outcomes real (some classes suppressed,
+# most pass). Suppression nulls the QI columns of every member of an
+# undersized equivalence class.
+
+_KA = 8
+
+_Q89_ORACLE = f"""
+    WITH sizes AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c.c_custkey,
+           CASE WHEN s.class_size < {_KA} THEN NULL
+                ELSE c.c_nationkey END AS c_nationkey,
+           CASE WHEN s.class_size < {_KA} THEN NULL
+                ELSE c.c_mktsegment END AS c_mktsegment,
+           s.class_size < {_KA} AS suppressed
+    FROM customer c
+    JOIN sizes s ON c.c_nationkey = s.c_nationkey
+               AND c.c_mktsegment = s.c_mktsegment
+"""
+
+
+@register(
+    "q89_k_anonymity",
+    _Q89_ORACLE,
+    doc=f"k-anonymity (k={_KA}) over QI (nation, segment): classes "
+    "smaller than k have their quasi-identifiers suppressed. One "
+    "groupBy on the QI tuple + one co-partitioned join back — two "
+    "shuffles at any scale.",
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from model_presto_spark.operators.privacy import k_anonymize
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    return k_anonymize(cust, ["c_nationkey", "c_mktsegment"], k=_KA)
+
+
+# ---------------------------------------------------------------------------
+# Q90 — snapshot diff (added / removed / changed / unchanged)
+# ---------------------------------------------------------------------------
+# Old snapshot derived in-plan from documents: 10% of docs missing
+# (doc_id % 10 = 0 -> 'added' in new), every 7th doc's text edited
+# ('changed'), plus phantom ids not in new ('removed'). The operator
+# ships only (key, 60-bit fingerprint) into the full-outer join.
+
+_Q90_ORACLE = """
+    WITH old_snap AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' EDITED'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 10 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 13 = 0
+    ), o AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp_old
+      FROM old_snap
+    ), n AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp_new
+      FROM documents
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.fp_old IS NULL THEN 'added'
+                WHEN n.fp_new IS NULL THEN 'removed'
+                WHEN o.fp_old <> n.fp_new THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
+@register(
+    "q90_snapshot_diff",
+    _Q90_ORACLE,
+    doc="Corpus snapshot diff: one full outer join on the key over "
+    "(key, 60-bit fingerprint) relations — bodies never shuffle. "
+    "added/removed/changed/unchanged per doc; the record-level twin "
+    "of the PSI distribution drift alarm.",
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from model_presto_spark.operators.privacy import diff_snapshots
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = (
+        docs.where(F.col("doc_id") % 10 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" EDITED"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionAll(
+            docs.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return diff_snapshots(old, docs, "doc_id", ["text"], fast_hash=False)

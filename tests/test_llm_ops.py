@@ -527,3 +527,42 @@ def test_blocked_fuzzy_join_broadcasts_small_registry(spark):
         max_edit=2,
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Privacy / governance: k-anonymity + snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymize_suppresses_small_classes(spark):
+    from model_presto_spark.operators.privacy import k_anonymize
+
+    rows = [(i, "US", "A") for i in range(5)]          # class of 5
+    rows += [(10, "FR", "A"), (11, "FR", "A")]         # class of 2
+    rows += [(20, "DE", "B")]                          # class of 1
+    df = spark.createDataFrame(rows, "id bigint, country string, seg string")
+    out = {r.id: r for r in k_anonymize(df, ["country", "seg"], k=3).collect()}
+    for i in range(5):
+        assert out[i].country == "US" and not out[i].suppressed
+    for i in (10, 11, 20):
+        assert out[i].country is None and out[i].seg is None
+        assert out[i].suppressed
+    # non-QI columns survive suppression
+    assert out[20].id == 20
+
+
+def test_diff_snapshots_classifies_all_cases(spark):
+    from model_presto_spark.operators.privacy import diff_snapshots
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")], "k bigint, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")], "k bigint, v string"
+    )
+    for fast in (True, False):
+        got = {
+            r.k: r.change
+            for r in diff_snapshots(old, new, "k", fast_hash=fast).collect()
+        }
+        assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
