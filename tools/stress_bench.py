@@ -195,6 +195,37 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timings["perplexity"] = time.time() - t0
     spark.catalog.clearCache()
 
+    # span dedup (Lee et al. window-hash form): posting-list shape,
+    # production xxhash64 path
+    from model_presto_spark.operators.dedup import span_dup_stats
+
+    t0 = time.time()
+    n_span = (
+        span_dup_stats(docs, k=8, fast_hash=True)
+        .where(F.col("dup_windows") > 0)
+        .count()
+    )
+    timings["span_dedup"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    # PageRank on a derived doc-graph (~n/8 nodes, ~n edges): the
+    # join+groupBy-per-round iterative shape at graph scale
+    from model_presto_spark.operators.graph import pagerank
+
+    t0 = time.time()
+    mod = max(50, docs.count() // 8)
+    e = (
+        docs.select(
+            (F.col("doc_id") % mod).alias("src"),
+            F.pmod(F.xxhash64("text"), F.lit(mod)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    n_pr = pagerank(e, n_iter=3).count()
+    timings["pagerank"] = time.time() - t0
+    spark.catalog.clearCache()
+
     t0 = time.time()
     books = train_pq_codebooks(emb, "embedding", m=8, n_codes=16,
                                sample_limit=2000)
@@ -215,6 +246,8 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         "pack_bins": n_bins,
         "scored_docs": n_scored,
         "pq_rows": n_pq,
+        "span_dup_docs": n_span,
+        "pr_nodes": n_pr,
     }
     return timings
 
@@ -248,6 +281,8 @@ def main() -> int:
         "seq_packing",
         "perplexity",
         "pq_adc",
+        "span_dedup",
+        "pagerank",
     ):
         r = results[big_tag][op] / max(results[small_tag][op], 1e-9)
         exponents[op] = round(math.log(r) / math.log(ratio_n), 3)
