@@ -85,3 +85,81 @@ def token_budget_sample(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def rolling_anomaly_stream(
+    stream: DataFrame,
+    entity_col: str,
+    order_col: str,
+    value_col: str,
+    id_col: str,
+    window: int = 10,
+    min_periods: int = 5,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of ``timeseries.rolling_zscore``: each arriving
+    point is scored against the last ``window`` values of its OWN
+    entity, across micro-batches and restarts.
+
+    State per entity is the trailing value ring — O(window) doubles,
+    so the state store is O(#entities x window), independent of
+    stream length. Rows inside a batch are processed in
+    (order_col, id_col) order, matching the batch operator's window
+    ORDER BY, so a replayed batch reproduces identical scores, and
+    the streaming output over a fully-landed dataset equals the
+    batch ``rolling_zscore`` (parity-tested).
+
+    Output: (entity, id, value, z, is_anomaly); z is null until
+    ``min_periods`` history exists or when the baseline is constant.
+    """
+    out_schema = (
+        f"{entity_col} bigint, {id_col} bigint, {value_col} double, "
+        "z double, is_anomaly boolean"
+    )
+    state_schema = "vals array<double>"
+
+    def fn(key, pdfs, state: GroupState):
+        import math
+
+        import pandas as pd
+
+        buf = list(state.get[0]) if state.exists else []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values([order_col, id_col])
+            zs, flags = [], []
+            for v in pdf[value_col].astype("float64"):
+                tail = buf[-window:]
+                z = None
+                if len(tail) >= min_periods:
+                    m = sum(tail) / len(tail)
+                    var = sum((x - m) ** 2 for x in tail) / (len(tail) - 1)
+                    sd = math.sqrt(var)
+                    if sd > 0:
+                        z = (v - m) / sd
+                zs.append(z)
+                flags.append(bool(z is not None and abs(z) >= threshold))
+                buf.append(float(v))
+                buf = buf[-window:]
+            yield pd.DataFrame(
+                {
+                    entity_col: pdf[entity_col].astype("int64"),
+                    id_col: pdf[id_col].astype("int64"),
+                    value_col: pdf[value_col].astype("float64"),
+                    "z": pd.Series(zs, dtype="float64"),
+                    "is_anomaly": flags,
+                }
+            )
+        state.update((buf,))
+
+    return (
+        stream.select(entity_col, order_col, id_col, value_col)
+        .groupBy(entity_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -173,3 +173,89 @@ def test_transform_with_state_dedup(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+# ---------------------------------------------------------------------------
+# Streaming rolling-anomaly twin == batch rolling_zscore
+# ---------------------------------------------------------------------------
+
+
+def _land_vals(spark, path, rows):
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["uid", "t", "rid", "value"])
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_anomaly(spark, landing, ckpt, out_dir):
+    from model_presto_spark.streaming.stateful import rolling_anomaly_stream
+
+    stream = spark.readStream.schema(
+        "uid bigint, t bigint, rid bigint, value double"
+    ).parquet(landing)
+    q = (
+        rolling_anomaly_stream(
+            stream, "uid", "t", "value", "rid",
+            window=8, min_periods=4, threshold=2.5,
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {
+        (r.uid, r.rid): (r.z, r.is_anomaly)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+
+def test_streaming_anomaly_equals_batch(spark, tmp_path):
+    import random
+
+    from model_presto_spark.operators.timeseries import rolling_zscore
+
+    rng = random.Random(42)
+    rows = []
+    rid = 0
+    for uid in (1, 2, 3):
+        for t in range(40):
+            v = 10.0 + uid + rng.random()
+            if t in (15, 31):
+                v += 40.0  # planted spikes
+            rows.append((uid, t, rid, v))
+            rid += 1
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    # two waves split on time; the query RESTARTS between them, so
+    # the trailing ring must survive via the checkpoint
+    _land_vals(spark, landing, [r for r in rows if r[1] < 20])
+    _run_anomaly(spark, landing, ckpt, out_dir)
+    _land_vals(spark, landing, [r for r in rows if r[1] >= 20])
+    got = _run_anomaly(spark, landing, ckpt, out_dir)
+
+    batch = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["uid", "t", "rid", "value"])
+    )
+    expect = {
+        (r.uid, r.rid): (r.z, r.is_anomaly)
+        for r in rolling_zscore(
+            batch, "uid", ["t", "rid"], "value",
+            window=8, min_periods=4, threshold=2.5,
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    n_flagged = 0
+    for k, (z, flag) in expect.items():
+        gz, gflag = got[k]
+        assert gflag == flag
+        n_flagged += bool(flag)
+        if z is None:
+            assert gz is None
+        else:
+            assert gz == pytest.approx(z, abs=1e-9)
+    assert n_flagged >= 6  # both spikes flagged for every user
