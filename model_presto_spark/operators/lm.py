@@ -159,3 +159,84 @@ def tfidf_top_terms(
             F.round(F.col("score") + F.lit(5e-10), 4).alias("score"),
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 retrieval over the corpus posting list.
+
+    ``score(q, d) = sum_t idf(t) * tf * (k1+1) /
+    (tf + k1 * (1 - b + b * dl/avgdl))`` with the Lucene
+    non-negative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``. Query
+    terms are deduplicated (standard bag-of-words query form).
+
+    Plan shape: the SAME posting list as perplexity/TF-IDF (one
+    explode, persisted), document lengths and corpus stats as
+    one-row broadcasts, then a token-keyed equi-join of query terms
+    onto postings — queries are tiny and broadcast; the corpus is
+    only ever shuffled by token. With ``top_k``, a per-query window
+    keeps the best documents, ranked on the ROUNDED score then doc
+    id so the frontier is deterministic and cross-engine stable.
+
+    Output: (query_id, doc id, score[, rank]) for docs matching >= 1
+    query term.
+    """
+    from pyspark.sql import Window
+
+    dtc = doc_token_counts(docs, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dlen = dtc.groupBy(id_col).agg(F.sum("cnt").alias("dl"))
+    dfreq = dtc.groupBy("token").agg(F.count("*").alias("dfq"))
+    stats = dlen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qterms = queries.select(
+        query_id_col,
+        F.explode_outer(T.tokens(F.col(query_text_col))).alias("token"),
+    ).where(F.col("token").isNotNull()).distinct()
+    tf = F.col("cnt").cast("double")
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("dfq") + 0.5) / (F.col("dfq") + 0.5)
+    )
+    denom = tf + k1 * (
+        1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    per_term = (
+        qterms.join(dtc, "token")  # token-keyed; query side broadcasts
+        .join(dfreq, "token")
+        .join(dlen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            query_id_col,
+            id_col,
+            (idf * (tf * (k1 + 1.0)) / denom).alias("s"),
+        )
+    )
+    scored = per_term.groupBy(query_id_col, id_col).agg(
+        F.sum("s").alias("score")
+    )
+    if top_k is None:
+        return scored
+    rounded = scored.select(
+        query_id_col,
+        id_col,
+        F.round(F.col("score") + F.lit(5e-12), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )

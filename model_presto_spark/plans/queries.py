@@ -1185,6 +1185,10 @@ _ADJUDICATION_TAIL = [
     # by the uncapped pytest/local gates
     "q89_k_anonymity",
     "q90_snapshot_diff",
+    # q91 parks by the same policy: its posting-list backbone is
+    # driver-adjudicated via q71/q73 and its ranking windows via
+    # q86; the BM25 formula is oracle-checked by the uncapped gates
+    "q91_bm25",
     # q82 parks in the tail BY CHOICE (head is at the driver's
     # 50-cap): the hash-coin mix family is driver-adjudicated via
     # q70; the epochs extension is still oracle-checked by the

@@ -437,3 +437,93 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return diff_snapshots(old, docs, "doc_id", ["text"], fast_hash=False)
+
+
+# ---------------------------------------------------------------------------
+# Q91 — BM25 retrieval: top-5 docs per query over the posting list
+# ---------------------------------------------------------------------------
+_BM25_QUERIES = [
+    (1, "spark table scan"),
+    (2, "fast merge batch"),
+    (3, "key value hash"),
+    (4, "window sort line"),
+    (5, "slow row agg"),
+]
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 5
+
+_Q91_ORACLE = f"""
+    WITH q(query_id, qtext) AS (VALUES
+      {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)}
+    ), t AS (
+      SELECT doc_id, {DD_TOKENS.format(t='text')} AS toks FROM documents
+    ), dtc AS (
+      SELECT doc_id, token, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+      GROUP BY 1, 2
+    ), dlen AS (
+      SELECT doc_id, SUM(cnt) AS dl FROM dtc GROUP BY 1
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS dfq FROM dtc GROUP BY 1
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dlen
+    ), qt AS (
+      SELECT DISTINCT query_id, token FROM (
+        SELECT query_id,
+               unnest({DD_TOKENS.format(t='qtext')}) AS token
+        FROM q)
+    ), per_term AS (
+      SELECT qt.query_id, dtc.doc_id,
+             ln(1 + (stats.n_docs - dfreq.dfq + 0.5) / (dfreq.dfq + 0.5))
+             * (CAST(dtc.cnt AS DOUBLE) * ({_BM25_K1} + 1.0))
+             / (CAST(dtc.cnt AS DOUBLE)
+                + {_BM25_K1} * (1.0 - {_BM25_B}
+                   + {_BM25_B} * CAST(dlen.dl AS DOUBLE) / stats.avgdl))
+               AS s
+      FROM qt
+      JOIN dtc USING (token)
+      JOIN dlen ON dlen.doc_id = dtc.doc_id
+      CROSS JOIN stats
+      JOIN dfreq ON dfreq.token = qt.token
+    ), scored AS (
+      SELECT query_id, doc_id, SUM(s) AS score
+      FROM per_term GROUP BY 1, 2
+    ), rounded AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+             ROUND(score + 5e-12, 6) AS score
+      FROM scored
+    )
+    SELECT query_id, doc_id, score,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM rounded
+    QUALIFY rank <= {_BM25_TOPK}
+"""
+
+
+@register(
+    "q91_bm25",
+    _Q91_ORACLE,
+    doc="Okapi BM25 top-5 retrieval per query (Lucene non-negative "
+    "idf): query terms broadcast onto the token-keyed posting list; "
+    "the corpus shuffles only by token. Ranked on the rounded score "
+    "with doc-id tie-break (deterministic frontier).",
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from model_presto_spark.operators.lm import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        _BM25_QUERIES, "query_id bigint, qtext string"
+    )
+    out = bm25_scores(
+        docs, qdf, k1=_BM25_K1, b=_BM25_B, top_k=_BM25_TOPK
+    )
+    return out.select(
+        "query_id",
+        "doc_id",
+        "score",
+        F.col("rank").cast("bigint").alias("rank"),
+    )

@@ -566,3 +566,38 @@ def test_diff_snapshots_classifies_all_cases(spark):
             for r in diff_snapshots(old, new, "k", fast_hash=fast).collect()
         }
         assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_bm25_hand_computed_golden(spark):
+    """BM25 on a 3-doc corpus equals the formula computed by hand,
+    and ranks the focused doc first."""
+    import math
+
+    import pytest
+
+    from model_presto_spark.operators.lm import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog"),
+            (2, "cat dog bird fish mouse horse"),
+            (3, "dog bird fish mouse horse cow"),
+        ],
+        "doc_id bigint, text string",
+    )
+    q = spark.createDataFrame([(1, "cat")], "query_id bigint, qtext string")
+    got = {
+        r.doc_id: r.score
+        for r in bm25_scores(docs, q, k1=1.2, b=0.75).collect()
+    }
+    n, k1, b = 3, 1.2, 0.75
+    avgdl = (4 + 6 + 6) / 3
+    idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+
+    def s(tf, dl):
+        return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert set(got) == {1, 2}  # doc 3 has no query term
+    assert got[1] == pytest.approx(s(3, 4), rel=1e-12)
+    assert got[2] == pytest.approx(s(1, 6), rel=1e-12)
+    assert got[1] > got[2]  # higher tf, shorter doc wins
