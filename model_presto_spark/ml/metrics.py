@@ -215,3 +215,43 @@ def ranking_metrics(
         F.avg("ndcg").alias("ndcg_at_k"),
         F.count(F.lit(1)).alias("n_queries"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob: str,
+    label: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE).
+
+    Buckets predictions into ``n_bins`` equal-width confidence bins
+    and compares mean confidence to empirical accuracy per bin; the
+    scalar ``ece`` (sum of |acc - conf| weighted by bin mass) is
+    attached to every row via a single-partition window over the
+    10-row bin relation — never over the raw data.
+
+    One aggregation over the scored table (map-side combinable);
+    ``prob`` must be in [0, 1); ``label`` is 0/1 numeric. Output:
+    (bin, n_bin, avg_conf, frac_pos, abs_gap, ece).
+    """
+    from pyspark.sql import Window
+
+    p, y = F.col(prob), F.col(label).cast("double")
+    binc = F.floor(p * n_bins).cast("bigint")
+    bins = (
+        df.select(binc.alias("bin"), p.alias("p"), y.alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_bin"),
+            F.avg("p").alias("avg_conf"),
+            F.avg("y").alias("frac_pos"),
+        )
+        .withColumn("abs_gap", F.abs(F.col("frac_pos") - F.col("avg_conf")))
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_bin").over(w)
+    return bins.withColumn(
+        "ece",
+        F.sum(F.col("abs_gap") * F.col("n_bin")).over(w) / total,
+    )

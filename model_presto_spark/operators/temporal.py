@@ -132,3 +132,42 @@ def interval_join(
         .filter(F.col(point_ts).between(F.col(start_ts), F.col(end_ts)))
         .drop("__band")
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    granularity: str = "day",
+) -> DataFrame:
+    """Cohort retention matrix: entities grouped by their FIRST
+    activity period, counted in every later period they return.
+
+    Two aggregations and one co-partitioned join, all keyed on the
+    entity: (entity, period) is deduplicated first so activity
+    volume never inflates the counts, then each entity's first
+    period joins back and the matrix is one groupBy over
+    (cohort, offset). Output: (cohort, offset, n_active).
+
+    ``granularity``: 'day' | 'week' (7-day buckets anchored at the
+    entity-agnostic epoch) | 'month' (calendar months).
+    """
+    d = F.to_date(F.col(ts_col))
+    if granularity == "day":
+        period = F.datediff(d, F.lit("1970-01-01"))
+    elif granularity == "week":
+        period = F.floor(F.datediff(d, F.lit("1970-01-01")) / 7)
+    elif granularity == "month":
+        period = F.year(d) * 12 + F.month(d)
+    else:
+        raise ValueError(f"unknown granularity {granularity!r}")
+    act = (
+        df.select(entity_col, period.cast("bigint").alias("period"))
+        .distinct()
+    )
+    first = act.groupBy(entity_col).agg(F.min("period").alias("cohort"))
+    return (
+        act.join(first, entity_col)
+        .groupBy("cohort", (F.col("period") - F.col("cohort")).alias("offset"))
+        .agg(F.count("*").alias("n_active"))
+    )

@@ -1189,6 +1189,11 @@ _ADJUDICATION_TAIL = [
     # driver-adjudicated via q71/q73 and its ranking windows via
     # q86; the BM25 formula is oracle-checked by the uncapped gates
     "q91_bm25",
+    # q92/q93 park by the same policy: single-pass aggregation +
+    # join-back machinery is driver-adjudicated via q19/q16/q63;
+    # the metric/matrix math is oracle-checked by the uncapped gates
+    "q92_calibration",
+    "q93_cohort_retention",
     # q82 parks in the tail BY CHOICE (head is at the driver's
     # 50-cap): the hash-coin mix family is driver-adjudicated via
     # q70; the epochs extension is still oracle-checked by the

@@ -527,3 +527,96 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.col("rank").cast("bigint").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q92 — model calibration: reliability bins + expected calibration
+# error. Pseudo-scores derived from the cents digits of event values
+# (FLOOR in both engines — DuckDB CAST rounds, Spark truncates);
+# pseudo-labels from the engagement event types. The synthetic model
+# is deliberately uncalibrated (flat ~0.6 accuracy across bins), so
+# ECE is far from zero and every bin contributes.
+# ---------------------------------------------------------------------------
+
+_Q92_ORACLE = """
+    WITH scored AS (
+      SELECT (floor(value * 100) % 100) / 100.0 AS p,
+             CASE WHEN event_type IN ('click', 'purchase', 'signup')
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM events
+    ), bins AS (
+      SELECT CAST(floor(p * 10) AS BIGINT) AS bin,
+             COUNT(*) AS n_bin,
+             AVG(p) AS avg_conf,
+             AVG(y) AS frac_pos
+      FROM scored GROUP BY 1
+    )
+    SELECT bin, CAST(n_bin AS BIGINT) AS n_bin,
+           ROUND(avg_conf + 5e-12, 6) AS avg_conf,
+           ROUND(frac_pos + 5e-12, 6) AS frac_pos,
+           ROUND(abs(frac_pos - avg_conf) + 5e-12, 6) AS abs_gap,
+           ROUND(SUM(abs(frac_pos - avg_conf) * n_bin) OVER ()
+                 / SUM(n_bin) OVER () + 5e-12, 6) AS ece
+    FROM bins
+"""
+
+
+@register(
+    "q92_calibration",
+    _Q92_ORACLE,
+    doc="Reliability diagram + ECE over pseudo-scores: one "
+    "aggregation over the scored stream into 10 confidence bins, "
+    "then the scalar ECE computed on the 10-row bin relation. The "
+    "eval-side calibration check of a quality-classifier pipeline.",
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from model_presto_spark.ml.metrics import calibration_bins
+
+    ev = _t(spark, sf_dir, "events").select(
+        ((F.floor(F.col("value") * 100) % 100) / 100.0).alias("p"),
+        F.col("event_type")
+        .isin("click", "purchase", "signup")
+        .cast("double")
+        .alias("y"),
+    )
+    out = calibration_bins(ev, "p", "y", n_bins=10)
+    r = lambda c: F.round(F.col(c) + F.lit(5e-12), 6).alias(c)  # noqa: E731
+    return out.select(
+        "bin", "n_bin", r("avg_conf"), r("frac_pos"), r("abs_gap"), r("ece")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q93 — daily cohort retention matrix over the event stream
+# ---------------------------------------------------------------------------
+
+_Q93_ORACLE = """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS period
+      FROM events
+    ), first AS (
+      SELECT user_id, MIN(period) AS cohort FROM act GROUP BY 1
+    )
+    SELECT f.cohort, a.period - f.cohort AS "offset",
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM act a JOIN first f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "q93_cohort_retention",
+    _Q93_ORACLE,
+    doc="Daily cohort retention: users grouped by first-activity "
+    "day, counted on every later active day. (user, day) dedup -> "
+    "first-day join-back -> one groupBy over (cohort, offset); all "
+    "three stages key on the user, so one shuffle does the work.",
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.temporal import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", granularity="day")

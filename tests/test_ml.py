@@ -340,3 +340,26 @@ def test_embedding_outliers_planted(spark):
     assert flagged == [60]
     z = {r.vid: r.z for r in out}
     assert z[60] > 4.0
+
+
+def test_calibration_bins_golden(spark):
+    """Perfectly calibrated bins have ~zero gap; a planted
+    overconfident bin dominates the ECE."""
+    import pytest
+
+    rows = []
+    # bin [0.6, 0.7): conf 0.65, acc 0.65 over 20 rows -> calibrated
+    for i in range(20):
+        rows.append((0.65, 1.0 if i < 13 else 0.0))
+    # bin [0.9, 1.0): conf 0.95, acc 0.25 over 20 rows -> gap 0.7
+    for i in range(20):
+        rows.append((0.95, 1.0 if i < 5 else 0.0))
+    df = spark.createDataFrame(rows, "p double, y double")
+    from model_presto_spark.ml.metrics import calibration_bins
+
+    out = {r.bin: r for r in calibration_bins(df, "p", "y", 10).collect()}
+    assert set(out) == {6, 9}
+    assert out[6].abs_gap == pytest.approx(0.0)
+    assert out[9].abs_gap == pytest.approx(0.7)
+    for r in out.values():
+        assert r.ece == pytest.approx(0.35)  # (0*20 + 0.7*20) / 40

@@ -240,3 +240,29 @@ def test_ewma_matches_pandas(spark):
         )
         for i, e in enumerate(expect):
             assert got[(u, i)] == pytest.approx(e, rel=1e-12)
+
+
+def test_cohort_retention_matrix(spark):
+    import datetime as _dt
+
+    from model_presto_spark.operators.temporal import cohort_retention
+
+    def ts(day):
+        return _dt.datetime(2024, 1, day, 12)
+
+    rows = [
+        (1, ts(1)), (1, ts(1)), (1, ts(2)), (1, ts(4)),  # dup same day
+        (2, ts(1)), (2, ts(4)),
+        (3, ts(2)),
+    ]
+    df = spark.createDataFrame(rows, "uid bigint, ts timestamp")
+    out = {
+        (r.cohort, r.offset): r.n_active
+        for r in cohort_retention(df, "uid", "ts", "day").collect()
+    }
+    d0 = (_dt.date(2024, 1, 1) - _dt.date(1970, 1, 1)).days
+    # cohort Jan-1: users 1+2 on day 0; user 1 on day 1; both on day 3
+    assert out[(d0, 0)] == 2 and out[(d0, 1)] == 1 and out[(d0, 3)] == 2
+    # cohort Jan-2: user 3 only
+    assert out[(d0 + 1, 0)] == 1
+    assert len(out) == 4
