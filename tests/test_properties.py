@@ -164,3 +164,93 @@ def test_interval_join_matches_naive_property(spark, pts, ivs, band):
         if lo <= s <= lo + ln
     )
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=24
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(2, 6),
+)
+@FAST
+def test_span_dedup_invariants(spark, texts, k):
+    """span_dup_stats invariants: every doc appears; n_windows ==
+    max(0, n_tok - k + 1); 0 <= dup <= n; fraction consistent; and
+    removal keeps a subset of tokens in order."""
+    from model_presto_spark.operators.dedup import (
+        remove_dup_spans,
+        span_dup_stats,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    stats = {r.doc_id: r for r in span_dup_stats(df, k=k).collect()}
+    assert set(stats) == set(range(len(texts)))
+    for i, t in rows:
+        n_tok = len(t.split())
+        r = stats[i]
+        assert r.n_windows == max(0, n_tok - k + 1)
+        assert 0 <= r.dup_windows <= r.n_windows
+        if r.n_windows:
+            assert abs(r.dup_fraction - r.dup_windows / r.n_windows) < 1e-12
+        else:
+            assert r.dup_fraction == 0.0
+    cleaned = {r.doc_id: r for r in remove_dup_spans(df, k=k).collect()}
+    for i, t in rows:
+        toks = t.split()
+        kept = cleaned[i].text.split() if cleaned[i].text else []
+        assert cleaned[i].n_tokens == len(toks)
+        assert cleaned[i].n_tokens_kept == len(kept)
+        # kept tokens are a subsequence of the original
+        it = iter(toks)
+        assert all(any(x == y for y in it) for x in kept)
+
+
+@given(
+    vals=st.lists(
+        st.floats(-100, 100, allow_nan=False), min_size=1, max_size=25
+    ),
+    alpha=st.sampled_from([0.1, 0.3, 0.7, 0.95]),
+)
+@FAST
+def test_ewma_bounds_and_first_value(spark, vals, alpha):
+    """EWMA stays inside [min, max] of the prefix and starts at the
+    first value exactly."""
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "uid bigint, t bigint, value double")
+    from model_presto_spark.operators.timeseries import ewma
+
+    out = {
+        r.t: r.ewma
+        for r in ewma(df, "uid", ["t"], "value", alpha=alpha).collect()
+    }
+    assert out[0] == vals[0]
+    for i in range(len(vals)):
+        lo, hi = min(vals[: i + 1]), max(vals[: i + 1])
+        assert lo - 1e-9 <= out[i] <= hi + 1e-9
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=16,
+    ).filter(lambda es: any(a != b for a, b in es)),
+)
+@FAST
+def test_pagerank_mass_and_positivity(spark, edges):
+    """PageRank invariants on arbitrary digraphs: ranks positive,
+    total mass == 1 (dangling handled), one row per node."""
+    es = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(es, "src bigint, dst bigint")
+    from model_presto_spark.operators.graph import pagerank
+
+    rows = pagerank(df, n_iter=3).collect()
+    nodes = {a for a, b in es} | {b for a, b in es}
+    assert {r.node for r in rows} == nodes
+    assert all(r.rank > 0 for r in rows)
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-9
