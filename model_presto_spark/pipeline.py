@@ -255,6 +255,32 @@ class CorpusPipeline:
                 )
             self._built.append((op, factory(cfg)))
 
+    @classmethod
+    def from_json(cls, text: str, **dataframes: DataFrame) -> "CorpusPipeline":
+        """Build from a JSON stage list. DataFrame-valued params
+        (e.g. the contamination benchmark) cannot live in JSON; the
+        config references them by name (``{"benchmark": "$bench"}``)
+        and the caller supplies ``bench=<DataFrame>``."""
+        import json
+
+        stages = json.loads(text)
+        if not isinstance(stages, list):
+            raise ValueError("pipeline JSON must be a list of stage objects")
+        resolved = []
+        for cfg in stages:
+            cfg = dict(cfg)
+            for k, v in cfg.items():
+                if isinstance(v, str) and v.startswith("$"):
+                    name = v[1:]
+                    if name not in dataframes:
+                        raise ValueError(
+                            f"config references ${name} but no {name}= "
+                            "DataFrame was supplied"
+                        )
+                    cfg[k] = dataframes[name]
+            resolved.append(cfg)
+        return cls(resolved)
+
     @property
     def stage_names(self) -> list[str]:
         return [op for op, _ in self._built]

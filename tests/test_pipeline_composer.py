@@ -76,3 +76,30 @@ def test_pipeline_span_and_mix_stages(spark):
     # the 4 shared-run docs are mostly duplicated windows -> dropped;
     # unique docs stay
     assert kept == {10, 11, 12, 13}
+
+
+def test_pipeline_from_json_with_dataframe_ref(spark, corpus):
+    from model_presto_spark.pipeline import CorpusPipeline
+
+    bench = spark.createDataFrame(
+        [(100, "totally unique english sentence that is long enough")],
+        "doc_id bigint, text string",
+    )
+    cfg = """
+    [
+      {"op": "lang_filter", "keep": ["en"]},
+      {"op": "contamination_filter", "benchmark": "$bench", "n": 5},
+      {"op": "exact_dedup"}
+    ]
+    """
+    pipe = CorpusPipeline.from_json(cfg, bench=bench)
+    kept = {r.doc_id for r in pipe.run(corpus).collect()}
+    # doc 6 overlaps the benchmark 5-grams -> decontaminated away;
+    # fr doc 4 filtered; dup pair 1/2 collapsed to 1
+    assert 6 not in kept and 4 not in kept
+    assert 1 in kept and 2 not in kept
+
+    with pytest.raises(ValueError, match="no bench"):
+        CorpusPipeline.from_json(cfg)
+    with pytest.raises(ValueError, match="must be a list"):
+        CorpusPipeline.from_json('{"op": "exact_dedup"}')
