@@ -90,7 +90,40 @@ from model_presto_spark.operators.timeseries import (
     stride_sample,
 )
 
+from model_presto_spark.operators.dedup import (
+    remove_dup_spans,
+    span_dup_stats,
+    window_hashes,
+)
+from model_presto_spark.operators.graph import pagerank
+from model_presto_spark.operators.linkage import (
+    blocked_fuzzy_join,
+    linkage_clusters,
+)
+from model_presto_spark.operators.lm import bm25_scores
+from model_presto_spark.operators.privacy import (
+    diff_snapshots,
+    k_anonymity_stats,
+    k_anonymize,
+)
+from model_presto_spark.operators.temporal import cohort_retention
+from model_presto_spark.operators.timeseries import ewma, rolling_zscore
+
 __all__ = [
+    "remove_dup_spans",
+    "span_dup_stats",
+    "window_hashes",
+    "pagerank",
+    "blocked_fuzzy_join",
+    "linkage_clusters",
+    "bm25_scores",
+    "diff_snapshots",
+    "k_anonymity_stats",
+    "k_anonymize",
+    "cohort_retention",
+    "ewma",
+    "rolling_zscore",
+
     "ann_lsh_join",
     "apply_mix",
     "apply_mix_epochs",
