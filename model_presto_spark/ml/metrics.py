@@ -255,3 +255,51 @@ def calibration_bins(
         "ece",
         F.sum(F.col("abs_gap") * F.col("n_bin")).over(w) / total,
     )
+
+
+def ab_test(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Two-proportion z-test between exactly two groups.
+
+    Input: one row per experimental unit with a group label and a 0/1
+    outcome. One aggregation computes both groups' counts; the
+    closed-form pooled z-statistic is evaluated on the resulting
+    2-row relation (conditional aggregation — no pivot, no collect).
+    Significance is decided on the ROUNDED z so the boundary cannot
+    flip between engines.
+
+    Output one row: (n_a, n_b, conv_a, conv_b, lift, z, significant).
+    Groups are ordered by label (min label = A) for determinism.
+    """
+    labels = [r[0] for r in df.select(group_col).distinct().collect()]
+    if len(labels) != 2:
+        raise ValueError(f"ab_test needs exactly 2 groups, got {labels}")
+    a, b = sorted(labels)
+    y = F.col(success_col).cast("double")
+    g = F.col(group_col)
+    agg = df.agg(
+        F.count(F.when(g == a, 1)).alias("n_a"),
+        F.count(F.when(g == b, 1)).alias("n_b"),
+        F.sum(F.when(g == a, y).otherwise(0.0)).alias("s_a"),
+        F.sum(F.when(g == b, y).otherwise(0.0)).alias("s_b"),
+    )
+    p_a = F.col("s_a") / F.col("n_a")
+    p_b = F.col("s_b") / F.col("n_b")
+    p_pool = (F.col("s_a") + F.col("s_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        p_pool * (1.0 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    z = F.round((p_a - p_b) / se + F.lit(5e-12), 6)
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(p_a + F.lit(5e-12), 6).alias("conv_a"),
+        F.round(p_b + F.lit(5e-12), 6).alias("conv_b"),
+        F.round(p_a - p_b + F.lit(5e-12), 6).alias("lift"),
+        z.alias("z"),
+        (F.abs(z) >= z_crit).alias("significant"),
+    )

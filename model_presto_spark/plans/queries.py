@@ -1194,6 +1194,7 @@ _ADJUDICATION_TAIL = [
     # the metric/matrix math is oracle-checked by the uncapped gates
     "q92_calibration",
     "q93_cohort_retention",
+    "q94_ab_test",
     # q82 parks in the tail BY CHOICE (head is at the driver's
     # 50-cap): the hash-coin mix family is driver-adjudicated via
     # q70; the epochs extension is still oracle-checked by the

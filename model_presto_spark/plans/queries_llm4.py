@@ -620,3 +620,68 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return cohort_retention(ev, "user_id", "ts", granularity="day")
+
+
+# ---------------------------------------------------------------------------
+# Q94 — A/B readout: two-proportion z-test on per-user conversion
+# ---------------------------------------------------------------------------
+# Groups by user-id parity (deterministic assignment), success =
+# heavy purchaser (>= 14 purchase events; median is 13, so both
+# outcomes are populated). The parity assignment is null by
+# construction, so the readout exercises real arithmetic on the
+# not-significant branch.
+
+_Q94_ORACLE = """
+    WITH units AS (
+      SELECT user_id, user_id % 2 AS grp,
+             CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                       >= 14 THEN 1.0 ELSE 0.0 END AS converted
+      FROM events GROUP BY 1, 2
+    ), agg AS (
+      SELECT COUNT(CASE WHEN grp = 0 THEN 1 END) AS n_a,
+             COUNT(CASE WHEN grp = 1 THEN 1 END) AS n_b,
+             SUM(CASE WHEN grp = 0 THEN converted ELSE 0.0 END) AS s_a,
+             SUM(CASE WHEN grp = 1 THEN converted ELSE 0.0 END) AS s_b
+      FROM units
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(s_a / n_a + 5e-12, 6) AS conv_a,
+           ROUND(s_b / n_b + 5e-12, 6) AS conv_b,
+           ROUND(s_a / n_a - s_b / n_b + 5e-12, 6) AS lift,
+           ROUND((s_a / n_a - s_b / n_b)
+                 / sqrt((s_a + s_b) / (n_a + n_b)
+                        * (1.0 - (s_a + s_b) / (n_a + n_b))
+                        * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) + 5e-12, 6) AS z,
+           abs(ROUND((s_a / n_a - s_b / n_b)
+                 / sqrt((s_a + s_b) / (n_a + n_b)
+                        * (1.0 - (s_a + s_b) / (n_a + n_b))
+                        * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) + 5e-12, 6)) >= 1.96
+             AS significant
+    FROM agg
+"""
+
+
+@register(
+    "q94_ab_test",
+    _Q94_ORACLE,
+    doc="Two-proportion z-test A/B readout on per-user conversion: "
+    "one aggregation builds both groups (conditional agg, no "
+    "pivot/collect); pooled z on the one-row relation; significance "
+    "decided on the rounded statistic in both engines.",
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from model_presto_spark.ml.metrics import ab_test
+
+    ev = _t(spark, sf_dir, "events")
+    units = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("grp")
+    ).agg(
+        (
+            F.count(F.when(F.col("event_type") == "purchase", 1)) >= 14
+        )
+        .cast("double")
+        .alias("converted")
+    )
+    return ab_test(units, "grp", "converted")

@@ -363,3 +363,35 @@ def test_calibration_bins_golden(spark):
     assert out[9].abs_gap == pytest.approx(0.7)
     for r in out.values():
         assert r.ece == pytest.approx(0.35)  # (0*20 + 0.7*20) / 40
+
+
+def test_ab_test_detects_planted_effect(spark):
+    import pytest
+
+    from model_presto_spark.ml.metrics import ab_test
+
+    # A converts 80/100, B converts 40/100 -> decisive z
+    rows = [("A", 1.0)] * 80 + [("A", 0.0)] * 20
+    rows += [("B", 1.0)] * 40 + [("B", 0.0)] * 60
+    df = spark.createDataFrame(rows, "grp string, y double")
+    r = ab_test(df, "grp", "y").first()
+    assert (r.n_a, r.n_b) == (100, 100)
+    assert r.conv_a == pytest.approx(0.8) and r.conv_b == pytest.approx(0.4)
+    assert r.lift == pytest.approx(0.4)
+    # hand-computed pooled z: p=0.6, se=sqrt(0.24*0.02)
+    import math
+
+    z = 0.4 / math.sqrt(0.6 * 0.4 * (1 / 100 + 1 / 100))
+    assert r.z == pytest.approx(z, abs=1e-6)
+    assert r.significant
+
+    # identical groups -> z == 0, not significant
+    null_df = spark.createDataFrame(
+        [("A", 1.0), ("A", 0.0), ("B", 1.0), ("B", 0.0)], "grp string, y double"
+    )
+    r0 = ab_test(null_df, "grp", "y").first()
+    assert r0.z == 0.0 and not r0.significant
+
+    with pytest.raises(ValueError, match="exactly 2"):
+        ab_test(spark.createDataFrame([("A", 1.0)], "grp string, y double"),
+                "grp", "y")
