@@ -274,18 +274,30 @@ def ab_test(
 
     Output one row: (n_a, n_b, conv_a, conv_b, lift, z, significant).
     Groups are ordered by label (min label = A) for determinism.
+
+    Single pass over the data: one groupBy builds the per-group
+    stats; the O(#groups) relation is collected to validate the
+    group count (null labels rejected) and the closed form runs on
+    that tiny relation, never touching the raw table again.
     """
-    labels = [r[0] for r in df.select(group_col).distinct().collect()]
-    if len(labels) != 2:
+    y = F.col(success_col).cast("double")
+    stats = df.groupBy(group_col).agg(
+        F.count("*").alias("n"), F.sum(y).alias("s")
+    )
+    rows = stats.collect()  # O(#groups)
+    labels = [r[0] for r in rows]
+    if len(labels) != 2 or any(lab is None for lab in labels):
         raise ValueError(f"ab_test needs exactly 2 groups, got {labels}")
     a, b = sorted(labels)
-    y = F.col(success_col).cast("double")
+    # rebuild the tiny stats relation as literals so the closed form
+    # below never re-executes the groupBy lineage over the raw table
+    stats = df.sparkSession.createDataFrame(rows, stats.schema)
     g = F.col(group_col)
-    agg = df.agg(
-        F.count(F.when(g == a, 1)).alias("n_a"),
-        F.count(F.when(g == b, 1)).alias("n_b"),
-        F.sum(F.when(g == a, y).otherwise(0.0)).alias("s_a"),
-        F.sum(F.when(g == b, y).otherwise(0.0)).alias("s_b"),
+    agg = stats.agg(
+        F.sum(F.when(g == a, F.col("n"))).alias("n_a"),
+        F.sum(F.when(g == b, F.col("n"))).alias("n_b"),
+        F.sum(F.when(g == a, F.col("s")).otherwise(0.0)).alias("s_a"),
+        F.sum(F.when(g == b, F.col("s")).otherwise(0.0)).alias("s_b"),
     )
     p_a = F.col("s_a") / F.col("n_a")
     p_b = F.col("s_b") / F.col("n_b")

@@ -212,18 +212,29 @@ def pagerank(
     Fixed ``n_iter`` (no convergence probe) keeps the computation
     restatable as plain SQL for the oracle. Returns (node, rank).
     """
+    # Eager checkpoints on the loop-invariant relations (nodes, deg,
+    # e): each is referenced every round, and a lazy checkpoint only
+    # deduplicates across jobs, not within one — same discipline as
+    # connected_components above.
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy(F.col(src).alias("node")).agg(
-        F.count("*").alias("out_deg")
+    deg = (
+        edges.groupBy(F.col(src).alias("node"))
+        .agg(F.count("*").alias("out_deg"))
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()  # O(1) scalar, computed once
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))  # empty, typed
     d = damping
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("dst"))
+    e = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     for _ in range(n_iter):
         with_deg = ranks.join(deg, "node", "left")
         contrib = (
@@ -248,6 +259,9 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            # eager: next round reads ranks through two branches
+            # (contributions + dangling mass); see the CC note on
+            # lazy checkpoints not deduplicating within a job
+            .localCheckpoint(eager=True)
         )
     return ranks

@@ -44,10 +44,10 @@ def blocked_fuzzy_join(
     (left_col, right_col) compared with ``levenshtein <= max_edit``.
 
     If ``left_key`` is given, keeps only the single best match per
-    left record: minimum edit distance, ties broken on
-    ``tie_break`` (defaults to the right fuzzy column) — fully
-    deterministic. Output: all left columns + right columns +
-    ``edit_distance``.
+    left record: minimum edit distance, ties broken on the
+    right-side ``tie_break`` column (defaults to the right fuzzy
+    column) — fully deterministic. Output: all left columns + right
+    columns + ``edit_distance``.
     """
     lf, rf = fuzzy_on
     cond = None
@@ -56,14 +56,16 @@ def blocked_fuzzy_join(
         cond = c if cond is None else (cond & c)
     dist = F.levenshtein(left[lf], right[rf])
     cond = (dist <= max_edit) if cond is None else (cond & (dist <= max_edit))
+    # qualified refs throughout: the two sides may share column names
+    # (self-joins, identical registry schemas)
     joined = left.join(right, cond, "inner").withColumn(
-        "edit_distance", F.levenshtein(F.col(lf), F.col(rf))
+        "edit_distance", F.levenshtein(left[lf], right[rf])
     )
     if left_key is None:
         return joined
-    tb = tie_break or rf
-    w = Window.partitionBy(left_key).orderBy(
-        F.col("edit_distance").asc(), F.col(tb).asc()
+    tb_col = right[tie_break] if tie_break else right[rf]
+    w = Window.partitionBy(left[left_key]).orderBy(
+        F.col("edit_distance").asc(), tb_col.asc()
     )
     return (
         joined.withColumn("__rn", F.row_number().over(w))

@@ -42,19 +42,28 @@ def k_anonymize(
 
     Returns the input schema plus ``suppressed`` (boolean). The class
     sizes broadcast back when small; otherwise both sides are
-    hash-partitioned on the QI tuple (co-located join).
+    hash-partitioned on the QI tuple (co-located join). The join is
+    NULL-SAFE on every quasi-identifier: rows whose QI tuple contains
+    nulls form a real equivalence class and must not fail open
+    (plain equality would leave their class_size null and skip
+    suppression).
     """
-    sizes = k_anonymity_stats(df, quasi_identifiers)
-    out = df.join(sizes, quasi_identifiers, "left")
-    small = F.col("class_size") < k
+    sizes = k_anonymity_stats(df, quasi_identifiers).select(
+        *[F.col(c).alias(f"__qi_{c}") for c in quasi_identifiers],
+        "class_size",
+    )
+    cond = None
+    for c in quasi_identifiers:
+        eq = df[c].eqNullSafe(sizes[f"__qi_{c}"])
+        cond = eq if cond is None else (cond & eq)
+    out = df.join(sizes, cond, "left")
+    small = F.coalesce(F.col("class_size") < k, F.lit(False))
     cols = []
     for c in df.columns:
         if c in quasi_identifiers:
-            cols.append(
-                F.when(small, F.lit(None)).otherwise(F.col(c)).alias(c)
-            )
+            cols.append(F.when(small, F.lit(None)).otherwise(df[c]).alias(c))
         else:
-            cols.append(F.col(c))
+            cols.append(df[c])
     return out.select(*cols, small.alias("suppressed"))
 
 

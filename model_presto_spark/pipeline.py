@@ -114,6 +114,14 @@ def _stage_near_dedup(cfg: dict) -> Callable[[DataFrame], DataFrame]:
         if k in ("method", "threshold", "fast_hash")
     }
 
+    # dedup_corpus(method='exact') returns the fingerprint relation,
+    # not surviving rows — the pipeline's exact stage is 'exact_dedup'
+    if kwargs.get("method") not in (None, "minhash", "ngram"):
+        raise ValueError(
+            "near_dedup method must be 'minhash' or 'ngram'; "
+            "use the 'exact_dedup' stage for exact dedup"
+        )
+
     def apply(df: DataFrame) -> DataFrame:
         from model_presto_spark.operators.dedup import dedup_corpus
 
@@ -292,10 +300,24 @@ class CorpusPipeline:
         return df
 
     def report(self, docs: DataFrame) -> list[tuple[str, int]]:
-        """Per-stage funnel: [('input', n), (op, n_surviving), ...]."""
+        """Per-stage funnel: [('input', n), (op, n_surviving), ...].
+
+        Each stage output is persisted before counting so the funnel
+        is one execution per stage, not one per stage *pair* (the
+        heavy dedup stages would otherwise re-run for every later
+        count); everything is unpersisted before returning.
+        """
+        from pyspark import StorageLevel
+
         out = [("input", docs.count())]
         df = docs
-        for op, stage in self._built:
-            df = stage(df)
-            out.append((op, df.count()))
+        cached = []
+        try:
+            for op, stage in self._built:
+                df = stage(df).persist(StorageLevel.MEMORY_AND_DISK)
+                cached.append(df)
+                out.append((op, df.count()))
+        finally:
+            for c in cached:
+                c.unpersist()
         return out

@@ -126,12 +126,18 @@ def rolling_anomaly_stream(
         buf = list(state.get[0]) if state.exists else []
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if len(pdf):
-            pdf = pdf.sort_values([order_col, id_col])
+            # reset_index after the sort: the output DataFrame mixes
+            # pdf-backed Series with positional lists, and pandas
+            # aligns by index label — a permuted index would attach
+            # scores to the wrong rows
+            pdf = pdf.sort_values([order_col, id_col]).reset_index(drop=True)
             zs, flags = [], []
             for v in pdf[value_col].astype("float64"):
                 tail = buf[-window:]
                 z = None
-                if len(tail) >= min_periods:
+                # len >= 2 guard: sample variance of one point is
+                # undefined (the batch twin's stddev_samp is null)
+                if len(tail) >= min_periods and len(tail) >= 2:
                     m = sum(tail) / len(tail)
                     var = sum((x - m) ** 2 for x in tail) / (len(tail) - 1)
                     sd = math.sqrt(var)

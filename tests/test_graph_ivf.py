@@ -281,3 +281,10 @@ def test_pagerank_matches_reference_power_iteration(spark):
         assert got[v] == pytest.approx(r[v], abs=1e-12)
     # total rank mass is conserved
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_empty_graph(spark):
+    from model_presto_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([], "src bigint, dst bigint")
+    assert pagerank(e, n_iter=2).count() == 0

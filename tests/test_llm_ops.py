@@ -601,3 +601,41 @@ def test_bm25_hand_computed_golden(spark):
     assert got[1] == pytest.approx(s(3, 4), rel=1e-12)
     assert got[2] == pytest.approx(s(1, 6), rel=1e-12)
     assert got[1] > got[2]  # higher tf, shorter doc wins
+
+
+def test_k_anonymize_null_qi_class_suppressed(spark):
+    """Rows with NULL quasi-identifiers form a real equivalence
+    class: a small null-QI class must be suppressed, not fail open
+    through a non-null-safe join."""
+    from model_presto_spark.operators.privacy import k_anonymize
+
+    rows = [(1, None, "A"), (2, None, "A")] + [
+        (10 + i, "US", "B") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, country string, seg string")
+    out = {r.id: r for r in k_anonymize(df, ["country", "seg"], k=3).collect()}
+    assert out[1].suppressed is True and out[2].suppressed is True
+    assert out[1].seg is None  # the non-null QI member is suppressed too
+    for i in range(5):
+        assert out[10 + i].suppressed is False
+
+
+def test_blocked_fuzzy_join_same_column_names(spark):
+    """Self-join-shaped linkage where both sides share column names
+    must not hit ambiguous references."""
+    from model_presto_spark.operators.linkage import blocked_fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "b1", "jonh")], "rec_id bigint, blk string, name string"
+    )
+    right = spark.createDataFrame(
+        [(9, "b1", "john")], "rec_id bigint, blk string, name string"
+    )
+    row = blocked_fuzzy_join(
+        left, right,
+        block_on=[("blk", "blk")],
+        fuzzy_on=("name", "name"),
+        max_edit=2,
+        left_key="rec_id",
+    ).first()
+    assert row.edit_distance == 2
