@@ -1195,6 +1195,7 @@ _ADJUDICATION_TAIL = [
     "q92_calibration",
     "q93_cohort_retention",
     "q94_ab_test",
+    "q95_cooccurrence_pmi",
     # q82 parks in the tail BY CHOICE (head is at the driver's
     # 50-cap): the hash-coin mix family is driver-adjudicated via
     # q70; the epochs extension is still oracle-checked by the

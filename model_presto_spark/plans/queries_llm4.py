@@ -685,3 +685,58 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("converted")
     )
     return ab_test(units, "grp", "converted")
+
+
+# ---------------------------------------------------------------------------
+# Q95 — event-type co-occurrence PMI within user-day contexts
+# ---------------------------------------------------------------------------
+
+_Q95_ORACLE = """
+    WITH post AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+      FROM events
+    ), nctx AS (
+      SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, d FROM post)
+    ), marg AS (
+      SELECT event_type, COUNT(*) AS n_i FROM post GROUP BY 1
+    ), pairs AS (
+      SELECT a.event_type AS item_a, b.event_type AS item_b,
+             COUNT(*) AS n_ab
+      FROM post a JOIN post b
+        ON a.user_id = b.user_id AND a.d = b.d
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+           ROUND(ln(CAST(n_ab AS DOUBLE) * CAST((SELECT n FROM nctx) AS DOUBLE)
+                    / (CAST(ma.n_i AS DOUBLE) * CAST(mb.n_i AS DOUBLE)))
+                 + 5e-12, 6) AS pmi
+    FROM pairs
+    JOIN marg ma ON ma.event_type = item_a
+    JOIN marg mb ON mb.event_type = item_b
+"""
+
+
+@register(
+    "q95_cooccurrence_pmi",
+    _Q95_ORACLE,
+    doc="PMI association over (user, day) contexts: inverted-index "
+    "pair generation inside each context (never across), marginals "
+    "broadcast back. The market-basket / co-occurrence shape with "
+    "the d-squared context-size guard available.",
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from model_presto_spark.operators.assoc import cooccurrence_pmi
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    )
+    out = cooccurrence_pmi(ev, ["user_id", "d"], "event_type")
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_ab",
+        F.round(F.col("pmi") + F.lit(5e-12), 6).alias("pmi"),
+    )

@@ -639,3 +639,37 @@ def test_blocked_fuzzy_join_same_column_names(spark):
         left_key="rec_id",
     ).first()
     assert row.edit_distance == 2
+
+
+def test_cooccurrence_pmi_golden_and_guard(spark):
+    import math
+
+    import pytest
+
+    from model_presto_spark.operators.assoc import cooccurrence_pmi
+
+    # contexts: c1={a,b}, c2={a,b}, c3={a,c}, c4={b} -> N=4
+    rows = [
+        (1, "a"), (1, "b"), (1, "b"),  # duplicate occurrence: set semantics
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, "ctx bigint, item string")
+    out = {
+        (r.item_a, r.item_b): r
+        for r in cooccurrence_pmi(df, ["ctx"], "item").collect()
+    }
+    # n_a=3, n_b=3, n_ab=2, N=4 -> pmi = ln(2*4/9)
+    assert out[("a", "b")].n_ab == 2
+    assert out[("a", "b")].pmi == pytest.approx(math.log(8 / 9), rel=1e-12)
+    assert out[("a", "c")].n_ab == 1
+    assert out[("a", "c")].pmi == pytest.approx(math.log(4 / 3), rel=1e-12)
+    assert ("b", "c") not in out  # never co-occur
+
+    # context-size guard: a mega-context is dropped entirely
+    mega = [(9, f"i{j}") for j in range(20)]
+    df2 = spark.createDataFrame(rows + mega, "ctx bigint, item string")
+    capped = cooccurrence_pmi(df2, ["ctx"], "item", max_context_items=5)
+    got = {(r.item_a, r.item_b) for r in capped.collect()}
+    assert got == {("a", "b"), ("a", "c")}
