@@ -319,3 +319,31 @@ def weighted_hash_sample(
         .where(F.col("sample_rank") <= k)
         .drop("__wk")
     )
+
+
+def kfold(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    strata_cols: list[str] | None = None,
+    salt: str = "cv",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment.
+
+    Adds ``fold`` in [0, k): plain mode assigns by key hash (uniform
+    in expectation, reproducible anywhere); stratified mode rotates
+    folds over the hash-ranked order WITHIN each stratum, so every
+    fold holds floor/ceil(n_s / k) rows of stratum s — exact
+    stratification, not just expected. One window per stratum (a
+    single shuffle); train/test views for fold i are
+    ``fold != i`` / ``fold == i``.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = F.xxhash64(F.concat(F.lit(salt + "#"), F.col(key_col).cast("string")))
+    if not strata_cols:
+        return df.withColumn("fold", F.pmod(h, F.lit(k)).cast("int"))
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return df.withColumn(
+        "fold", ((F.row_number().over(w) - 1) % k).cast("int")
+    )

@@ -117,3 +117,45 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     # predicate reaches the ORC scan
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "k" in plan.split("PushedFilters")[1][:80]
+
+
+def test_kfold_stratified_exact_and_deterministic(spark):
+    from model_presto_spark.operators.splits import kfold
+
+    rows = [(i, "pos" if i % 3 == 0 else "neg") for i in range(101)]
+    df = spark.createDataFrame(rows, "id bigint, label string")
+    out = kfold(df, "id", k=5, strata_cols=["label"])
+    got = {(r.id): (r.label, r.fold) for r in out.collect()}
+    assert len(got) == 101
+    # exact stratification: each fold has floor/ceil(n_s/5) per class
+    from collections import Counter
+
+    per = Counter((lab, f) for lab, f in got.values())
+    for lab, n_s in (("pos", 34), ("neg", 67)):
+        sizes = [per[(lab, f)] for f in range(5)]
+        assert sum(sizes) == n_s
+        assert max(sizes) - min(sizes) <= 1
+    # deterministic: re-run identical
+    again = {r.id: r.fold for r in kfold(df, "id", 5, ["label"]).collect()}
+    assert all(again[i] == f for i, (_, f) in got.items())
+    # folds partition the data: train+test per fold covers everything
+    f0_test = {i for i, (_, f) in got.items() if f == 0}
+    f0_train = {i for i, (_, f) in got.items() if f != 0}
+    assert f0_test | f0_train == set(got) and not (f0_test & f0_train)
+
+
+def test_kfold_plain_hash_mode(spark):
+    import pytest
+
+    from model_presto_spark.operators.splits import kfold
+
+    df = spark.range(1000).withColumnRenamed("id", "key")
+    out = kfold(df, "key", k=4)
+    sizes = {
+        r.fold: r.c
+        for r in out.groupBy("fold").agg(F.count("*").alias("c")).collect()
+    }
+    assert set(sizes) == {0, 1, 2, 3}
+    assert all(150 < c < 350 for c in sizes.values())  # roughly uniform
+    with pytest.raises(ValueError, match=">= 2"):
+        kfold(df, "key", k=1)
