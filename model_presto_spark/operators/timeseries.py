@@ -264,3 +264,40 @@ def ewma(
     # (num * back) / (den * back) == weighted mean with weights
     # (1-a)^(t-i); multiplying both by back keeps magnitudes tame
     return df.withColumn(out_col, (num * back) / (den * back))
+
+
+def mad_outliers(
+    df: DataFrame,
+    entity_col: str,
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-entity outlier flags via the median absolute
+    deviation (Iglewicz-Hoberg modified z-score).
+
+    Unlike mean/stddev (rolling_zscore), the MAD baseline is immune
+    to the outliers it is hunting — a handful of extreme points
+    cannot drag the center or inflate the spread. Two grouped exact
+    medians (one shuffle each on the entity key; Catalyst computes
+    ``percentile`` as a typed aggregate, no collect), broadcast back
+    by entity. ``modified_z = 0.6745 * (x - median) / mad``; mad==0
+    (constant majority) yields null z and no flag.
+
+    Adds: med, mad, modified_z, is_outlier.
+    """
+    med = df.groupBy(entity_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    with_med = df.join(med, entity_col)
+    mad = with_med.groupBy(entity_col).agg(
+        F.expr(f"percentile(abs({value_col} - med), 0.5)").alias("mad")
+    )
+    out = with_med.join(mad, entity_col)
+    z = F.when(
+        F.col("mad") > 0,
+        0.6745 * (F.col(value_col) - F.col("med")) / F.col("mad"),
+    )
+    return out.withColumn("modified_z", z).withColumn(
+        "is_outlier",
+        F.coalesce(F.abs(z) >= threshold, F.lit(False)),
+    )

@@ -740,3 +740,57 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ab",
         F.round(F.col("pmi") + F.lit(5e-12), 6).alias("pmi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q96 — robust (MAD) outlier detection per user over event values
+# ---------------------------------------------------------------------------
+# Iglewicz-Hoberg modified z-score: 0.6745 * (x - median) / MAD.
+# The flag is decided on the ROUNDED score in both engines.
+
+_MADT = 3.5
+
+_Q96_ORACLE = f"""
+    WITH med AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ), mad AS (
+      SELECT e.user_id, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m ON e.user_id = m.user_id
+      GROUP BY 1
+    )
+    SELECT e.event_id, e.user_id,
+           CASE WHEN d.mad > 0
+                THEN ROUND(0.6745 * (e.value - m.med) / d.mad + 5e-12, 6)
+           END AS modified_z,
+           COALESCE(abs(CASE WHEN d.mad > 0
+                THEN ROUND(0.6745 * (e.value - m.med) / d.mad + 5e-12, 6)
+           END) >= {_MADT}, FALSE) AS is_outlier
+    FROM events e
+    JOIN med m ON e.user_id = m.user_id
+    JOIN mad d ON e.user_id = d.user_id
+"""
+
+
+@register(
+    "q96_mad_outliers",
+    _Q96_ORACLE,
+    doc="Robust per-user outlier flags (modified z-score on the "
+    "median absolute deviation): the baseline cannot be dragged by "
+    "the outliers it hunts. Two grouped exact medians on the entity "
+    "key, broadcast back; flag decided on the rounded score.",
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from model_presto_spark.operators.timeseries import mad_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = mad_outliers(ev, "user_id", "value", threshold=_MADT)
+    zr = F.round(F.col("modified_z") + F.lit(5e-12), 6)
+    return out.select(
+        "event_id",
+        "user_id",
+        zr.alias("modified_z"),
+        F.coalesce(F.abs(zr) >= _MADT, F.lit(False)).alias("is_outlier"),
+    )

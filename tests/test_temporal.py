@@ -266,3 +266,34 @@ def test_cohort_retention_matrix(spark):
     # cohort Jan-2: user 3 only
     assert out[(d0 + 1, 0)] == 1
     assert len(out) == 4
+
+
+def test_mad_outliers_robust_to_contamination(spark):
+    """MAD flags a spike that the same-strength mean/std baseline
+    misses when the series is contaminated by several outliers."""
+    import pytest
+
+    from model_presto_spark.operators.timeseries import mad_outliers
+
+    vals = [10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 10.3, 9.7, 10.1, 9.9,
+            80.0, 85.0, 90.0]  # 3 contaminating spikes
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "uid bigint, t bigint, value double")
+    out = {r.t: r for r in mad_outliers(df, "uid", "value", 3.5).collect()}
+    for t in (10, 11, 12):
+        assert out[t].is_outlier and out[t].modified_z > 3.5
+    for t in range(10):
+        assert not out[t].is_outlier
+    # the median sits on the clean majority (7th of 13 sorted
+    # values), untouched by the three large spikes
+    assert out[0].med == pytest.approx(10.1)
+
+
+def test_mad_outliers_constant_series(spark):
+    from model_presto_spark.operators.timeseries import mad_outliers
+
+    df = spark.createDataFrame(
+        [(1, i, 5.0) for i in range(6)], "uid bigint, t bigint, value double"
+    )
+    out = mad_outliers(df, "uid", "value").collect()
+    assert all(r.modified_z is None and not r.is_outlier for r in out)
