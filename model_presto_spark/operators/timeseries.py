@@ -301,3 +301,45 @@ def mad_outliers(
         "is_outlier",
         F.coalesce(F.abs(z) >= threshold, F.lit(False)),
     )
+
+
+def cusum(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: list[str],
+    value_col: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """One-sided CUSUM drift detection as pure window algebra.
+
+    The textbook recurrence ``S_t = max(0, S_{t-1} + (x_t - target -
+    slack))`` looks inherently sequential, but has the closed form
+    ``S_t = A_t - min(A_0..A_t)`` where ``A`` is the running sum of
+    the deviations — so upward AND downward statistics are four
+    running-window aggregates sharing one sort: a single shuffle per
+    entity key, no UDF, no recursion.
+
+    Adds: cusum_up, cusum_down (both >= 0), drift (|either| >=
+    threshold). ``target`` is the in-control mean; ``slack`` the
+    half-dead-band k.
+    """
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    dev_up = F.col(value_col) - F.lit(target + slack)
+    dev_dn = F.lit(target - slack) - F.col(value_col)
+    a_up = F.sum(dev_up).over(run)
+    a_dn = F.sum(dev_dn).over(run)
+    # min over A including a virtual A_0 = 0 start (clamp at zero)
+    s_up = a_up - F.least(F.min(a_up).over(run), F.lit(0.0))
+    s_dn = a_dn - F.least(F.min(a_dn).over(run), F.lit(0.0))
+    return (
+        df.withColumn("cusum_up", s_up)
+        .withColumn("cusum_down", s_dn)
+        .withColumn(
+            "drift",
+            (F.col("cusum_up") >= threshold)
+            | (F.col("cusum_down") >= threshold),
+        )
+    )

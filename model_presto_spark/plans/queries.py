@@ -1197,6 +1197,7 @@ _ADJUDICATION_TAIL = [
     "q94_ab_test",
     "q95_cooccurrence_pmi",
     "q96_mad_outliers",
+    "q97_cusum_drift",
     # q82 parks in the tail BY CHOICE (head is at the driver's
     # 50-cap): the hash-coin mix family is driver-adjudicated via
     # q70; the epochs extension is still oracle-checked by the

@@ -794,3 +794,64 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         zr.alias("modified_z"),
         F.coalesce(F.abs(zr) >= _MADT, F.lit(False)).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q97 — CUSUM drift statistics per user (closed-form window algebra)
+# ---------------------------------------------------------------------------
+_CU_TGT, _CU_K, _CU_H = 245.0, 50.0, 1500.0
+
+_Q97_ORACLE = f"""
+    WITH acc AS (
+      SELECT event_id, user_id, ts,
+             SUM(value - {_CU_TGT + _CU_K}) OVER w AS au,
+             SUM({_CU_TGT - _CU_K} - value) OVER w AS an
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), mins AS (
+      SELECT event_id, user_id, au, an,
+             MIN(au) OVER w AS mau,
+             MIN(an) OVER w AS man
+      FROM acc
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           ROUND(au - least(mau, 0.0) + 5e-12, 6) AS cusum_up,
+           ROUND(an - least(man, 0.0) + 5e-12, 6) AS cusum_down,
+           (ROUND(au - least(mau, 0.0) + 5e-12, 6) >= {_CU_H}
+            OR ROUND(an - least(man, 0.0) + 5e-12, 6) >= {_CU_H}) AS drift
+    FROM mins
+"""
+
+
+@register(
+    "q97_cusum_drift",
+    _Q97_ORACLE,
+    doc="One-sided CUSUM drift statistics per user via the "
+    "closed-form S_t = A_t - min(A_<=t, 0): running sum + running "
+    "min windows sharing one sort — a single shuffle per entity, no "
+    "sequential recursion. Flags decided on rounded statistics.",
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from model_presto_spark.operators.timeseries import cusum
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = cusum(
+        ev, "user_id", ["ts", "event_id"], "value",
+        target=_CU_TGT, slack=_CU_K, threshold=_CU_H,
+    )
+    ru = F.round(F.col("cusum_up") + F.lit(5e-12), 6)
+    rd = F.round(F.col("cusum_down") + F.lit(5e-12), 6)
+    return out.select(
+        "event_id",
+        "user_id",
+        ru.alias("cusum_up"),
+        rd.alias("cusum_down"),
+        ((ru >= _CU_H) | (rd >= _CU_H)).alias("drift"),
+    )

@@ -297,3 +297,29 @@ def test_mad_outliers_constant_series(spark):
     )
     out = mad_outliers(df, "uid", "value").collect()
     assert all(r.modified_z is None and not r.is_outlier for r in out)
+
+
+def test_cusum_matches_sequential_reference(spark):
+    """The window closed form equals the textbook sequential
+    recurrence, and detects a planted level shift."""
+    import pytest
+
+    from model_presto_spark.operators.timeseries import cusum
+
+    vals = [10.1, 9.9, 10.0, 10.2, 9.8, 10.0,          # in control
+            11.5, 11.4, 11.6, 11.5, 11.7]               # shifted +1.5
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "uid bigint, t bigint, value double")
+    out = {r.t: r for r in cusum(
+        df, "uid", ["t"], "value", target=10.0, slack=0.25, threshold=3.0
+    ).collect()}
+
+    s_up = s_dn = 0.0
+    for i, v in enumerate(vals):
+        s_up = max(0.0, s_up + (v - 10.25))
+        s_dn = max(0.0, s_dn + (9.75 - v))
+        assert out[i].cusum_up == pytest.approx(s_up, abs=1e-9)
+        assert out[i].cusum_down == pytest.approx(s_dn, abs=1e-9)
+    # no drift during the in-control phase, detected after the shift
+    assert not any(out[i].drift for i in range(6))
+    assert out[10].drift
