@@ -106,10 +106,21 @@ from model_presto_spark.operators.privacy import (
     k_anonymity_stats,
     k_anonymize,
 )
+from model_presto_spark.operators.assoc import cooccurrence_pmi
+from model_presto_spark.operators.splits import kfold
 from model_presto_spark.operators.temporal import cohort_retention
-from model_presto_spark.operators.timeseries import ewma, rolling_zscore
+from model_presto_spark.operators.timeseries import (
+    cusum,
+    ewma,
+    mad_outliers,
+    rolling_zscore,
+)
 
 __all__ = [
+    "cooccurrence_pmi",
+    "kfold",
+    "cusum",
+    "mad_outliers",
     "remove_dup_spans",
     "span_dup_stats",
     "window_hashes",
