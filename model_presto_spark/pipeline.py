@@ -183,6 +183,52 @@ def _stage_perplexity_gate(cfg: dict) -> Callable[[DataFrame], DataFrame]:
     return apply
 
 
+def _stage_span_remove(cfg: dict) -> Callable[[DataFrame], DataFrame]:
+    id_col = cfg.get("id_col", "doc_id")
+    col = cfg.get("text_col", "text")
+    k = cfg.get("k", 8)
+    fast = cfg.get("fast_hash", True)
+
+    def apply(df: DataFrame) -> DataFrame:
+        from model_presto_spark.operators.dedup import remove_dup_spans
+
+        cleaned = remove_dup_spans(df, k, col, id_col, fast_hash=fast).select(
+            id_col, F.col(col).alias("__clean")
+        )
+        # transform stage: replace the text, keep all other columns
+        return (
+            df.drop(col)
+            .join(cleaned, id_col)
+            .withColumnRenamed("__clean", col)
+        )
+
+    return apply
+
+
+def _stage_token_budget(cfg: dict) -> Callable[[DataFrame], DataFrame]:
+    source_col = cfg.get("source_col", "source")
+    id_col = cfg.get("id_col", "doc_id")
+    col = cfg.get("text_col", "text")
+    budget = cfg["budget_tokens"]
+
+    def apply(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        # running-total prefix truncation per source, in id order —
+        # the batch twin of streaming/stateful.token_budget_sample
+        w = (
+            Window.partitionBy(source_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = F.sum(T.token_count(F.col(col))).over(w)
+        return df.withColumn("__cum", cum).where(
+            F.col("__cum") <= budget
+        ).drop("__cum")
+
+    return apply
+
+
 def _stage_domain_mix(cfg: dict) -> Callable[[DataFrame], DataFrame]:
     source_col = cfg.get("source_col", "source")
     id_col = cfg.get("id_col", "doc_id")
@@ -231,6 +277,14 @@ _STAGES: dict[str, tuple[Callable[[dict], Callable], set[str]]] = {
     ),
     "domain_mix": (
         _stage_domain_mix,
+        {"source_col", "id_col", "text_col", "budget_tokens"},
+    ),
+    "span_remove": (
+        _stage_span_remove,
+        {"id_col", "text_col", "k", "fast_hash"},
+    ),
+    "token_budget": (
+        _stage_token_budget,
         {"source_col", "id_col", "text_col", "budget_tokens"},
     ),
 }

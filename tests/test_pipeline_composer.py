@@ -103,3 +103,30 @@ def test_pipeline_from_json_with_dataframe_ref(spark, corpus):
         CorpusPipeline.from_json(cfg)
     with pytest.raises(ValueError, match="must be a list"):
         CorpusPipeline.from_json('{"op": "exact_dedup"}')
+
+
+def test_pipeline_span_remove_and_token_budget(spark):
+    from model_presto_spark.pipeline import CorpusPipeline
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, f"unique opening words here {shared}", "a"),
+        (2, f"different start tokens now {shared}", "a"),
+        (3, "ten little words make up this third document body x", "b"),
+        (4, "another ten word doc for the second source here y", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    pipe = CorpusPipeline([
+        {"op": "span_remove", "k": 8},
+        {"op": "token_budget", "budget_tokens": 10},
+    ])
+    out = {r.doc_id: r.text for r in pipe.run(docs).collect()}
+    # span_remove cut the shared run from docs 1/2 (leaving 4-5
+    # tokens), so both now fit source a's 10-token budget; source b
+    # keeps only its first doc (10 tokens exactly), doc 4 overflows
+    assert set(out) == {1, 2, 3}
+    assert "charlie" not in out[1] and "charlie" not in out[2]
+    assert out[1].startswith("unique opening")
+    # non-text columns survived both stages
+    cols = set(pipe.run(docs).columns)
+    assert {"doc_id", "text", "source"} <= cols
