@@ -254,3 +254,29 @@ def test_pagerank_mass_and_positivity(spark, edges):
     assert {r.node for r in rows} == nodes
     assert all(r.rank > 0 for r in rows)
     assert abs(sum(r.rank for r in rows) - 1.0) < 1e-9
+
+
+@given(
+    vals=st.lists(
+        st.floats(-50, 50, allow_nan=False), min_size=1, max_size=30
+    ),
+    target=st.sampled_from([-5.0, 0.0, 7.5]),
+    slack=st.sampled_from([0.0, 1.0]),
+)
+@FAST
+def test_cusum_closed_form_equals_recurrence(spark, vals, target, slack):
+    """Property: the window closed form equals the sequential
+    max(0, S + y) recurrence for arbitrary series and parameters."""
+    from model_presto_spark.operators.timeseries import cusum
+
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "uid bigint, t bigint, value double")
+    out = {r.t: r for r in cusum(
+        df, "uid", ["t"], "value", target=target, slack=slack
+    ).collect()}
+    s_up = s_dn = 0.0
+    for i, v in enumerate(vals):
+        s_up = max(0.0, s_up + (v - target - slack))
+        s_dn = max(0.0, s_dn + (target - slack - v))
+        assert abs(out[i].cusum_up - s_up) < 1e-6
+        assert abs(out[i].cusum_down - s_dn) < 1e-6
