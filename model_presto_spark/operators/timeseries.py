@@ -285,10 +285,14 @@ def mad_outliers(
 
     Adds: med, mad, modified_z, is_outlier.
     """
+    from pyspark import StorageLevel
+
     med = df.groupBy(entity_col).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("med")
     )
-    with_med = df.join(med, entity_col)
+    # with_med feeds two branches (the MAD aggregation and the final
+    # join-back) — persist so the source scan + median join run once
+    with_med = df.join(med, entity_col).persist(StorageLevel.MEMORY_AND_DISK)
     mad = with_med.groupBy(entity_col).agg(
         F.expr(f"percentile(abs({value_col} - med), 0.5)").alias("mad")
     )
