@@ -1115,6 +1115,9 @@ _ADJUDICATION_TAIL = [
     "q56_utm",
     "q59_spatial_join",
     "q61_repetition",
+    # q19 (r01/r02-green) parks to make room for q98_triangles,
+    # which has never been driver-adjudicated
+    "q19_threeway_stats",
     # ---- Parked in earlier rounds (r01/r02-green or redundantly
     # covered; per-query rationales in the git history) ------------------
     "q25_dates",

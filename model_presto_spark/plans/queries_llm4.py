@@ -855,3 +855,72 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
         rd.alias("cusum_down"),
         ((ru >= _CU_H) | (rd >= _CU_H)).alias("drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q98 — triangle census of the derived orders graph
+# ---------------------------------------------------------------------------
+
+_Q98_ORACLE = f"""
+    WITH raw AS (
+      SELECT DISTINCT
+             CAST(least(o_custkey % {_PR_MOD}, o_orderkey % {_PR_MOD})
+                  AS BIGINT) AS a,
+             CAST(greatest(o_custkey % {_PR_MOD}, o_orderkey % {_PR_MOD})
+                  AS BIGINT) AS b
+      FROM orders
+      WHERE o_custkey % {_PR_MOD} <> o_orderkey % {_PR_MOD}
+    ), deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM raw UNION ALL SELECT b AS node FROM raw)
+      GROUP BY 1
+    ), tri AS (
+      SELECT COUNT(*) AS t
+      FROM raw e1
+      JOIN raw e2 ON e2.a = e1.b
+      JOIN raw e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT n_nodes,
+           CAST((SELECT COUNT(*) FROM raw) AS BIGINT) AS n_edges,
+           n_wedges,
+           CAST(t AS BIGINT) AS n_triangles,
+           ROUND(CASE WHEN n_wedges > 0
+                      THEN CAST(3 AS DOUBLE) * t / CAST(n_wedges AS DOUBLE)
+                      ELSE 0.0 END + 5e-12, 6) AS global_clustering
+    FROM agg CROSS JOIN tri
+"""
+
+
+@register(
+    "q98_triangles",
+    _Q98_ORACLE,
+    doc="Exact triangle census + global clustering coefficient via "
+    "degree-ordered node iteration: edges direct from their "
+    "(degree, id)-smaller endpoint so hub wedge joins stay "
+    "O(sqrt(m)) per node; wedges close against the directed edge "
+    "list in one equi-join, each triangle produced once.",
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from model_presto_spark.operators.graph import triangle_stats
+
+    orders = _t(spark, sf_dir, "orders")
+    e = orders.select(
+        (F.col("o_custkey") % _PR_MOD).cast("bigint").alias("src"),
+        (F.col("o_orderkey") % _PR_MOD).cast("bigint").alias("dst"),
+    )
+    out = triangle_stats(e)
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(F.col("global_clustering") + F.lit(5e-12), 6).alias(
+            "global_clustering"
+        ),
+    )

@@ -288,3 +288,46 @@ def test_pagerank_empty_graph(spark):
 
     e = spark.createDataFrame([], "src bigint, dst bigint")
     assert pagerank(e, n_iter=2).count() == 0
+
+
+def test_triangle_stats_known_graphs(spark):
+    from model_presto_spark.operators.graph import triangle_stats
+
+    # K4: 4 triangles, 6 edges, 12 wedges, clustering 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = triangle_stats(spark.createDataFrame(k4, "src bigint, dst bigint")).first()
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+    assert abs(r.global_clustering - 1.0) < 1e-12
+
+    # path 0-1-2-3: no triangles, 2 wedges
+    path = [(0, 1), (1, 2), (2, 3)]
+    r = triangle_stats(spark.createDataFrame(path, "src bigint, dst bigint")).first()
+    assert r.n_triangles == 0 and r.n_wedges == 2
+    assert r.global_clustering == 0.0
+
+    # duplicate + reversed + self-loop inputs normalize away
+    messy = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+    r = triangle_stats(spark.createDataFrame(messy, "src bigint, dst bigint")).first()
+    assert (r.n_edges, r.n_triangles) == (3, 1)
+
+
+def test_triangle_stats_matches_naive_on_random_graph(spark):
+    import itertools
+    import random
+
+    from model_presto_spark.operators.graph import triangle_stats
+
+    rng = random.Random(3)
+    edges = {(a, b) for a in range(25) for b in range(a + 1, 25)
+             if rng.random() < 0.3}
+    adj = {n: set() for n in range(25)}
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+    naive = sum(
+        1 for a, b, c in itertools.combinations(range(25), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    r = triangle_stats(
+        spark.createDataFrame(list(edges), "src bigint, dst bigint")
+    ).first()
+    assert r.n_triangles == naive
