@@ -337,3 +337,51 @@ def triangle_stats(
             3.0 * F.col("n_triangles") / F.col("n_wedges").cast("double"),
         ).otherwise(F.lit(0.0)).alias("global_clustering"),
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+) -> DataFrame:
+    """Link-prediction scores for non-adjacent node pairs:
+    ``AA(u,v) = sum over common neighbors w of 1/ln(deg(w))``
+    (plus common-neighbor counts).
+
+    Wedge generation through the shared neighbor — the same
+    inverted-index shape as n-gram dedup: each neighbor w emits the
+    pairs of its adjacency list (u < v), weighted by 1/ln(deg(w));
+    one groupBy sums the evidence, one anti-join removes pairs that
+    are already edges. Hub neighbors dominate cost exactly like
+    stop-grams; degree-cap them upstream if the graph is scale-free
+    (the 1/ln(deg) weight already discounts their signal).
+
+    Output: (u, v, common_neighbors, aa_score) for pairs with at
+    least ``min_common`` shared neighbors, excluding existing edges.
+    """
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    e = (
+        edges.select(a, b)
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("w"), F.col("b").alias("n"))
+    deg = sym.groupBy("w").agg(F.count("*").alias("deg"))
+    adj = sym.join(deg, "w")
+    n1 = adj.select("w", F.col("n").alias("u"), "deg")
+    n2 = adj.select("w", F.col("n").alias("v"))
+    wedges = n1.join(n2, "w").where(F.col("u") < F.col("v"))
+    scored = wedges.groupBy("u", "v").agg(
+        F.count("*").alias("common_neighbors"),
+        F.sum(
+            F.when(F.col("deg") > 1, 1.0 / F.log(F.col("deg").cast("double")))
+            .otherwise(F.lit(0.0))
+        ).alias("aa_score"),
+    ).where(F.col("common_neighbors") >= min_common)
+    existing = e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    return scored.join(existing, ["u", "v"], "left_anti")

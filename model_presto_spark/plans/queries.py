@@ -1118,6 +1118,8 @@ _ADJUDICATION_TAIL = [
     # q19 (r01/r02-green) parks to make room for q98_triangles,
     # which has never been driver-adjudicated
     "q19_threeway_stats",
+    # q45 (r01/r02-green) parks likewise for q99_link_prediction
+    "q45_knn_classify",
     # ---- Parked in earlier rounds (r01/r02-green or redundantly
     # covered; per-query rationales in the git history) ------------------
     "q25_dates",

@@ -924,3 +924,70 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
             "global_clustering"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q99 — Adamic-Adar link prediction on a sparser derived graph
+# ---------------------------------------------------------------------------
+_AA_MOD = 200
+
+_Q99_ORACLE = f"""
+    WITH e AS (
+      SELECT DISTINCT
+             CAST(least(o_custkey % {_AA_MOD}, o_orderkey % {_AA_MOD})
+                  AS BIGINT) AS a,
+             CAST(greatest(o_custkey % {_AA_MOD}, o_orderkey % {_AA_MOD})
+                  AS BIGINT) AS b
+      FROM orders
+      WHERE o_custkey % {_AA_MOD} <> o_orderkey % {_AA_MOD}
+    ), sym AS (
+      SELECT a AS w, b AS n FROM e
+      UNION ALL
+      SELECT b AS w, a AS n FROM e
+    ), deg AS (
+      SELECT w, COUNT(*) AS deg FROM sym GROUP BY 1
+    ), adj AS (
+      SELECT s.w, s.n, d.deg FROM sym s JOIN deg d ON d.w = s.w
+    ), wedges AS (
+      SELECT n1.n AS u, n2.n AS v, n1.deg
+      FROM adj n1 JOIN adj n2 ON n1.w = n2.w AND n1.n < n2.n
+    ), scored AS (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             SUM(CASE WHEN deg > 1
+                      THEN CAST(1 AS DOUBLE) / ln(CAST(deg AS DOUBLE))
+                      ELSE 0.0 END) AS aa_score
+      FROM wedges GROUP BY 1, 2
+    )
+    SELECT s.u, s.v, s.common_neighbors,
+           ROUND(s.aa_score + 5e-12, 6) AS aa_score
+    FROM scored s
+    LEFT JOIN e ON e.a = s.u AND e.b = s.v
+    WHERE e.a IS NULL AND s.common_neighbors >= 3
+"""
+
+
+@register(
+    "q99_link_prediction",
+    _Q99_ORACLE,
+    doc="Adamic-Adar link prediction: wedges through each shared "
+    "neighbor (inverted-index shape, 1/ln(deg) hub discount), one "
+    "groupBy of evidence, one anti-join to drop existing edges; "
+    "pairs with >= 3 common neighbors.",
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from model_presto_spark.operators.graph import adamic_adar
+
+    orders = _t(spark, sf_dir, "orders")
+    e = orders.select(
+        (F.col("o_custkey") % _AA_MOD).cast("bigint").alias("src"),
+        (F.col("o_orderkey") % _AA_MOD).cast("bigint").alias("dst"),
+    )
+    out = adamic_adar(e, min_common=3)
+    return out.select(
+        "u",
+        "v",
+        "common_neighbors",
+        F.round(F.col("aa_score") + F.lit(5e-12), 6).alias("aa_score"),
+    )

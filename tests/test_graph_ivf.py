@@ -331,3 +331,24 @@ def test_triangle_stats_matches_naive_on_random_graph(spark):
         spark.createDataFrame(list(edges), "src bigint, dst bigint")
     ).first()
     assert r.n_triangles == naive
+
+
+def test_adamic_adar_hand_computed(spark):
+    import math
+
+    import pytest
+
+    from model_presto_spark.operators.graph import adamic_adar
+
+    # square 0-1-2-3-0 plus chord 0-2: candidate pair (1,3) shares
+    # neighbors 0 (deg 3) and 2 (deg 3); all other non-edges none
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    out = adamic_adar(
+        spark.createDataFrame(edges, "src bigint, dst bigint")
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.u, r.v) == (1, 3) and r.common_neighbors == 2
+    assert r.aa_score == pytest.approx(2 / math.log(3), rel=1e-12)
+    # existing edges are never suggested even with shared neighbors
+    assert all((row.u, row.v) not in {(0, 1), (0, 2)} for row in out)
