@@ -171,3 +171,43 @@ def cohort_retention(
         .groupBy("cohort", (F.col("period") - F.col("cohort")).alias("offset"))
         .agg(F.count("*").alias("n_active"))
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition estimates over per-entity event
+    sequences: P(next state | state), with counts.
+
+    One window (lag/lead over the entity key — a single shuffle)
+    builds the bigram stream; one groupBy counts transitions; the
+    per-source normalizer is a second tiny aggregation joined back
+    (broadcast, #states rows). Output:
+    (from_state, to_state, n, p).
+    """
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    bi = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .where(F.col("to_state").isNotNull())
+    )
+    counts = bi.groupBy("from_state", "to_state").agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.groupBy("from_state").agg(F.sum("n").alias("tot"))
+    return (
+        counts.join(F.broadcast(totals), "from_state")
+        .select(
+            "from_state",
+            "to_state",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n").cast("double") / F.col("tot").cast("double")).alias(
+                "p"
+            ),
+        )
+    )

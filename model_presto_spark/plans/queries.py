@@ -1120,6 +1120,8 @@ _ADJUDICATION_TAIL = [
     "q19_threeway_stats",
     # q45 (r01/r02-green) parks likewise for q99_link_prediction
     "q45_knn_classify",
+    # q46 (r01/r02-green) parks likewise for q100_markov_transitions
+    "q46_mask_budget",
     # ---- Parked in earlier rounds (r01/r02-green or redundantly
     # covered; per-query rationales in the git history) ------------------
     "q25_dates",

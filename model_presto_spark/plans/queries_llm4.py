@@ -991,3 +991,51 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
         "common_neighbors",
         F.round(F.col("aa_score") + F.lit(5e-12), 6).alias("aa_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q100 — Markov transition matrix of event types per user stream
+# ---------------------------------------------------------------------------
+
+_Q100_ORACLE = """
+    WITH bi AS (
+      SELECT event_type AS from_state,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_state
+      FROM events
+    ), counts AS (
+      SELECT from_state, to_state, COUNT(*) AS n
+      FROM bi WHERE to_state IS NOT NULL
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT from_state, SUM(n) AS tot FROM counts GROUP BY 1
+    )
+    SELECT c.from_state, c.to_state, CAST(c.n AS BIGINT) AS n,
+           ROUND(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) + 5e-12, 6)
+             AS p
+    FROM counts c JOIN totals t ON t.from_state = c.from_state
+"""
+
+
+@register(
+    "q100_markov_transitions",
+    _Q100_ORACLE,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: one lag window (single shuffle on the entity key) "
+    "builds bigrams, one groupBy counts, per-source normalizers "
+    "broadcast back. The behavioral-model shape of product "
+    "analytics and synthetic-sequence QA.",
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from model_presto_spark.operators.temporal import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    out = transition_matrix(ev, "user_id", ["ts", "event_id"], "event_type")
+    return out.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("p") + F.lit(5e-12), 6).alias("p"),
+    )

@@ -323,3 +323,34 @@ def test_cusum_matches_sequential_reference(spark):
     # no drift during the in-control phase, detected after the shift
     assert not any(out[i].drift for i in range(6))
     assert out[10].drift
+
+
+def test_transition_matrix_golden(spark):
+    import pytest
+
+    from model_presto_spark.operators.temporal import transition_matrix
+
+    rows = [
+        (1, 0, "a"), (1, 1, "b"), (1, 2, "a"), (1, 3, "b"),
+        (2, 0, "a"), (2, 1, "a"),
+        (3, 0, "c"),  # singleton sequence -> no transitions
+    ]
+    df = spark.createDataFrame(rows, "uid bigint, t bigint, s string")
+    out = {
+        (r.from_state, r.to_state): (r.n, r.p)
+        for r in transition_matrix(df, "uid", ["t"], "s").collect()
+    }
+    # from 'a': a->b twice (user 1), a->a once (user 2), a->... none across users
+    assert out[("a", "b")] == (2, pytest.approx(2 / 3))
+    assert out[("a", "a")] == (1, pytest.approx(1 / 3))
+    assert out[("b", "a")][0] == 1
+    # no cross-entity bigrams, no from-'c' rows
+    assert all(k[0] != "c" for k in out)
+    # probabilities normalize per source state
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (f, _), (_, p) in out.items():
+        sums[f] += p
+    for f, s in sums.items():
+        assert s == pytest.approx(1.0)
