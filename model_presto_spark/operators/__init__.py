@@ -95,7 +95,11 @@ from model_presto_spark.operators.dedup import (
     span_dup_stats,
     window_hashes,
 )
-from model_presto_spark.operators.graph import pagerank
+from model_presto_spark.operators.graph import (
+    adamic_adar,
+    pagerank,
+    triangle_stats,
+)
 from model_presto_spark.operators.linkage import (
     blocked_fuzzy_join,
     linkage_clusters,
@@ -108,7 +112,10 @@ from model_presto_spark.operators.privacy import (
 )
 from model_presto_spark.operators.assoc import cooccurrence_pmi
 from model_presto_spark.operators.splits import kfold
-from model_presto_spark.operators.temporal import cohort_retention
+from model_presto_spark.operators.temporal import (
+    cohort_retention,
+    transition_matrix,
+)
 from model_presto_spark.operators.timeseries import (
     cusum,
     ewma,
@@ -117,6 +124,9 @@ from model_presto_spark.operators.timeseries import (
 )
 
 __all__ = [
+    "adamic_adar",
+    "triangle_stats",
+    "transition_matrix",
     "cooccurrence_pmi",
     "kfold",
     "cusum",
