@@ -14,8 +14,10 @@ The standard entity-resolution shape for dirty catalogs at scale:
   (edit distance, deterministic tie-break), via a window over the
   left key — never a driver-side collect.
 
-Multi-pass blocking (union of several block keys) raises recall when
-any single key can be corrupted; pass a list of key pairs for that.
+Multi-pass blocking (union of several independent blocking schemes)
+raises recall when any single key can be corrupted —
+``multi_pass_fuzzy_join`` runs one candidate pass per scheme,
+deduplicates the union, and applies the same best-match selection.
 
 Reference: the reference system links records by exact keys only
 (presto-tolbi/presto/dataops/dataset.py idempotence keys); fuzzy
@@ -83,3 +85,46 @@ def linkage_clusters(
     from model_presto_spark.operators.graph import connected_components
 
     return connected_components(pairs.select(id_a, id_b), id_a, id_b)
+
+
+def multi_pass_fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    block_passes: list[list[tuple[str, str]]],
+    fuzzy_on: tuple[str, str],
+    max_edit: int = 2,
+    left_key: str | None = None,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Union-of-blocking-schemes linkage: candidates are generated
+    once per scheme in ``block_passes`` (each a ``block_on`` list),
+    deduplicated across passes, then scored/selected exactly like
+    ``blocked_fuzzy_join``.
+
+    A record whose value is corrupted in ONE blocking key still
+    matches through any scheme that avoids that key — the standard
+    recall fix for single-scheme blocking. Cost is the sum of the
+    per-scheme candidate volumes (each still an equi-join; never a
+    cross join); the dedup is one groupBy over candidate pairs.
+    """
+    if not block_passes:
+        raise ValueError("need at least one blocking scheme")
+    rf = fuzzy_on[1]
+    cands = None
+    for block_on in block_passes:
+        c = blocked_fuzzy_join(
+            left, right, block_on, fuzzy_on, max_edit, left_key=None
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.dropDuplicates(cands.columns)
+    if left_key is None:
+        return cands
+    tb = tie_break or rf
+    w = Window.partitionBy(left_key).orderBy(
+        F.col("edit_distance").asc(), F.col(tb).asc()
+    )
+    return (
+        cands.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -673,3 +673,44 @@ def test_cooccurrence_pmi_golden_and_guard(spark):
     capped = cooccurrence_pmi(df2, ["ctx"], "item", max_context_items=5)
     got = {(r.item_a, r.item_b) for r in capped.collect()}
     assert got == {("a", "b"), ("a", "c")}
+
+
+def test_multi_pass_fuzzy_join_recovers_corrupted_block_key(spark):
+    """A record whose zip (block key) is corrupted is unfindable by
+    zip-blocking alone but links through the city-blocking pass."""
+    import pytest
+
+    from model_presto_spark.operators.linkage import multi_pass_fuzzy_join
+
+    dirty = spark.createDataFrame(
+        [
+            (1, "12345", "springfield", "jonh smith"),   # good zip
+            (2, "99999", "springfield", "jane doe"),     # corrupted zip
+        ],
+        "rec_id bigint, zip string, city string, name string",
+    )
+    registry = spark.createDataFrame(
+        [
+            ("12345", "springfield", "john smith"),
+            ("12345", "springfield", "jane doe"),
+        ],
+        "r_zip string, r_city string, r_name string",
+    )
+    single = multi_pass_fuzzy_join(
+        dirty, registry,
+        block_passes=[[("zip", "r_zip")]],
+        fuzzy_on=("name", "r_name"), max_edit=2, left_key="rec_id",
+    )
+    assert {r.rec_id for r in single.collect()} == {1}
+    multi = multi_pass_fuzzy_join(
+        dirty, registry,
+        block_passes=[[("zip", "r_zip")], [("city", "r_city")]],
+        fuzzy_on=("name", "r_name"), max_edit=2, left_key="rec_id",
+    )
+    got = {r.rec_id: r.r_name for r in multi.collect()}
+    assert got == {1: "john smith", 2: "jane doe"}
+    # dedup across passes: record 1 matches through BOTH schemes but
+    # appears once
+    assert multi.count() == 2
+    with pytest.raises(ValueError, match="at least one"):
+        multi_pass_fuzzy_join(dirty, registry, [], ("name", "r_name"))
