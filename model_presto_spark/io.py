@@ -133,3 +133,72 @@ def write_partitioned(
     the other files (verified by tests/test_partition_pruning.py).
     """
     df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: tuple[str, ...] | None = None,
+    delete_col: str | None = None,
+) -> None:
+    """MERGE-style upsert into a parquet table (no transaction log).
+
+    Semantics per key: matched -> replace with the update row; not
+    matched -> insert; rows with ``delete_col`` true remove the
+    target row and insert nothing. With ``partition_cols`` the write
+    uses dynamic partition overwrite, so ONLY partitions touched by
+    the update batch are rewritten — the incremental-maintenance
+    shape at 100 TB (requires keys to be partition-stable: a key
+    whose partition value changes must be deleted from the old
+    partition in the same batch). Without partitions the whole table
+    rewrites.
+
+    The merged result is materialized (eager localCheckpoint) BEFORE
+    the overwrite — Spark cannot safely overwrite files it is still
+    lazily reading. Not atomic under concurrent writers (that is
+    what table formats add); idempotent under replay of the same
+    batch.
+    """
+    from pyspark.sql import functions as F
+
+    if delete_col is not None:
+        deletes = updates.where(F.col(delete_col)).select(*key_cols)
+        upserts = updates.where(~F.col(delete_col)).drop(delete_col)
+    else:
+        deletes = None
+        upserts = updates
+
+    if not os.path.exists(target_path):
+        writer = upserts.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(target_path)
+        return
+
+    target = spark.read.parquet(target_path)
+    touched_keys = updates.select(*key_cols).distinct()
+    if partition_cols:
+        # only partitions named by the batch participate
+        parts = upserts.select(*partition_cols).distinct()
+        if deletes is not None:
+            del_parts = (
+                target.join(deletes, key_cols, "left_semi")
+                .select(*partition_cols)
+                .distinct()
+            )
+            parts = parts.unionByName(del_parts).distinct()
+        scope = target.join(F.broadcast(parts), list(partition_cols), "left_semi")
+    else:
+        scope = target
+    keep = scope.join(touched_keys, key_cols, "left_anti")
+    merged = keep.unionByName(upserts).localCheckpoint(eager=True)
+
+    writer = merged.write.mode("overwrite")
+    if partition_cols:
+        writer = (
+            writer.option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+        )
+    writer.parquet(target_path)
