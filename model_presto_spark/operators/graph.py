@@ -385,3 +385,45 @@ def adamic_adar(
     ).where(F.col("common_neighbors") >= min_common)
     existing = e.select(F.col("a").alias("u"), F.col("b").alias("v"))
     return scored.join(existing, ["u", "v"], "left_anti")
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Unweighted single-source(-set) shortest paths, bounded hops.
+
+    Level-synchronous BFS as join+groupBy rounds: each round relaxes
+    every edge once (frontier = whole current distance relation —
+    simple and restatable as SQL; a production variant would keep
+    only the newly-settled frontier). Eager localCheckpoint per
+    round, same discipline as CC/PageRank. Returns (node, dist) for
+    nodes within ``max_hops`` of any source.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint(eager=True)
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in sources], "node bigint, dist int"
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            sym.join(dist.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -1122,6 +1122,8 @@ _ADJUDICATION_TAIL = [
     "q45_knn_classify",
     # q46 (r01/r02-green) parks likewise for q100_markov_transitions
     "q46_mask_budget",
+    # q40 (r01/r02-green) parks likewise for q101_bfs_levels
+    "q40_ann_lsh",
     # ---- Parked in earlier rounds (r01/r02-green or redundantly
     # covered; per-query rationales in the git history) ------------------
     "q25_dates",

@@ -1039,3 +1039,64 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("p") + F.lit(5e-12), 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q101 — BFS shortest-path levels from a source set (bounded hops)
+# ---------------------------------------------------------------------------
+_BFS_SOURCES = [0, 7]
+_BFS_HOPS = 3
+
+
+def _bfs_oracle() -> str:
+    srcs = ", ".join(f"({s})" for s in _BFS_SOURCES)
+    head = f"""
+    WITH e AS (
+      SELECT DISTINCT
+             CAST(least(o_custkey % {_AA_MOD}, o_orderkey % {_AA_MOD})
+                  AS BIGINT) AS a,
+             CAST(greatest(o_custkey % {_AA_MOD}, o_orderkey % {_AA_MOD})
+                  AS BIGINT) AS b
+      FROM orders
+      WHERE o_custkey % {_AA_MOD} <> o_orderkey % {_AA_MOD}
+    ), sym AS (
+      SELECT a AS u, b AS v FROM e UNION SELECT b AS u, a AS v FROM e
+    ), d0(node, dist) AS (
+      SELECT CAST(s.node AS BIGINT), 0 FROM (VALUES {srcs}) s(node)
+    )"""
+    steps = []
+    for i in range(_BFS_HOPS):
+        steps.append(f""", d{i + 1} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{i}
+        UNION ALL
+        SELECT sym.v AS node, d{i}.dist + 1 AS dist
+        FROM sym JOIN d{i} ON sym.u = d{i}.node
+      ) GROUP BY 1
+    )""")
+    tail = f"""
+    SELECT node, CAST(dist AS INT) AS dist FROM d{_BFS_HOPS}"""
+    return head + "".join(steps) + tail
+
+
+@register(
+    "q101_bfs_levels",
+    _bfs_oracle(),
+    doc=f"Level-synchronous BFS from sources {_BFS_SOURCES} "
+    f"({_BFS_HOPS} hops): one edge-relaxation join + min-groupBy per "
+    "round with eager checkpoint lineage truncation — the CC/"
+    "PageRank iterative shape applied to reachability/distance.",
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from model_presto_spark.operators.graph import bfs_levels
+
+    orders = _t(spark, sf_dir, "orders")
+    e = orders.select(
+        (F.col("o_custkey") % _AA_MOD).cast("bigint").alias("src"),
+        (F.col("o_orderkey") % _AA_MOD).cast("bigint").alias("dst"),
+    )
+    return bfs_levels(e, _BFS_SOURCES, max_hops=_BFS_HOPS).select(
+        "node", F.col("dist").cast("int").alias("dist")
+    )

@@ -352,3 +352,16 @@ def test_adamic_adar_hand_computed(spark):
     assert r.aa_score == pytest.approx(2 / math.log(3), rel=1e-12)
     # existing edges are never suggested even with shared neighbors
     assert all((row.u, row.v) not in {(0, 1), (0, 2)} for row in out)
+
+
+def test_bfs_levels_golden(spark):
+    from model_presto_spark.operators.graph import bfs_levels
+
+    # path 0-1-2-3-4 plus branch 2-9; source 0
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (2, 9)]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.dist for r in bfs_levels(e, [0], max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 9: 3}  # 4 is beyond 3 hops
+    # multi-source takes the nearer source
+    got2 = {r.node: r.dist for r in bfs_levels(e, [0, 4], max_hops=2).collect()}
+    assert got2 == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
