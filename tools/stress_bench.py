@@ -226,6 +226,29 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timings["pagerank"] = time.time() - t0
     spark.catalog.clearCache()
 
+    # graph analytics on the same derived graph: degree-ordered
+    # triangle census + Adamic-Adar link prediction + 3-hop BFS
+    from model_presto_spark.operators.graph import (
+        adamic_adar,
+        bfs_levels,
+        triangle_stats,
+    )
+
+    t0 = time.time()
+    tri_row = triangle_stats(e).first()
+    timings["triangles"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    n_aa = adamic_adar(e, min_common=3).count()
+    timings["adamic_adar"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    n_bfs = bfs_levels(e, [0, 1], max_hops=3).count()
+    timings["bfs"] = time.time() - t0
+    spark.catalog.clearCache()
+
     t0 = time.time()
     books = train_pq_codebooks(emb, "embedding", m=8, n_codes=16,
                                sample_limit=2000)
@@ -248,6 +271,9 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         "pq_rows": n_pq,
         "span_dup_docs": n_span,
         "pr_nodes": n_pr,
+        "triangles": int(tri_row["n_triangles"]),
+        "aa_pairs": n_aa,
+        "bfs_reached": n_bfs,
     }
     return timings
 
@@ -283,6 +309,9 @@ def main() -> int:
         "pq_adc",
         "span_dedup",
         "pagerank",
+        "triangles",
+        "adamic_adar",
+        "bfs",
     ):
         r = results[big_tag][op] / max(results[small_tag][op], 1e-9)
         exponents[op] = round(math.log(r) / math.log(ratio_n), 3)
