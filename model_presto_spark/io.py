@@ -197,6 +197,29 @@ def merge_upsert(
 
     writer = merged.write.mode("overwrite")
     if partition_cols:
+        # Dynamic overwrite only replaces partitions PRESENT in the
+        # written data — a delete batch that empties a partition
+        # writes no rows for it, so its old files (and the deleted
+        # keys) would silently survive. Detect emptied in-scope
+        # partitions and drop their directories via the Hadoop FS
+        # (works for any path scheme, not just local).
+        in_scope = {tuple(r) for r in parts.collect()}  # O(#partitions)
+        still_there = {
+            tuple(r) for r in merged.select(*partition_cols).distinct().collect()
+        }
+        emptied = in_scope - still_there
+        if emptied:
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            for vals in emptied:
+                sub = "/".join(
+                    f"{c}={v}" for c, v in zip(partition_cols, vals)
+                )
+                jpath = jvm.org.apache.hadoop.fs.Path(
+                    f"{target_path}/{sub}"
+                )
+                fs = jpath.getFileSystem(hconf)
+                fs.delete(jpath, True)
         writer = (
             writer.option("partitionOverwriteMode", "dynamic")
             .partitionBy(*partition_cols)

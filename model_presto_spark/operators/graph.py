@@ -297,10 +297,9 @@ def triangle_stats(
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
-    # total order key: degree-major, id-minor (id assumed < 2^31)
-    key = (F.col("deg").cast("bigint") * F.lit(1 << 32) + F.col("node")).alias(
-        "k"
-    )
+    # total order key: degree-major, id-minor — a STRUCT compared
+    # lexicographically (no packed-integer overflow for any id range)
+    key = F.struct(F.col("deg"), F.col("node")).alias("k")
     kd = deg.select("node", key)
     withk = (
         e.join(kd.withColumnRenamed("node", "a").withColumnRenamed("k", "ka"), "a")

@@ -109,6 +109,22 @@ def multi_pass_fuzzy_join(
     """
     if not block_passes:
         raise ValueError("need at least one blocking scheme")
+    # The per-pass outputs union by NAME and dedup by column list, so
+    # colliding left/right column names (fine for a single
+    # blocked_fuzzy_join, which uses qualified refs) must be
+    # disambiguated up front: rename colliding right columns with a
+    # _r suffix and rewrite the scheme/fuzzy/tie-break references.
+    collisions = set(left.columns) & set(right.columns)
+    if collisions:
+        ren = {c: f"{c}_r" for c in collisions}
+        right = right.withColumnsRenamed(ren)
+        block_passes = [
+            [(lc, ren.get(rc, rc)) for lc, rc in scheme]
+            for scheme in block_passes
+        ]
+        fuzzy_on = (fuzzy_on[0], ren.get(fuzzy_on[1], fuzzy_on[1]))
+        if tie_break is not None:
+            tie_break = ren.get(tie_break, tie_break)
     rf = fuzzy_on[1]
     cands = None
     for block_on in block_passes:

@@ -347,3 +347,34 @@ def kfold(
     return df.withColumn(
         "fold", ((F.row_number().over(w) - 1) % k).cast("int")
     )
+
+
+def token_budget_truncate(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tokens: Column,
+    budget: int,
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Prefix truncation: keep each group's rows, in ``order_col``
+    order, while the running total of ``tokens`` stays within
+    ``budget`` (the kept set is a prefix because token counts are
+    non-negative).
+
+    The SINGLE batch definition of this semantic — q62's conformance
+    query and the CorpusPipeline ``token_budget`` stage both call
+    it, and the streaming twin
+    (streaming/stateful.token_budget_sample) is golden-cross-checked
+    against it. One window per group key (a single shuffle). Adds
+    ``cum_col`` (bigint running total).
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(cum_col, F.sum(tokens).over(w).cast("bigint"))
+        .where(F.col(cum_col) <= budget)
+    )

@@ -212,18 +212,13 @@ def _stage_token_budget(cfg: dict) -> Callable[[DataFrame], DataFrame]:
     budget = cfg["budget_tokens"]
 
     def apply(df: DataFrame) -> DataFrame:
-        from pyspark.sql import Window
-
-        # running-total prefix truncation per source, in id order —
-        # the batch twin of streaming/stateful.token_budget_sample
-        w = (
-            Window.partitionBy(source_col)
-            .orderBy(id_col)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        from model_presto_spark.operators.splits import (
+            token_budget_truncate,
         )
-        cum = F.sum(T.token_count(F.col(col))).over(w)
-        return df.withColumn("__cum", cum).where(
-            F.col("__cum") <= budget
+
+        return token_budget_truncate(
+            df, source_col, id_col, T.token_count(F.col(col)), budget,
+            cum_col="__cum",
         ).drop("__cum")
 
     return apply

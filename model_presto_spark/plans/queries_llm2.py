@@ -167,22 +167,16 @@ _Q62_ORACLE = f"""
 )
 def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     from model_presto_spark.functions.text import token_count
+    from model_presto_spark.operators.splits import token_budget_truncate
 
     docs = _t(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
     toks = docs.select(
         "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-    return cum.filter(F.col("cum_tokens") <= 2000).select(
+    kept = token_budget_truncate(toks, "source", "doc_id", F.col("n_tokens"), 2000)
+    return kept.select(
         "doc_id",
         "source",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        "cum_tokens",
     )

@@ -365,3 +365,15 @@ def test_bfs_levels_golden(spark):
     # multi-source takes the nearer source
     got2 = {r.node: r.dist for r in bfs_levels(e, [0, 4], max_hops=2).collect()}
     assert got2 == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_triangle_stats_huge_node_ids(spark):
+    """Ordering key must not overflow for ids far beyond 2^32."""
+    from model_presto_spark.operators.graph import triangle_stats
+
+    base = 1 << 40
+    edges = [(base + a, base + b) for a in range(4) for b in range(4) if a < b]
+    r = triangle_stats(
+        spark.createDataFrame(edges, "src bigint, dst bigint")
+    ).first()
+    assert r.n_triangles == 4 and r.n_wedges == 12

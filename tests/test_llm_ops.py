@@ -714,3 +714,26 @@ def test_multi_pass_fuzzy_join_recovers_corrupted_block_key(spark):
     assert multi.count() == 2
     with pytest.raises(ValueError, match="at least one"):
         multi_pass_fuzzy_join(dirty, registry, [], ("name", "r_name"))
+
+
+def test_multi_pass_fuzzy_join_shared_column_names(spark):
+    """Identical schemas on both sides (self-join-shaped linkage)
+    must work through the multi-pass wrapper too."""
+    from model_presto_spark.operators.linkage import multi_pass_fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "b1", "x", "jonh")],
+        "rec_id bigint, blk string, blk2 string, name string",
+    )
+    right = spark.createDataFrame(
+        [(9, "b1", "y", "john"), (8, "zz", "x", "john")],
+        "rec_id bigint, blk string, blk2 string, name string",
+    )
+    out = multi_pass_fuzzy_join(
+        left, right,
+        block_passes=[[("blk", "blk")], [("blk2", "blk2")]],
+        fuzzy_on=("name", "name"),
+        max_edit=2,
+        left_key="rec_id",
+    ).collect()
+    assert len(out) == 1 and out[0].edit_distance == 2

@@ -73,3 +73,23 @@ def test_merge_upsert_dynamic_partition_scope(spark, tmp_path):
         if f.endswith(".parquet")
     }
     assert after == d3_files
+
+
+def test_merge_upsert_delete_empties_partition(spark, tmp_path):
+    """A delete-only batch that empties a whole partition must remove
+    its rows (dynamic overwrite alone would leave the old files)."""
+    from model_presto_spark.io import merge_upsert
+
+    path = str(tmp_path / "etbl")
+    base = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d2")], "k bigint, v string, day string"
+    )
+    merge_upsert(spark, path, base, ["k"], partition_cols=("day",))
+    batch = spark.createDataFrame(
+        [(1, None, "d1", True)], "k bigint, v string, day string, is_delete boolean"
+    )
+    merge_upsert(
+        spark, path, batch, ["k"], partition_cols=("day",), delete_col="is_delete"
+    )
+    assert _rows(spark, path) == {2: ("b", "d2")}
+    assert not os.path.exists(os.path.join(path, "day=d1"))
