@@ -93,3 +93,59 @@ def test_merge_upsert_delete_empties_partition(spark, tmp_path):
     )
     assert _rows(spark, path) == {2: ("b", "d2")}
     assert not os.path.exists(os.path.join(path, "day=d1"))
+
+
+def test_merge_upsert_random_batches_match_dict_model(spark, tmp_path):
+    """Model-based check: a sequence of random upsert/delete batches
+    applied through merge_upsert equals a plain dict replay."""
+    import random
+
+    from model_presto_spark.io import merge_upsert
+
+    rng = random.Random(29)
+    path = str(tmp_path / "mtbl")
+    model = {}
+    days = ["d1", "d2", "d3"]
+
+    for step in range(4):
+        batch = []
+        for _ in range(rng.randint(2, 6)):
+            k = rng.randint(0, 9)
+            day = model.get(k, (None, rng.choice(days)))[1]  # partition-stable
+            if k in model and rng.random() < 0.3:
+                batch.append((k, None, day, True))
+                model.pop(k, None)
+            else:
+                v = f"v{step}_{rng.randint(0, 99)}"
+                batch.append((k, v, day, False))
+                model[k] = (v, day)
+        # last write for a key within one batch wins in the model;
+        # make batches key-unique to keep semantics unambiguous
+        seen = {}
+        for row in batch:
+            seen[row[0]] = row
+        batch = list(seen.values())
+        for k, v, day, is_del in batch:
+            if is_del:
+                model.pop(k, None)
+            else:
+                model[k] = (v, day)
+        bdf = spark.createDataFrame(
+            batch, "k bigint, v string, day string, is_delete boolean"
+        )
+        if step == 0:
+            merge_upsert(
+                spark, path,
+                bdf.where(~bdf.is_delete).drop("is_delete"),
+                ["k"], partition_cols=("day",),
+            )
+            model = {
+                k: (v, day) for k, v, day, d in batch if not d
+            }
+        else:
+            merge_upsert(
+                spark, path, bdf, ["k"],
+                partition_cols=("day",), delete_col="is_delete",
+            )
+        got = _rows(spark, path)
+        assert got == model, f"step {step}: {got} != {model}"
