@@ -1105,6 +1105,8 @@ _ADJUDICATION_TAIL = [
     "q46_mask_budget",
     # q40 (r01/r02-green) parks likewise for q101_bfs_levels
     "q40_ann_lsh",
+    # q33 (r01/r02-green) parks likewise for q102_frequent_itemsets
+    "q33_simhash",
     # ---- Parked in earlier rounds (r01/r02-green or redundantly
     # covered; per-query rationales in the git history) ------------------
     "q25_dates",

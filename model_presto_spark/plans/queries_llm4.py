@@ -1100,3 +1100,75 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_levels(e, _BFS_SOURCES, max_hops=_BFS_HOPS).select(
         "node", F.col("dist").cast("int").alias("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q102 — Apriori frequent itemsets over user-day event baskets
+# ---------------------------------------------------------------------------
+# min_count 210 sits inside the triple-support range (193..221 at
+# sf0.01), so the deepest level has REAL pruning while levels 1-2
+# pass whole — every Apriori stage is exercised non-vacuously.
+_FI_MIN = 210
+
+_Q102_ORACLE = f"""
+    WITH b AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+      FROM events
+    ), l1 AS (
+      SELECT event_type, COUNT(*) AS support FROM b GROUP BY 1
+      HAVING COUNT(*) >= {_FI_MIN}
+    ), fb AS (
+      SELECT b.* FROM b JOIN l1 ON l1.event_type = b.event_type
+    ), l2 AS (
+      SELECT b1.event_type AS i1, b2.event_type AS i2,
+             COUNT(*) AS support
+      FROM fb b1 JOIN fb b2
+        ON b1.user_id = b2.user_id AND b1.d = b2.d
+       AND b1.event_type < b2.event_type
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_FI_MIN}
+    ), l3 AS (
+      SELECT b1.event_type AS i1, b2.event_type AS i2,
+             b3.event_type AS i3, COUNT(*) AS support
+      FROM fb b1
+      JOIN fb b2 ON b1.user_id = b2.user_id AND b1.d = b2.d
+                AND b1.event_type < b2.event_type
+      JOIN fb b3 ON b1.user_id = b3.user_id AND b1.d = b3.d
+                AND b2.event_type < b3.event_type
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= {_FI_MIN}
+    )
+    SELECT event_type AS item1, CAST(NULL AS VARCHAR) AS item2,
+           CAST(NULL AS VARCHAR) AS item3, 1 AS set_size,
+           CAST(support AS BIGINT) AS support
+    FROM l1
+    UNION ALL
+    SELECT i1, i2, CAST(NULL AS VARCHAR), 2, CAST(support AS BIGINT)
+    FROM l2
+    UNION ALL
+    SELECT i1, i2, i3, 3, CAST(support AS BIGINT) FROM l3
+"""
+
+
+@register(
+    "q102_frequent_itemsets",
+    _Q102_ORACLE,
+    doc=f"Apriori frequent itemsets (sizes 1-3, min support "
+    f"{_FI_MIN} baskets) over user-day event baskets: level-1 prune "
+    "restricts every upward candidate join; within-context ordered "
+    "self-joins, never cross-basket pair enumeration.",
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from model_presto_spark.operators.assoc import frequent_itemsets
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    )
+    out = frequent_itemsets(
+        ev, ["user_id", "d"], "event_type", min_count=_FI_MIN
+    )
+    return out.select(
+        "item1", "item2", "item3",
+        F.col("set_size").cast("int").alias("set_size"),
+        "support",
+    )

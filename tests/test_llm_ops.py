@@ -737,3 +737,44 @@ def test_multi_pass_fuzzy_join_shared_column_names(spark):
         left_key="rec_id",
     ).collect()
     assert len(out) == 1 and out[0].edit_distance == 2
+
+
+def test_frequent_itemsets_golden_and_pruning(spark):
+    from model_presto_spark.operators.assoc import frequent_itemsets
+
+    # baskets: {a,b,c} x3, {a,b} x2, {d} x1
+    rows = []
+    bid = 0
+    for _ in range(3):
+        rows += [(bid, "a"), (bid, "b"), (bid, "c")]; bid += 1
+    for _ in range(2):
+        rows += [(bid, "a"), (bid, "b")]; bid += 1
+    rows += [(bid, "d")]
+    df = spark.createDataFrame(rows, "ctx bigint, item string")
+
+    out = {
+        (r.item1, r.item2, r.item3): r.support
+        for r in frequent_itemsets(df, ["ctx"], "item", min_count=3).collect()
+    }
+    assert out == {
+        ("a", None, None): 5,
+        ("b", None, None): 5,
+        ("c", None, None): 3,
+        ("a", "b", None): 5,
+        ("a", "c", None): 3,
+        ("b", "c", None): 3,
+        ("a", "b", "c"): 3,
+    }
+    # 'd' (support 1) pruned at level 1 and never joins upward
+    assert ("d", None, None) not in out
+    # higher threshold prunes the triple but keeps the strong pair
+    out4 = {
+        (r.item1, r.item2, r.item3): r.support
+        for r in frequent_itemsets(df, ["ctx"], "item", min_count=4).collect()
+    }
+    assert set(out4) == {("a", None, None), ("b", None, None), ("a", "b", None)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_size"):
+        frequent_itemsets(df, ["ctx"], "item", 1, max_size=4)
