@@ -97,6 +97,7 @@ from model_presto_spark.operators.dedup import (
 )
 from model_presto_spark.operators.graph import (
     adamic_adar,
+    bfs_levels,
     pagerank,
     triangle_stats,
 )
@@ -110,8 +111,14 @@ from model_presto_spark.operators.privacy import (
     k_anonymity_stats,
     k_anonymize,
 )
-from model_presto_spark.operators.assoc import cooccurrence_pmi
-from model_presto_spark.operators.splits import kfold
+from model_presto_spark.operators.assoc import (
+    cooccurrence_pmi,
+    frequent_itemsets,
+)
+from model_presto_spark.operators.splits import (
+    kfold,
+    token_budget_truncate,
+)
 from model_presto_spark.operators.temporal import (
     cohort_retention,
     transition_matrix,
@@ -124,6 +131,9 @@ from model_presto_spark.operators.timeseries import (
 )
 
 __all__ = [
+    "frequent_itemsets",
+    "bfs_levels",
+    "token_budget_truncate",
     "adamic_adar",
     "triangle_stats",
     "transition_matrix",
