@@ -7,8 +7,17 @@ from model_presto_spark.operators.dedup import (
     exact_dedup,
     keep_representatives,
     minhash_lsh_pairs,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash_signatures,
+)
+from model_presto_spark.operators.dsir import (
+    dsir_sample,
+    dsir_weights,
+)
+from model_presto_spark.operators.lines import (
+    line_dedup_stats,
+    remove_frequent_lines,
 )
 from model_presto_spark.operators.layout import (
     write_zordered,
@@ -28,6 +37,7 @@ from model_presto_spark.operators.graph import (
     connected_components,
     dedup_clusters,
     keep_cluster_representatives,
+    label_propagation,
 )
 from model_presto_spark.operators.knn import (
     ann_lsh_join,
@@ -58,6 +68,7 @@ from model_presto_spark.operators.packing import pack_sequences, prefix_sum
 from model_presto_spark.operators.profile import (
     check_constraints,
     profile_columns,
+    token_divergence,
 )
 from model_presto_spark.operators.pq import (
     build_ivfpq_index,
@@ -121,6 +132,7 @@ from model_presto_spark.operators.splits import (
 )
 from model_presto_spark.operators.temporal import (
     cohort_retention,
+    kaplan_meier,
     transition_matrix,
 )
 from model_presto_spark.operators.timeseries import (
@@ -131,93 +143,100 @@ from model_presto_spark.operators.timeseries import (
 )
 
 __all__ = [
-    "frequent_itemsets",
-    "bfs_levels",
-    "token_budget_truncate",
     "adamic_adar",
-    "triangle_stats",
-    "transition_matrix",
-    "cooccurrence_pmi",
-    "kfold",
-    "cusum",
-    "mad_outliers",
-    "remove_dup_spans",
-    "span_dup_stats",
-    "window_hashes",
-    "pagerank",
-    "blocked_fuzzy_join",
-    "linkage_clusters",
-    "bm25_scores",
-    "diff_snapshots",
-    "k_anonymity_stats",
-    "k_anonymize",
-    "cohort_retention",
-    "ewma",
-    "rolling_zscore",
-
     "ann_lsh_join",
+    "apply_bpe",
     "apply_mix",
     "apply_mix_epochs",
-    "mix_plan",
     "asof_join",
+    "balanced_sample",
+    "bfs_levels",
+    "bilinear_resample",
+    "blocked_fuzzy_join",
+    "bm25_scores",
+    "bucketed_join",
     "build_ivf_index",
-    "ivf_index_search",
-    "ngram_contamination",
-    "dedup_corpus",
-    "apply_bpe",
+    "build_ivfpq_index",
+    "check_constraints",
+    "cohort_retention",
     "compact_parquet",
     "compaction_stats",
-    "equi_depth_histogram",
-    "plan_compaction",
-    "train_bpe_merges",
-    "word_freqs",
-    "pack_sequences",
-    "pq_encode",
-    "build_ivfpq_index",
-    "ivfpq_search",
-    "check_constraints",
-    "profile_columns",
-    "pq_knn_join",
-    "train_pq_codebooks",
-    "perplexity_scores",
-    "prefix_sum",
-    "tfidf_top_terms",
-    "quantize_vectors",
-    "quantized_knn_join",
     "connected_components",
+    "cooccurrence_pmi",
+    "cusum",
     "dedup_clusters",
-    "ivf_knn_join",
-    "keep_cluster_representatives",
-    "balanced_sample",
-    "bilinear_resample",
-    "bucketed_join",
+    "dedup_corpus",
+    "diff_snapshots",
+    "dsir_sample",
+    "dsir_weights",
     "embedding_dup_pairs",
+    "equi_depth_histogram",
+    "ewma",
     "exact_dedup",
+    "frequent_itemsets",
     "group_split",
     "hash_rank_sample",
     "hash_split",
     "interval_join",
-    "session_stats",
-    "sessionize",
+    "ivf_index_search",
+    "ivf_knn_join",
+    "ivfpq_search",
+    "k_anonymity_stats",
+    "k_anonymize",
+    "kaplan_meier",
+    "keep_cluster_representatives",
     "keep_representatives",
+    "kfold",
     "knn_classify",
     "knn_join",
+    "label_propagation",
+    "line_dedup_stats",
+    "linkage_clusters",
+    "mad_outliers",
     "minhash_lsh_pairs",
+    "mix_plan",
     "month_spine",
     "monthly_composite",
+    "ngram_containment_pairs",
+    "ngram_contamination",
     "ngram_jaccard_pairs",
+    "pack_sequences",
     "pad_series",
+    "pagerank",
     "patch_pool",
     "per_class_capped_split",
+    "perplexity_scores",
+    "plan_compaction",
     "positional_concat",
+    "pq_encode",
+    "pq_knn_join",
+    "prefix_sum",
+    "profile_columns",
+    "quantize_vectors",
+    "quantized_knn_join",
     "ratio_split",
+    "remove_dup_spans",
+    "remove_frequent_lines",
+    "rolling_zscore",
     "salted_count",
     "salted_join",
     "seeded_shuffle",
+    "session_stats",
+    "sessionize",
     "simhash_signatures",
+    "span_dup_stats",
     "stratified_split",
     "stride_sample",
     "terrain_derivatives",
+    "tfidf_top_terms",
+    "token_budget_truncate",
+    "token_divergence",
+    "train_bpe_merges",
+    "train_pq_codebooks",
+    "transition_matrix",
+    "triangle_stats",
+    "window_hashes",
+    "word_freqs",
     "write_bucketed",
     "write_zordered",
     "zorder_key",

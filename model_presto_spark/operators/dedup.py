@@ -646,3 +646,72 @@ def remove_dup_spans(
         F.size(kept).cast("bigint").alias("n_tokens_kept"),
         F.size("toks").cast("bigint").alias("n_tokens"),
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int = 1000,
+    reuse: bool = True,
+    fast_hash: bool = False,
+) -> DataFrame:
+    """Shingle-CONTAINMENT near-dup pairs (Broder's second measure).
+
+    Jaccard resemblance misses the doc-inside-doc case: if A's
+    shingles are a strict subset of a much larger B, J(A,B) =
+    |A|/|B| is small even though A is wholly contained. Containment
+    C = |A∩B| / min(|A|,|B|) is 1.0 exactly then. This is the
+    quote/wrapper/expansion detector that complements
+    ``ngram_jaccard_pairs`` (resemblance) and ``minhash_lsh_pairs``
+    (approximate resemblance) — same corpus, different failure mode.
+
+    Plan shape is identical to the inverted-index Jaccard join
+    (postings carry h60(gram) 8-byte keys; document-frequency cutoff
+    drops stop-grams before pair generation; per-pair common counts
+    via one groupBy — no self-join double-compute). Output:
+    (id_a, id_b, n_common, containment), id_a < id_b.
+    """
+    toksed = spread(df).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    grams = toksed.select(
+        "id",
+        F.array_distinct(
+            hash_array(word_ngrams(F.col("toks"), n), fast=fast_hash)
+        ).alias("grams"),
+    )
+    if reuse:
+        from pyspark import StorageLevel
+
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = grams.select("id", F.size("grams").alias("n_grams"))
+    posting = grams.select("id", F.explode("grams").alias("gram"))
+    buckets = (
+        posting.groupBy("gram")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_doc_freq))
+    )
+    common = (
+        buckets.select(F.explode_outer(_pairs_within("ids")).alias("pr"))
+        .groupBy(F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (
+                F.col("n_common").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -426,3 +426,58 @@ def bfs_levels(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA,
+    Raghavan et al. 2007), made deterministic for oracle parity.
+
+    Init: label(v) = v. Each round, EVERY node simultaneously adopts
+    the most frequent label among its neighbors, breaking ties by the
+    smallest label (classic LPA breaks ties randomly; the min-label
+    rule is deterministic and engine-independent). Isolated update
+    order effects vanish because updates are synchronous. Fixed
+    ``n_iter`` rounds so the whole computation restates as unrolled
+    SQL (the same contract as pagerank/bfs_levels).
+
+    Per round: one edges-by-node join + one (node, label) groupBy +
+    one per-node argmax — all key-partitioned shuffles, no windows
+    over the whole graph, eager localCheckpoint truncating lineage.
+    Returns (node, label) after ``n_iter`` rounds; connected
+    components this is NOT (labels stabilize on local majorities,
+    splitting dense regions into communities).
+    """
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    e = (
+        edges.select(a, b)
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("u"), F.col("b").alias("v")).localCheckpoint(
+        eager=True
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(n_iter):
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # per-node argmax with (count desc, label asc) tie-break:
+        # max_by over an orderable struct — no window over the graph
+        labels = votes.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("cnt"), -F.col("label"))
+            ).alias("label")
+        ).localCheckpoint(eager=True)
+    return labels

@@ -215,3 +215,78 @@ def psi_drift(
         F.sum("contrib").alias("contrib"),
     )
     return per.unionByName(total)
+
+
+def token_divergence(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-group token-distribution divergence from the corpus.
+
+    For each group g (a source / domain / snapshot label), compares
+    the group's unigram distribution P_g against the whole-corpus
+    distribution Q with add-``alpha`` smoothing over the CORPUS
+    vocabulary V (every group smooths over the same support, so
+    KL is finite and groups are comparable):
+
+        P_g[t] = (c_g[t] + alpha) / (N_g + alpha*|V|)
+        KL(P_g || Q) = sum_t P_g[t] * ln(P_g[t] / Q[t])
+        H(P_g, Q)    = -sum_t P_g[t] * ln(Q[t])   (cross-entropy, nats)
+
+    The corpus-mixture comparison that tells a data-mixing pipeline
+    which domain is the outlier (pairs with psi_drift, which buckets
+    one numeric column; this diverges whole token distributions).
+
+    Plan: one explode into (group, token) with map-side combine, one
+    corpus-level aggregate over the same counts, a token-keyed join
+    (8-byte-ish token keys; vocabulary-sized, not corpus-sized), and
+    a groupBy(group). The |V|-sized relations are the only shuffles.
+    Returns (group, n_tokens, n_types, kl_nats, cross_entropy_nats).
+    """
+    from model_presto_spark.functions.text import tokens
+
+    tok = docs.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    gc = tok.groupBy("grp", "t").agg(F.count(F.lit(1)).alias("c_g"))
+    from pyspark import StorageLevel
+
+    gc = gc.persist(StorageLevel.MEMORY_AND_DISK)
+    corpus = gc.groupBy("t").agg(F.sum("c_g").alias("c_q"))
+    vocab = corpus.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("c_q").alias("n_q")
+    )
+    totals = gc.groupBy("grp").agg(F.sum("c_g").alias("n_g"))
+    # group x vocab support: every group must score EVERY corpus
+    # token (c_g = 0 where absent) so the smoothed sum runs over all
+    # of V — the absent-token tail cannot collapse in closed form
+    # because Q[t] varies per token. |groups| x |V| is vocabulary-,
+    # not corpus-sized, and the group dimension is tiny (broadcast).
+    grp_dim = totals.crossJoin(F.broadcast(vocab))
+    full = grp_dim.crossJoin(corpus.select("t", "c_q")).join(
+        gc, ["grp", "t"], "left"
+    )
+    p = (F.coalesce(F.col("c_g"), F.lit(0)) + F.lit(alpha)) / (
+        F.col("n_g") + F.lit(alpha) * F.col("v")
+    )
+    q = F.col("c_q").cast("double") / F.col("n_q").cast("double")
+    return (
+        full.groupBy("grp")
+        .agg(
+            F.max("n_g").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("c_g").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_types"),
+            F.sum(p * F.log(p / q)).alias("kl_nats"),
+            F.sum(-p * F.log(q)).alias("cross_entropy_nats"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_types",
+            "kl_nats",
+            "cross_entropy_nats",
+        )
+    )

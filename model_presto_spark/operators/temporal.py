@@ -211,3 +211,80 @@ def transition_matrix(
             ),
         )
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve with right-censoring.
+
+    Input: one row per subject with ``duration_col`` (time observed,
+    integer or double) and ``event_col`` (1 = the event happened at
+    that time, 0 = censored there). Output: one row per distinct
+    EVENT time t, with the risk set, event/censor counts, and the
+    product-limit estimate
+
+        S(t) = prod over t_i <= t of (1 - d_i / n_i)
+
+    Distributed shape: the subject table collapses to one row per
+    distinct duration in a single groupBy (d_i, c_i) — after which
+    the relation is #distinct-times sized (tiny relative to the
+    corpus), so the cumulative risk-set and survival products run in
+    one unpartitioned window over that collapsed relation. The heavy
+    input is touched exactly once; this is the same two-level shape
+    as the distributed prefix sum in operators/packing.py, with the
+    second level small enough to window directly.
+
+    Survival is computed as exp(sum(ln(1 - d/n))) so both engines
+    evaluate the identical float expression; when some 1 - d/n == 0
+    (everyone at risk dies at t) survival is exactly 0.0 from there
+    on, handled outside the log.
+
+    Returns (t, n_risk, n_events, n_censored, survival) ordered by t.
+    """
+    per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(
+            F.when(F.col(event_col).cast("int") == 1, 1).otherwise(0)
+        ).alias("d"),
+        F.sum(
+            F.when(F.col(event_col).cast("int") == 1, 0).otherwise(1)
+        ).alias("c"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.partitionBy()
+    staged = per_t.select(
+        "t",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(total)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0))
+        ).alias("n_risk"),
+    )
+    frac = F.col("d").cast("double") / F.col("n_risk").cast("double")
+    staged = staged.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.sum(F.when(frac < 1.0, F.log(1.0 - frac)).otherwise(0.0))
+        .over(wc)
+        .alias("log_surv"),
+        F.sum((frac >= 1.0).cast("int")).over(wc).alias("dead_end"),
+    )
+    return (
+        staged.where(F.col("d") > 0)
+        .select(
+            "t",
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").cast("bigint").alias("n_events"),
+            F.col("c").cast("bigint").alias("n_censored"),
+            F.when(F.col("dead_end") > 0, F.lit(0.0))
+            .otherwise(F.exp(F.col("log_surv")))
+            .alias("survival"),
+        )
+        .orderBy("t")
+    )

@@ -1042,6 +1042,7 @@ from model_presto_spark.plans import queries_llm2 as _queries_llm2  # noqa: E402
 from model_presto_spark.plans import queries_sql2 as _queries_sql2  # noqa: E402,F401
 from model_presto_spark.plans import queries_approx as _queries_approx  # noqa: E402,F401
 from model_presto_spark.plans import queries_llm4 as _queries_llm4  # noqa: E402,F401
+from model_presto_spark.plans import queries_llm5 as _queries_llm5  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
@@ -1107,6 +1108,18 @@ _ADJUDICATION_TAIL = [
     "q40_ann_lsh",
     # q33 (r01/r02-green) parks likewise for q102_frequent_itemsets
     "q33_simhash",
+    # ---- Round-4 rotation: q103-q108 are new this round (never
+    # adjudicated) and must sit inside the head-50. The six queries
+    # below hold GREEN driver rows from CORRECTNESS_r01/r02, so they
+    # park; q16 stays in the head as the flagship. After this
+    # rotation the head is exactly the 49 never-adjudicated queries
+    # + q16. ------------------------------------------------------------
+    "q31_exact_dedup",
+    "q32_minhash_lsh",
+    "q34_ngram_jaccard",
+    "q54_embedding_dups",
+    "q55_dedup_clusters",
+    "q60_contamination",
     # ---- Parked in earlier rounds (r01/r02-green or redundantly
     # covered; per-query rationales in the git history) ------------------
     "q25_dates",

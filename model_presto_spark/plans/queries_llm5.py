@@ -1,0 +1,488 @@
+"""Conformance queries: round-4 additions (q103+).
+
+Corpus-curation operators a 100 TB training-data pipeline runs that
+were still missing from the declared surface: line-level boilerplate
+removal (CCNet / RefinedWeb), shingle-containment dedup (Broder's
+second measure — the doc-inside-doc detector), DSIR importance
+resampling (Xie et al. 2023), per-domain token-distribution KL,
+label-propagation communities, and Kaplan-Meier survival over the
+event stream. Oracle conventions as everywhere: md5-derived 60-bit
+hashes replay bit-identically in DuckDB; floats that cross an
+accumulation-order boundary are rounded 6dp with the +5e-12 nudge;
+every aggregate aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from model_presto_spark.plans.queries import _t, register
+from model_presto_spark.plans.queries_docs import DD_TOKENS, dd_h60
+
+_TOK = DD_TOKENS.format(t="text")
+
+# ---------------------------------------------------------------------------
+# Q103 — line-level boilerplate statistics (CCNet / RefinedWeb)
+# ---------------------------------------------------------------------------
+# The driver's synthetic documents have no newlines, so segmentation
+# uses the operator's fixed-width mode (non-overlapping 3-token
+# windows as pseudo-lines; the delimiter mode is exercised in
+# tests/test_llm_ops.py on multi-line fixtures). min_doc_freq=3 on
+# this corpus marks 231 of 7460 distinct lines as boilerplate
+# (max doc-freq 10) — a non-trivial, non-saturated signal.
+_LW = 3
+_LDF = 3
+
+_NORM_LINE = "regexp_replace(trim(lower(line)), '\\s+', ' ', 'g')"
+_LHASH = dd_h60(_NORM_LINE)
+
+_Q103_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK} AS toks FROM documents
+    ), seg AS (
+      SELECT doc_id,
+             array_to_string(
+               list_slice(toks, i * {_LW} + 1, i * {_LW} + {_LW}), ' ') AS line
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(
+                 0, CAST(floor((len(toks) - 1) / {_LW}) AS BIGINT))) AS i
+        FROM t WHERE len(toks) > 0
+      )
+    ), pd AS (
+      SELECT doc_id,
+             {_LHASH} AS lhash,
+             COUNT(*) AS cnt
+      FROM seg GROUP BY 1, 2
+    ), dfq AS (
+      SELECT lhash, COUNT(*) AS doc_freq FROM pd GROUP BY 1
+    ), st AS (
+      SELECT pd.doc_id,
+             SUM(pd.cnt) AS n_lines,
+             SUM(CASE WHEN dfq.doc_freq >= {_LDF} THEN pd.cnt ELSE 0 END)
+               AS boiler_lines
+      FROM pd JOIN dfq USING (lhash) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(st.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(COALESCE(st.boiler_lines, 0) AS BIGINT) AS boiler_lines,
+           CASE WHEN COALESCE(st.n_lines, 0) > 0
+                THEN CAST(st.boiler_lines AS DOUBLE)
+                     / CAST(st.n_lines AS DOUBLE)
+                ELSE 0.0 END AS boiler_fraction
+    FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+"""
+
+
+@register(
+    "q103_line_boilerplate",
+    _Q103_ORACLE,
+    doc="Line-level boilerplate stats (CCNet/RefinedWeb recipe): a "
+    f"line ({_LW}-token segment) is boilerplate iff its normalized "
+    f"form appears in >= {_LDF} distinct documents. Posting-list "
+    "shape: line hashes shuffle as 8-byte keys with map-side "
+    "combine; doc frequency is two cascaded aggregations, never "
+    "countDistinct over raw rows; hot lines aggregate, never "
+    "join-explode.",
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.lines import line_dedup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return line_dedup_stats(
+        docs, min_doc_freq=_LDF, delimiter=None, width=_LW
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q104 — shingle-containment near-dup pairs (doc-inside-doc)
+# ---------------------------------------------------------------------------
+_CN = 3
+_CTH = 0.25
+_CMAXDF = 1000
+
+_Q104_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(toks) - {_CN - 1}, 1)),
+                 i -> array_to_string(list_slice(toks, i, i + {_CN - 1}), ' '))),
+               s -> {dd_h60("s")})) AS grams
+      FROM t
+    ), sizes AS (
+      SELECT doc_id, len(grams) AS n FROM g
+    ), post AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g
+    ), b AS (
+      SELECT gram, list_sort(list(doc_id)) AS ids
+      FROM post GROUP BY 1
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {_CMAXDF}
+    ), e AS (
+      SELECT unnest(ids) AS id_a, ids FROM b
+    ), pairs AS (
+      SELECT id_a, unnest(ids) AS id_b FROM e
+    ), common AS (
+      SELECT id_a, id_b, COUNT(*) AS n_common
+      FROM pairs WHERE id_a < id_b GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           CAST(c.n_common AS DOUBLE)
+             / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE CAST(c.n_common AS DOUBLE)
+            / CAST(least(sa.n, sb.n) AS DOUBLE) >= {_CTH}
+"""
+
+
+@register(
+    "q104_containment",
+    _Q104_ORACLE,
+    doc="Shingle-containment pairs C=|A∩B|/min(|A|,|B|) — catches the "
+    "doc-inside-doc duplicates Jaccard resemblance (q34) structurally "
+    "misses. Same inverted-index plan: hashed-gram postings, "
+    f"doc-frequency stop-gram cutoff ({_CMAXDF}), pair counts via one "
+    "groupBy; no self-join double-compute.",
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.dedup import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, "doc_id", "text", n=_CN, threshold=_CTH, max_doc_freq=_CMAXDF
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q105 — DSIR importance resampling toward a target domain
+# ---------------------------------------------------------------------------
+_DB = 1024
+_DK = 50
+_DSEED = 42
+_TWO60P1 = "1152921504606846977.0"
+
+_FEATS = (
+    "list_concat(toks, list_transform("
+    "generate_series(1, greatest(len(toks) - 1, 1)), "
+    "i -> array_to_string(list_slice(toks, i, i + 1), ' ')))"
+)
+
+_Q105_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOK} AS toks FROM documents
+    ), f AS (
+      SELECT doc_id, source, unnest({_FEATS}) AS feat FROM t
+    ), fb AS (
+      SELECT doc_id, source, {dd_h60("feat")} % {_DB} AS bucket FROM f
+    ), raw_b AS (
+      SELECT doc_id, bucket, COUNT(*) AS cnt
+      FROM fb WHERE source <> 'src0' GROUP BY 1, 2
+    ), tgt_c AS (
+      SELECT bucket, COUNT(*) AS c
+      FROM fb WHERE source = 'src0' GROUP BY 1
+    ), raw_c AS (
+      SELECT bucket, SUM(cnt) AS c FROM raw_b GROUP BY 1
+    ), g AS (
+      SELECT (SELECT SUM(c) FROM raw_c) AS g_raw,
+             (SELECT SUM(c) FROM tgt_c) AS g_tgt
+    ), ratio AS (
+      SELECT r.bucket,
+             (COALESCE(ln(CAST(tc.c + 1 AS DOUBLE))
+                         - ln(CAST(g.g_tgt + {_DB} AS DOUBLE)),
+                       -ln(CAST(g.g_tgt + {_DB} AS DOUBLE)))
+              - (ln(CAST(r.c + 1 AS DOUBLE))
+                 - ln(CAST(g.g_raw + {_DB} AS DOUBLE)))) AS llr
+      FROM raw_c r CROSS JOIN g LEFT JOIN tgt_c tc ON tc.bucket = r.bucket
+    ), scored AS (
+      SELECT rb.doc_id,
+             CAST(SUM(rb.cnt) AS BIGINT) AS n_feats,
+             SUM(rb.cnt * ratio.llr) AS lw
+      FROM raw_b rb JOIN ratio ON ratio.bucket = rb.bucket
+      GROUP BY 1
+    ), keyed AS (
+      SELECT doc_id, n_feats, lw,
+             lw + (-ln(-ln(
+               CAST({dd_h60("CAST(doc_id AS VARCHAR) || '#gumbel' || '" + str(_DSEED) + "'")} + 1 AS DOUBLE)
+               / {_TWO60P1}))) AS key
+      FROM scored
+    )
+    SELECT doc_id, n_feats, ROUND(lw + 5e-12, 6) AS log_weight
+    FROM keyed
+    ORDER BY key DESC, doc_id
+    LIMIT {_DK}
+"""
+
+
+@register(
+    "q105_dsir",
+    _Q105_ORACLE,
+    doc="DSIR (Xie et al. 2023): hashed unigram+bigram bucket "
+    f"profiles ({_DB} buckets), add-1-smoothed target/raw "
+    "log-likelihood-ratio weights, deterministic Gumbel-top-k "
+    f"resample of k={_DK} docs toward source='src0'. Raw corpus "
+    "shuffles only (id, bucket, cnt) with map-side combine; the "
+    "log-ratio table is <= n_buckets rows, broadcast; top-k is "
+    "TakeOrderedAndProject, never a full sort.",
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.dsir import dsir_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.where(F.col("source") != "src0")
+    target = docs.where(F.col("source") == "src0")
+    out = dsir_sample(
+        raw, target, k=_DK, n_buckets=_DB, seed=_DSEED
+    )
+    return out.select(
+        "doc_id",
+        "n_feats",
+        F.round(F.col("log_weight") + F.lit(5e-12), 6).alias("log_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q106 — per-domain token-distribution divergence (KL / cross-entropy)
+# ---------------------------------------------------------------------------
+_Q106_ORACLE = f"""
+    WITH tok AS (
+      SELECT source AS grp, unnest({_TOK}) AS t FROM documents
+    ), gc AS (
+      SELECT grp, t, COUNT(*) AS c_g FROM tok GROUP BY 1, 2
+    ), corpus AS (
+      SELECT t, SUM(c_g) AS c_q FROM gc GROUP BY 1
+    ), vocab AS (
+      SELECT COUNT(*) AS v, SUM(c_q) AS n_q FROM corpus
+    ), totals AS (
+      SELECT grp, SUM(c_g) AS n_g FROM gc GROUP BY 1
+    ), full_sup AS (
+      SELECT totals.grp, totals.n_g, vocab.v, vocab.n_q,
+             corpus.t, corpus.c_q, gc.c_g
+      FROM totals CROSS JOIN vocab CROSS JOIN corpus
+      LEFT JOIN gc ON gc.grp = totals.grp AND gc.t = corpus.t
+    )
+    SELECT grp AS source,
+           CAST(MAX(n_g) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c_g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_types,
+           ROUND(SUM(
+             ((COALESCE(c_g, 0) + 1.0) / (n_g + 1.0 * v))
+             * ln(((COALESCE(c_g, 0) + 1.0) / (n_g + 1.0 * v))
+                  / (CAST(c_q AS DOUBLE) / CAST(n_q AS DOUBLE)))
+           ) + 5e-12, 6) AS kl_nats,
+           ROUND(SUM(
+             -((COALESCE(c_g, 0) + 1.0) / (n_g + 1.0 * v))
+             * ln(CAST(c_q AS DOUBLE) / CAST(n_q AS DOUBLE))
+           ) + 5e-12, 6) AS cross_entropy_nats
+    FROM full_sup
+    GROUP BY grp
+"""
+
+
+@register(
+    "q106_corpus_kl",
+    _Q106_ORACLE,
+    doc="Per-source unigram-distribution divergence from the corpus "
+    "mixture: add-1-smoothed KL(P_source || Q_corpus) and "
+    "cross-entropy in nats — the domain-outlier detector for data "
+    "mixing. One token explode with map-side combine; the scoring "
+    "join is vocabulary-sized, never corpus-sized.",
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.profile import token_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    out = token_divergence(docs, "source")
+    return out.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("kl_nats") + F.lit(5e-12), 6).alias("kl_nats"),
+        F.round(F.col("cross_entropy_nats") + F.lit(5e-12), 6).alias(
+            "cross_entropy_nats"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q107 — label-propagation communities (fixed-iteration, deterministic)
+# ---------------------------------------------------------------------------
+_LP_MOD = 40
+_LP_ITER = 3
+
+
+def _lp_oracle() -> str:
+    head = f"""
+    WITH e0 AS (
+      SELECT DISTINCT
+        least(o_custkey % {_LP_MOD}, o_orderkey % {_LP_MOD}) AS a,
+        greatest(o_custkey % {_LP_MOD}, o_orderkey % {_LP_MOD}) AS b
+      FROM orders
+      WHERE o_custkey % {_LP_MOD} <> o_orderkey % {_LP_MOD}
+    ), sym AS (
+      SELECT a AS u, b AS v FROM e0
+      UNION ALL
+      SELECT b AS u, a AS v FROM e0
+    ), l0 AS (
+      SELECT DISTINCT u AS node, u AS label FROM sym
+    )"""
+    steps = []
+    for i in range(_LP_ITER):
+        steps.append(f""", v{i} AS (
+      SELECT s.u AS node, l.label, COUNT(*) AS cnt
+      FROM sym s JOIN l{i} l ON l.node = s.v
+      GROUP BY 1, 2
+    ), l{i + 1} AS (
+      SELECT node, label FROM v{i}
+      QUALIFY row_number() OVER (
+        PARTITION BY node ORDER BY cnt DESC, label ASC) = 1
+    )""")
+    tail = f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+    FROM l{_LP_ITER}"""
+    return head + "".join(steps) + tail
+
+
+@register(
+    "q107_label_prop",
+    _lp_oracle(),
+    doc=f"Synchronous label propagation, {_LP_ITER} rounds, min-label "
+    "tie-break (deterministic LPA) over the derived orders graph "
+    f"(mod {_LP_MOD}). Per round: one edges join + one (node,label) "
+    "groupBy + one per-node argmax via max_by over an orderable "
+    "struct — no windows over the graph; eager localCheckpoint per "
+    "round.",
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.graph import label_propagation
+
+    orders = _t(spark, sf_dir, "orders")
+    e = orders.select(
+        (F.col("o_custkey") % _LP_MOD).cast("bigint").alias("src"),
+        (F.col("o_orderkey") % _LP_MOD).cast("bigint").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    lp = label_propagation(e, n_iter=_LP_ITER)
+    return lp.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q108 — Kaplan-Meier survival over the event stream
+# ---------------------------------------------------------------------------
+# Subjects = users; duration = days from a user's first event to
+# their first high-value purchase (value > 150 — the "conversion");
+# users who never convert are right-censored at the global corpus
+# horizon. 67/150 users convert at sf0.01 over 27 distinct
+# durations — a real mixed events/censoring curve. Fully
+# deterministic from the events table.
+_KM_VALUE_TH = 150
+
+_Q108_ORACLE = f"""
+    WITH first_e AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1
+    ), conv AS (
+      SELECT user_id, MIN(ts) AS conv_ts
+      FROM events
+      WHERE event_type = 'purchase' AND value > {_KM_VALUE_TH}
+      GROUP BY 1
+    ), horizon AS (
+      SELECT MAX(ts) AS m FROM events
+    ), subj AS (
+      SELECT fe.user_id,
+             CASE WHEN cv.conv_ts IS NOT NULL
+                  THEN datediff('day', CAST(fe.first_ts AS DATE),
+                                CAST(cv.conv_ts AS DATE))
+                  ELSE datediff('day', CAST(fe.first_ts AS DATE),
+                                CAST((SELECT m FROM horizon) AS DATE))
+                  END AS dur,
+             CASE WHEN cv.conv_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM first_e fe LEFT JOIN conv cv ON cv.user_id = fe.user_id
+    ), per_t AS (
+      SELECT dur AS t, SUM(ev) AS d, SUM(1 - ev) AS c
+      FROM subj GROUP BY 1
+    ), staged AS (
+      SELECT t, d, c,
+             SUM(d + c) OVER ()
+               - COALESCE(SUM(d + c) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS n_risk
+      FROM per_t
+    ), s2 AS (
+      SELECT t, d, c, n_risk,
+             SUM(CASE WHEN CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) < 1.0
+                      THEN ln(1.0 - CAST(d AS DOUBLE)
+                                    / CAST(n_risk AS DOUBLE))
+                      ELSE 0.0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS log_surv,
+             SUM(CASE WHEN CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) >= 1.0
+                      THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS dead_end
+      FROM staged
+    )
+    SELECT CAST(t AS BIGINT) AS t,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           ROUND(CASE WHEN dead_end > 0 THEN 0.0 ELSE exp(log_surv) END
+                 + 5e-12, 6) AS survival
+    FROM s2
+    WHERE d > 0
+"""
+
+
+@register(
+    "q108_survival",
+    _Q108_ORACLE,
+    doc="Kaplan-Meier product-limit survival with right-censoring: "
+    "time from a user's first event to first high-value conversion "
+    f"(purchase value > {_KM_VALUE_TH}), censored at the corpus "
+    "horizon. The subject table collapses to one row per distinct "
+    "duration in a single groupBy; the cumulative risk-set/survival "
+    "windows run over that tiny collapsed relation — the heavy "
+    "input is touched once.",
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.temporal import kaplan_meier
+
+    events = _t(spark, sf_dir, "events")
+    first_e = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    conv = (
+        events.where(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") > _KM_VALUE_TH)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    horizon = events.agg(F.max("ts").alias("m"))
+    subj = (
+        first_e.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.when(
+                F.col("conv_ts").isNotNull(),
+                F.datediff(F.to_date("conv_ts"), F.to_date("first_ts")),
+            )
+            .otherwise(F.datediff(F.to_date("m"), F.to_date("first_ts")))
+            .alias("dur"),
+            F.when(F.col("conv_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    km = kaplan_meier(subj, "dur", "ev")
+    return km.select(
+        F.col("t").cast("bigint").alias("t"),
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.round(F.col("survival") + F.lit(5e-12), 6).alias("survival"),
+    )

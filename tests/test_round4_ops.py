@@ -1,0 +1,287 @@
+"""Unit/golden tests for the round-4 operators: line-level
+boilerplate dedup, containment pairs, DSIR, token divergence,
+label propagation, Kaplan-Meier. (The oracle parity of the q103-q108
+query forms is covered by test_queries_oracle.py; these tests pin
+the operator semantics on hand-computed fixtures, including modes
+the queries don't exercise — e.g. delimiter segmentation.)"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# lines.py
+# ---------------------------------------------------------------------------
+def test_line_dedup_delimiter_mode(spark):
+    from model_presto_spark.operators.lines import line_dedup_stats
+
+    boiler = "accept all cookies"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha text\n{boiler}\nmore alpha"),
+            (2, f"{boiler}\nbeta body"),
+            (3, f"gamma body\n{boiler}"),
+            (4, "delta only\nno shared line"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup_stats(docs, min_doc_freq=3).collect()
+    }
+    assert out[1]["n_lines"] == 3 and out[1]["boiler_lines"] == 1
+    assert out[2]["n_lines"] == 2 and out[2]["boiler_lines"] == 1
+    assert out[3]["boiler_lines"] == 1
+    assert out[4]["boiler_lines"] == 0 and out[4]["boiler_fraction"] == 0.0
+    assert out[2]["boiler_fraction"] == pytest.approx(0.5)
+
+
+def test_line_dedup_normalization_and_within_doc_repeats(spark):
+    from model_presto_spark.operators.lines import line_dedup_stats
+
+    # normalized forms collide across case/whitespace; a line repeated
+    # within one doc counts once toward doc frequency but every
+    # instance is flagged
+    docs = spark.createDataFrame(
+        [
+            (1, "Accept  ALL Cookies\nAccept all cookies\nbody one"),
+            (2, "accept all cookies\nbody two"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup_stats(docs, min_doc_freq=2).collect()
+    }
+    assert out[1]["n_lines"] == 3 and out[1]["boiler_lines"] == 2
+    assert out[2]["boiler_lines"] == 1
+
+
+def test_remove_frequent_lines_preserves_order(spark):
+    from model_presto_spark.operators.lines import remove_frequent_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep one\nboiler line\nkeep two"),
+            (2, "boiler line\nother body"),
+            (3, "boiler line\nthird text"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_frequent_lines(docs, min_doc_freq=3).collect()
+    }
+    assert out[1]["text"] == "keep one\nkeep two"
+    assert out[1]["n_lines_kept"] == 2 and out[1]["n_lines"] == 3
+    assert out[2]["text"] == "other body"
+    # all lines boilerplate => empty doc, not a dropped row
+    only_boiler = spark.createDataFrame(
+        [(1, "x\nx"), (2, "x"), (3, "x")], "doc_id bigint, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in remove_frequent_lines(only_boiler, min_doc_freq=3).collect()
+    }
+    assert rows[1]["text"] == "" and rows[1]["n_lines_kept"] == 0
+
+
+def test_segment_by_width_covers_all_tokens(spark):
+    from model_presto_spark.operators.lines import segment_by_width
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x")], "doc_id bigint, text string"
+    )
+    segs = segment_by_width(docs, width=3).collect()
+    by_doc = {}
+    for r in segs:
+        by_doc.setdefault(r["doc_id"], []).append((r["line_no"], r["line"]))
+    assert sorted(by_doc[1]) == [(0, "a b c"), (1, "d e f"), (2, "g")]
+    assert by_doc[2] == [(0, "x")]
+
+
+# ---------------------------------------------------------------------------
+# dedup.ngram_containment_pairs
+# ---------------------------------------------------------------------------
+def test_containment_catches_subset_jaccard_misses(spark):
+    from model_presto_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta"
+    long = short + " " + " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id bigint, text string"
+    )
+    cont = ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.9
+    ).collect()
+    assert len(cont) == 1
+    assert cont[0]["containment"] == pytest.approx(1.0)
+    # Jaccard at the same strength threshold misses it
+    jac = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.9
+    ).collect()
+    assert jac == []
+
+
+def test_containment_stop_gram_cutoff(spark):
+    from model_presto_spark.operators.dedup import ngram_containment_pairs
+
+    # every doc shares the same single 3-gram; max_doc_freq below the
+    # corpus size suppresses all pairs
+    docs = spark.createDataFrame(
+        [(i, "common tri gram") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    out = ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.1, max_doc_freq=4
+    ).collect()
+    assert out == []
+
+
+# ---------------------------------------------------------------------------
+# dsir.py
+# ---------------------------------------------------------------------------
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from model_presto_spark.operators.dsir import dsir_sample, dsir_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "physics quantum field theory lattice") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "physics quantum field notes"),
+            (2, "cooking pasta recipe tomato basil"),
+            (3, "quantum lattice theory seminar"),
+            (4, "football match report goals"),
+        ],
+        "doc_id bigint, text string",
+    )
+    w = {r["doc_id"]: r["log_weight"] for r in dsir_weights(raw, target).collect()}
+    assert min(w[1], w[3]) > max(w[2], w[4])
+    # deterministic: same seed => same selection, different seed may differ
+    s1 = [r["doc_id"] for r in dsir_sample(raw, target, k=2, seed=7).collect()]
+    s2 = [r["doc_id"] for r in dsir_sample(raw, target, k=2, seed=7).collect()]
+    assert s1 == s2 and len(s1) == 2
+
+
+def test_dsir_weight_value_matches_hand_formula(spark):
+    from model_presto_spark.operators.dsir import dsir_weights
+
+    # one-token docs, large bucket space => no collisions in practice;
+    # verify the add-1 smoothed LLR sum by recomputing in python
+    raw = spark.createDataFrame(
+        [(1, "aa"), (2, "bb")], "doc_id bigint, text string"
+    )
+    target = spark.createDataFrame([(9, "aa")], "doc_id bigint, text string")
+    B = 64
+    rows = {r["doc_id"]: r for r in dsir_weights(raw, target, n_buckets=B).collect()}
+    # raw: each doc has feats [tok, tok] (unigram + degenerate bigram)
+    # raw corpus counts: aa bucket 2, bb bucket 2, g_raw = 4
+    # target: aa bucket 2, g_tgt = 2
+    lp_raw = math.log(3) - math.log(4 + B)
+    lp_tgt_aa = math.log(3) - math.log(2 + B)
+    lp_tgt_absent = -math.log(2 + B)
+    assert rows[1]["log_weight"] == pytest.approx(2 * (lp_tgt_aa - lp_raw), rel=1e-9)
+    assert rows[2]["log_weight"] == pytest.approx(
+        2 * (lp_tgt_absent - lp_raw), rel=1e-9
+    )
+    assert rows[1]["n_feats"] == 2
+
+
+# ---------------------------------------------------------------------------
+# profile.token_divergence
+# ---------------------------------------------------------------------------
+def test_token_divergence_identical_group_near_zero(spark):
+    from model_presto_spark.operators.profile import token_divergence
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "x y z x y z"),
+            ("b", "x y z x y z"),
+            ("c", "p p p p p p"),
+        ],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in token_divergence(docs, "source").collect()}
+    # groups a and b have identical distributions; c is the outlier
+    assert out["a"]["kl_nats"] == pytest.approx(out["b"]["kl_nats"])
+    assert out["c"]["kl_nats"] > out["a"]["kl_nats"]
+    assert out["a"]["n_tokens"] == 6 and out["a"]["n_types"] == 3
+    # cross-entropy >= entropy-ish sanity: CE >= KL always (CE = H + KL)
+    for r in out.values():
+        assert r["cross_entropy_nats"] >= r["kl_nats"]
+
+
+# ---------------------------------------------------------------------------
+# graph.label_propagation
+# ---------------------------------------------------------------------------
+def test_label_propagation_two_cliques(spark):
+    from model_presto_spark.operators.graph import label_propagation
+
+    # two triangles joined by one bridge edge: LPA keeps two
+    # communities (each triangle converges to its min label)
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = {r["node"]: r["label"] for r in label_propagation(e, n_iter=4).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == out[12]
+    assert out[10] != out[1]
+
+
+def test_label_propagation_deterministic_ties(spark):
+    from model_presto_spark.operators.graph import label_propagation
+
+    # a path a-b-c: b's neighbors {a,c} tie at count 1 -> min label
+    e = spark.createDataFrame([(5, 6), (6, 7)], "src bigint, dst bigint")
+    out1 = sorted(label_propagation(e, n_iter=1).collect())
+    out2 = sorted(label_propagation(e, n_iter=1).collect())
+    assert out1 == out2
+    lbl = {r["node"]: r["label"] for r in out1}
+    assert lbl[6] == 5  # min of {5, 7}
+
+
+# ---------------------------------------------------------------------------
+# temporal.kaplan_meier
+# ---------------------------------------------------------------------------
+def test_kaplan_meier_textbook_example(spark):
+    from model_presto_spark.operators.temporal import kaplan_meier
+
+    # classic small example: events at t=1 (2 of 10), censor at t=2,
+    # event at t=3 (1 of 7), censor at t=4, events at t=5 (2 of 5)
+    subj = (
+        [(1, 1)] * 2
+        + [(2, 0)]
+        + [(3, 1)]
+        + [(4, 0)]
+        + [(5, 1)] * 2
+        + [(6, 0)] * 3
+    )
+    df = spark.createDataFrame(subj, "dur int, ev int")
+    out = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert set(out) == {1, 3, 5}
+    assert out[1]["n_risk"] == 10 and out[1]["n_events"] == 2
+    s1 = 1 - 2 / 10
+    assert out[1]["survival"] == pytest.approx(s1)
+    s3 = s1 * (1 - 1 / 7)
+    assert out[3]["survival"] == pytest.approx(s3)
+    s5 = s3 * (1 - 2 / 5)
+    assert out[5]["survival"] == pytest.approx(s5)
+
+
+def test_kaplan_meier_everyone_dies_reaches_zero(spark):
+    from model_presto_spark.operators.temporal import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 1)], "dur int, ev int"
+    )
+    out = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert out[2]["survival"] == 0.0
+    assert out[1]["survival"] == pytest.approx(1 / 3)
