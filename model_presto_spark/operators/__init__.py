@@ -9,6 +9,7 @@ from model_presto_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash_signatures,
 )
 from model_presto_spark.operators.dsir import (
@@ -62,6 +63,7 @@ from model_presto_spark.operators.bpe import (
 )
 from model_presto_spark.operators.lm import (
     perplexity_scores,
+    rrf_fuse,
     tfidf_top_terms,
 )
 from model_presto_spark.operators.packing import pack_sequences, prefix_sum
@@ -206,6 +208,8 @@ __all__ = [
     "patch_pool",
     "per_class_capped_split",
     "perplexity_scores",
+    "rrf_fuse",
+    "semantic_dedup",
     "plan_compaction",
     "positional_concat",
     "pq_encode",

@@ -715,3 +715,93 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.8,
+    dim: int = 64,
+    planes: int = 6,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-then-prune semantic
+    near-duplicate flags over an embedding column.
+
+    The paper's recipe — k-means cluster the embeddings, then inside
+    each cluster keep ONE representative among the vectors that sit
+    close to the cluster centroid — rephrased with a deterministic
+    default clusterer: random-hyperplane LSH buckets (md5-derived
+    literal weights, engine-reproducible; pass ``assignments`` =
+    (id, bucket) to use a trained quantizer instead, e.g. the IVF
+    KMeans cells from operators/knn.build_ivf_index, which is the
+    paper-faithful production path).
+
+    Per bucket: centroid = elementwise mean; each member scores
+    cosine(member, centroid); members with rounded cosine >=
+    ``threshold`` form the semantic core and all but the best of
+    them (highest cosine, then smallest id) are flagged duplicates.
+    Ranking uses the ROUNDED cosine so the frontier is deterministic
+    and cross-engine stable (same convention as ann_lsh_join).
+
+    Shape at scale: everything is LONG-FORM — (id, bucket, dim, x)
+    rows; centroids are a groupBy(bucket, dim) avg (map-side
+    combined), the member-centroid dot products a co-partitioned
+    (bucket, dim) join + groupBy(id). No pairwise anything: SemDeDup
+    is O(n·dim), the whole point vs the O(n²) pair generators above.
+
+    Output: (id, bucket, cos_centroid ROUNDED 6dp, is_semantic_dup).
+    """
+    from pyspark import StorageLevel
+
+    from model_presto_spark.functions.vectors import as_double
+    from model_presto_spark.operators.knn import _hyperplane_bucket_sql
+
+    if assignments is None:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            as_double(F.col(vec_col)).alias("v"),
+            F.expr(_hyperplane_bucket_sql(vec_col, dim, planes)).alias(
+                "bucket"
+            ),
+        )
+    else:
+        base = df.join(assignments, id_col).select(
+            F.col(id_col).alias("id"),
+            as_double(F.col(vec_col)).alias("v"),
+            "bucket",
+        )
+    long = base.select("id", "bucket", F.posexplode("v").alias("d", "x"))
+    long = long.persist(StorageLevel.MEMORY_AND_DISK)
+    cent = long.groupBy("bucket", "d").agg(F.avg("x").alias("c"))
+    cent = cent.persist(StorageLevel.MEMORY_AND_DISK)
+    cnorm = cent.groupBy("bucket").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc")
+    )
+    per_vec = (
+        long.join(cent, ["bucket", "d"])  # co-partitioned on (bucket, d)
+        .groupBy("id", "bucket")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nx"),
+        )
+    )
+    scored = per_vec.join(cnorm, "bucket").select(
+        "id",
+        "bucket",
+        F.round(
+            F.col("dot") / (F.col("nx") * F.col("nc")) + F.lit(5e-12), 6
+        ).alias("cos_centroid"),
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.desc("cos_centroid"), F.col("id")
+    )
+    return scored.withColumn("__rk", F.row_number().over(w)).select(
+        F.col("id").alias(id_col),
+        "bucket",
+        "cos_centroid",
+        (
+            (F.col("cos_centroid") >= threshold) & (F.col("__rk") > 1)
+        ).alias("is_semantic_dup"),
+    )

@@ -240,3 +240,48 @@ def bm25_scores(
         rounded.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-Rank Fusion (Cormack et al. 2009) of N retriever
+    rankings — the standard hybrid-retrieval combiner (lexical BM25
+    + vector ANN, or any mix): ``rrf(d) = sum over rankers of
+    1 / (k + rank_r(d))``, items missing from a ranker contribute 0.
+
+    Rank-based, so the rankers' score scales never need calibration.
+    Plan shape: a union of the (already tiny, per-query top-k)
+    ranking relations, one (query, id) groupBy — each input ranker
+    has already done the corpus-scale work; fusion cost is
+    O(queries x top_k x rankers). The fused score is a sum of exact
+    reciprocals of small integers: engine-independent to the last
+    bit, so ranking ties break on the id only when ranks genuinely
+    coincide.
+
+    Output: (query, id, rrf_score, n_rankers[, rank]).
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    parts = [r.select(query_col, id_col, rank_col) for r in rankings]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    scored = u.groupBy(query_col, id_col).agg(
+        F.sum(1.0 / (F.lit(k) + F.col(rank_col))).alias("rrf_score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rankers"),
+    )
+    if top_k is None:
+        return scored
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_score"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )

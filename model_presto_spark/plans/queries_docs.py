@@ -469,19 +469,25 @@ def _dd_weights_literal() -> str:
     ) + "]"
 
 
-_DD_BUCKET = f"""
+# Weights bind ONCE as a column (wt CTE): referencing the nested-list
+# literal inside the lambda makes DuckDB rebuild the 8x64 list per
+# element (~60 s over 500 rows at sf0.01); the column reference is
+# instant. Same sequential fold as the Spark aggregate() expression,
+# so buckets stay bit-identical.
+_DD_BUCKET = """
     CAST(list_sum(list_transform(generate_series(0, 7), j ->
       CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list_transform(generate_series(1, 64), d ->
-               CAST({{vec}}[d] AS DOUBLE) * ({_dd_weights_literal()})[j + 1][d])),
+               CAST({vec}[d] AS DOUBLE) * wt.w[j + 1][d])),
              (acc, x) -> acc + x) > 0
       THEN (1 << j) ELSE 0 END)) AS INT)
 """
 
 _Q40_ORACLE = f"""
-    WITH b AS (
+    WITH wt AS MATERIALIZED (SELECT {_dd_weights_literal()} AS w),
+    b AS MATERIALIZED (
       SELECT vec_id, embedding, {_DD_BUCKET.format(vec='embedding')} AS bucket
-      FROM embeddings
+      FROM embeddings CROSS JOIN wt
     ), p AS (SELECT * FROM b WHERE vec_id < 10),
     scored AS (
       SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,

@@ -486,3 +486,228 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_censored",
         F.round(F.col("survival") + F.lit(5e-12), 6).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q109 — reciprocal-rank fusion of two retrievers (hybrid retrieval)
+# ---------------------------------------------------------------------------
+# Fuses the q91 BM25 ranking with a term-coverage ranking (distinct
+# query terms matched, then total occurrences) — the standard hybrid
+# pattern where score scales are incomparable and only ranks fuse.
+# Both component rankings are integer-deterministic or ranked on the
+# repo's rounded-score convention; the RRF score is a sum of exact
+# reciprocals of small integers, bit-identical in any engine.
+_RRF_K = 60
+_RRF_INPUT_TOPK = 20
+_RRF_TOPK = 10
+
+
+def _q109_oracle() -> str:
+    from model_presto_spark.plans.queries_llm4 import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_QUERIES,
+    )
+
+    return f"""
+    WITH q(query_id, qtext) AS (VALUES
+      {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)}
+    ), t AS (
+      SELECT doc_id, {_TOK} AS toks FROM documents
+    ), dtc AS (
+      SELECT doc_id, token, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+      GROUP BY 1, 2
+    ), dlen AS (
+      SELECT doc_id, SUM(cnt) AS dl FROM dtc GROUP BY 1
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS dfq FROM dtc GROUP BY 1
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dlen
+    ), qt AS (
+      SELECT DISTINCT query_id, token FROM (
+        SELECT query_id, unnest({DD_TOKENS.format(t="qtext")}) AS token
+        FROM q)
+    ), per_term AS (
+      SELECT qt.query_id, dtc.doc_id, dtc.cnt,
+             ln(1 + (stats.n_docs - dfreq.dfq + 0.5) / (dfreq.dfq + 0.5))
+             * (CAST(dtc.cnt AS DOUBLE) * ({_BM25_K1} + 1.0))
+             / (CAST(dtc.cnt AS DOUBLE)
+                + {_BM25_K1} * (1.0 - {_BM25_B}
+                   + {_BM25_B} * CAST(dlen.dl AS DOUBLE) / stats.avgdl))
+               AS s
+      FROM qt
+      JOIN dtc USING (token)
+      JOIN dlen ON dlen.doc_id = dtc.doc_id
+      CROSS JOIN stats
+      JOIN dfreq ON dfreq.token = qt.token
+    ), bm_ranked AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND(SUM(s) + 5e-12, 6) DESC, doc_id) AS rank
+      FROM per_term GROUP BY 1, 2
+      QUALIFY rank <= {_RRF_INPUT_TOPK}
+    ), cov_ranked AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY COUNT(*) DESC, SUM(cnt) DESC, doc_id) AS rank
+      FROM per_term GROUP BY 1, 2
+      QUALIFY rank <= {_RRF_INPUT_TOPK}
+    ), fused AS (
+      SELECT query_id, doc_id,
+             SUM(1.0 / ({_RRF_K} + rank)) AS rrf_score,
+             CAST(COUNT(*) AS BIGINT) AS n_rankers
+      FROM (SELECT * FROM bm_ranked UNION ALL SELECT * FROM cov_ranked)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           ROUND(rrf_score + 5e-12, 6) AS rrf_score, n_rankers,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY rrf_score DESC, doc_id)
+             AS BIGINT) AS rank
+    FROM fused
+    QUALIFY rank <= {_RRF_TOPK}
+"""
+
+
+@register(
+    "q109_rrf_fusion",
+    _q109_oracle(),
+    doc="Reciprocal-rank fusion (Cormack et al. 2009, k=60) of BM25 "
+    "and term-coverage rankings — hybrid retrieval without score "
+    "calibration. Fusion operates on per-query top-20 relations "
+    "(already tiny); the corpus-scale work happened once in the "
+    "shared posting list.",
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from model_presto_spark.functions import text as T
+    from model_presto_spark.operators.lm import (
+        bm25_scores,
+        doc_token_counts,
+        rrf_fuse,
+    )
+    from model_presto_spark.plans.queries_llm4 import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_QUERIES,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id bigint, qtext string")
+    bm = bm25_scores(
+        docs, qdf, k1=_BM25_K1, b=_BM25_B, top_k=_RRF_INPUT_TOPK
+    ).select("query_id", "doc_id", "rank")
+    dtc = doc_token_counts(docs)
+    qt = (
+        qdf.select(
+            "query_id", F.explode(T.tokens(F.col("qtext"))).alias("token")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_hit"), F.desc("occ"), F.col("doc_id")
+    )
+    cov = (
+        qt.join(dtc, "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"), F.sum("cnt").alias("occ"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _RRF_INPUT_TOPK)
+        .select("query_id", "doc_id", "rank")
+    )
+    fused = rrf_fuse([bm, cov], k=_RRF_K, top_k=_RRF_TOPK)
+    return fused.select(
+        "query_id",
+        "doc_id",
+        F.round(F.col("rrf_score") + F.lit(5e-12), 6).alias("rrf_score"),
+        "n_rankers",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q110 — SemDeDup: cluster-then-prune semantic near-dup flags
+# ---------------------------------------------------------------------------
+_SD_PLANES = 6
+_SD_TH = 0.6
+
+
+def _q110_oracle() -> str:
+    from model_presto_spark.operators.knn import hyperplane_weights
+
+    rows = hyperplane_weights(dim=64, planes=_SD_PLANES)
+    w_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(x) for x in r) + "]" for r in rows
+    ) + "]"
+    # The weights bind ONCE as a column (wt CTE) — referencing the
+    # nested-list literal inside the lambda makes DuckDB rebuild it
+    # per element (~30 s for 500 rows); the column reference is
+    # instant. The per-plane dot product stays the same sequential
+    # list_reduce fold as the Spark-side aggregate() expression, so
+    # buckets are bit-identical.
+    return f"""
+    WITH wt AS MATERIALIZED (SELECT {w_lit} AS w),
+    b AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(
+               generate_series(0, {_SD_PLANES - 1}), j ->
+               CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(generate_series(1, 64), d ->
+                        CAST(embedding[d] AS DOUBLE) * wt.w[j + 1][d])),
+                      (acc, x) -> acc + x) > 0
+               THEN (1 << j) ELSE 0 END)) AS INT) AS bucket,
+             embedding
+      FROM embeddings CROSS JOIN wt
+    ), long AS MATERIALIZED (
+      SELECT vec_id, bucket, d, CAST(embedding[d] AS DOUBLE) AS x
+      FROM b, generate_series(1, 64) g(d)
+    ), cent AS MATERIALIZED (
+      SELECT bucket, d, AVG(x) AS c FROM long GROUP BY 1, 2
+    ), cn AS (
+      SELECT bucket, sqrt(SUM(c * c)) AS nc FROM cent GROUP BY 1
+    ), pv AS (
+      SELECT vec_id, l.bucket,
+             SUM(x * c) AS dot, sqrt(SUM(x * x)) AS nx
+      FROM long l JOIN cent USING (bucket, d) GROUP BY 1, 2
+    ), sc AS (
+      SELECT vec_id, bucket,
+             ROUND(dot / (nx * nc) + 5e-12, 6) AS cos_centroid
+      FROM pv JOIN cn USING (bucket)
+    )
+    SELECT vec_id, bucket, cos_centroid,
+           (cos_centroid >= {_SD_TH}
+            AND row_number() OVER (
+              PARTITION BY bucket
+              ORDER BY cos_centroid DESC, vec_id) > 1) AS is_semantic_dup
+    FROM sc
+"""
+
+
+@register(
+    "q110_semantic_dedup",
+    _q110_oracle(),
+    doc="SemDeDup (Abbas et al. 2023), deterministic-clusterer form: "
+    f"{_SD_PLANES}-plane LSH buckets, per-bucket centroid, flag every "
+    f"core member (cosine-to-centroid >= {_SD_TH}) except the best "
+    "(rounded-cosine rank, id tie-break). Long-form O(n·dim) — "
+    "centroids via groupBy(bucket, dim) with map-side combine, a "
+    "co-partitioned join back, NO pairwise generation anywhere; the "
+    "kmeans-assignment production path shares the same operator via "
+    "the assignments param.",
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=_SD_TH,
+        dim=64,
+        planes=_SD_PLANES,
+    )

@@ -285,3 +285,83 @@ def test_kaplan_meier_everyone_dies_reaches_zero(spark):
     out = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
     assert out[2]["survival"] == 0.0
     assert out[1]["survival"] == pytest.approx(1 / 3)
+
+
+# ---------------------------------------------------------------------------
+# lm.rrf_fuse
+# ---------------------------------------------------------------------------
+def test_rrf_fuse_hand_computed(spark):
+    from model_presto_spark.operators.lm import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id bigint, doc_id bigint, rank int",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id bigint, doc_id bigint, rank int",
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], k=60).collect()}
+    assert out[11]["rrf_score"] == pytest.approx(1 / 62 + 1 / 61)
+    assert out[10]["rrf_score"] == pytest.approx(1 / 61)
+    assert out[13]["n_rankers"] == 1 and out[11]["n_rankers"] == 2
+    # doc in both rankers outranks single-ranker docs at similar ranks
+    top = rrf_fuse([a, b], k=60, top_k=1).collect()
+    assert top[0]["doc_id"] == 11 and top[0]["rank"] == 1
+
+
+# ---------------------------------------------------------------------------
+# dedup.semantic_dedup
+# ---------------------------------------------------------------------------
+def test_semantic_dedup_flags_near_dups_keeps_representative(spark):
+    from model_presto_spark.operators.dedup import semantic_dedup
+
+    dim = 8
+    base = [1.0] * dim
+    near = [1.0] * (dim - 1) + [0.9]
+    anti = [-1.0] * dim
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, base), (4, anti)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.9, dim=dim, planes=4
+        ).collect()
+    }
+    # 1,2,3 share a bucket-side (same hyperplane signs) and sit near
+    # their centroid; exactly one of them is kept
+    same = [out[i] for i in (1, 2, 3)]
+    assert len({r["bucket"] for r in same}) == 1
+    flags = sorted(r["is_semantic_dup"] for r in same)
+    assert flags == [False, True, True]
+    # the kept one is the highest cosine (tie -> min id): ids 1 and 3
+    # are identical vectors, so id 1 is the representative
+    assert out[1]["is_semantic_dup"] is False
+    # the anti vector is alone in its bucket: never a dup
+    assert out[4]["is_semantic_dup"] is False
+    assert out[4]["bucket"] != out[1]["bucket"]
+
+
+def test_semantic_dedup_with_explicit_assignments(spark):
+    from model_presto_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    assign = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 9)], "vec_id bigint, bucket int"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.9, assignments=assign
+        ).collect()
+    }
+    assert out[1]["bucket"] == 7 and out[3]["bucket"] == 9
+    assert [out[i]["is_semantic_dup"] for i in (1, 2, 3)] in (
+        [False, True, False],
+        [True, False, False],
+    )
