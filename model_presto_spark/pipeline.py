@@ -245,6 +245,76 @@ def _stage_domain_mix(cfg: dict) -> Callable[[DataFrame], DataFrame]:
     return apply
 
 
+def _stage_line_boilerplate(cfg: dict) -> Callable[[DataFrame], DataFrame]:
+    id_col = cfg.get("id_col", "doc_id")
+    col = cfg.get("text_col", "text")
+    min_df = cfg.get("min_doc_freq", 5)
+    delimiter = cfg.get("delimiter", "\n")
+    width = cfg.get("width", 10)
+    fast = cfg.get("fast_hash", True)
+
+    def apply(df: DataFrame) -> DataFrame:
+        from model_presto_spark.operators.lines import remove_frequent_lines
+
+        cleaned = remove_frequent_lines(
+            df,
+            id_col,
+            col,
+            min_doc_freq=min_df,
+            delimiter=delimiter,
+            width=width,
+            fast_hash=fast,
+        ).select(id_col, F.col(col).alias("__clean"))
+        # transform stage: replace the text, keep all other columns
+        return (
+            df.drop(col).join(cleaned, id_col).withColumnRenamed("__clean", col)
+        )
+
+    return apply
+
+
+def _stage_semantic_dedup(cfg: dict) -> Callable[[DataFrame], DataFrame]:
+    id_col = cfg.get("id_col", "doc_id")
+    vec_col = cfg.get("vec_col", "embedding")
+    threshold = cfg.get("threshold", 0.8)
+    dim = cfg.get("dim", 64)
+    planes = cfg.get("planes", 6)
+
+    def apply(df: DataFrame) -> DataFrame:
+        from model_presto_spark.operators.dedup import semantic_dedup
+
+        flags = semantic_dedup(
+            df, id_col, vec_col, threshold=threshold, dim=dim, planes=planes
+        ).select(id_col, "is_semantic_dup")
+        return (
+            df.join(flags, id_col, "left")
+            .where(~F.coalesce(F.col("is_semantic_dup"), F.lit(False)))
+            .drop("is_semantic_dup")
+        )
+
+    return apply
+
+
+def _stage_dsir_select(cfg: dict) -> Callable[[DataFrame], DataFrame]:
+    id_col = cfg.get("id_col", "doc_id")
+    col = cfg.get("text_col", "text")
+    target = cfg["target"]  # DataFrame (JSON configs pass "$name")
+    k = cfg["k"]
+    n_buckets = cfg.get("n_buckets", 1024)
+    seed = cfg.get("seed", 42)
+
+    def apply(df: DataFrame) -> DataFrame:
+        from model_presto_spark.operators.dsir import dsir_sample
+
+        keep = dsir_sample(
+            df, target, k=k, id_col=id_col, text_col=col,
+            n_buckets=n_buckets, seed=seed, fast_hash=False,
+        ).select(id_col)
+        return df.join(keep, id_col, "left_semi")
+
+    return apply
+
+
 _STAGES: dict[str, tuple[Callable[[dict], Callable], set[str]]] = {
     "normalize": (_stage_normalize, {"text_col"}),
     "scrub_pii": (_stage_scrub_pii, {"text_col"}),
@@ -281,6 +351,19 @@ _STAGES: dict[str, tuple[Callable[[dict], Callable], set[str]]] = {
     "token_budget": (
         _stage_token_budget,
         {"source_col", "id_col", "text_col", "budget_tokens"},
+    ),
+    "line_boilerplate": (
+        _stage_line_boilerplate,
+        {"id_col", "text_col", "min_doc_freq", "delimiter", "width",
+         "fast_hash"},
+    ),
+    "semantic_dedup": (
+        _stage_semantic_dedup,
+        {"id_col", "vec_col", "threshold", "dim", "planes"},
+    ),
+    "dsir_select": (
+        _stage_dsir_select,
+        {"id_col", "text_col", "target", "k", "n_buckets", "seed"},
     ),
 }
 

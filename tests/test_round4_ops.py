@@ -365,3 +365,58 @@ def test_semantic_dedup_with_explicit_assignments(spark):
         [False, True, False],
         [True, False, False],
     )
+
+
+# ---------------------------------------------------------------------------
+# CorpusPipeline integration of the round-4 stages
+# ---------------------------------------------------------------------------
+def test_pipeline_line_boilerplate_and_dsir_stages(spark):
+    from model_presto_spark.pipeline import CorpusPipeline
+
+    docs = spark.createDataFrame(
+        [
+            (1, "physics quantum field\naccept all cookies", "s1"),
+            (2, "accept all cookies\ncooking pasta recipe", "s1"),
+            (3, "quantum lattice theory\naccept all cookies", "s1"),
+            (4, "football match report", "s2"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    target = spark.createDataFrame(
+        [(100, "physics quantum lattice field theory")],
+        "doc_id bigint, text string",
+    )
+    pipe = CorpusPipeline.from_json(
+        """[
+          {"op": "line_boilerplate", "min_doc_freq": 3, "fast_hash": false},
+          {"op": "dsir_select", "target": "$tgt", "k": 2}
+        ]""",
+        tgt=target,
+    )
+    out = pipe.run(docs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == 2
+    # the boilerplate line is gone from surviving docs
+    for r in out:
+        assert "accept all cookies" not in r["text"]
+    # DSIR keeps the physics-like docs
+    assert set(by_id) <= {1, 3}
+
+
+def test_pipeline_semantic_dedup_stage(spark):
+    from model_presto_spark.pipeline import CorpusPipeline
+
+    dim = 8
+    rows = [
+        (1, "a", [1.0] * dim),
+        (2, "b", [1.0] * (dim - 1) + [0.9]),
+        (3, "c", [-1.0] * dim),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, embedding array<float>"
+    )
+    pipe = CorpusPipeline(
+        [{"op": "semantic_dedup", "threshold": 0.9, "dim": dim, "planes": 4}]
+    )
+    out = sorted(r["doc_id"] for r in pipe.run(docs).collect())
+    assert out == [1, 3]

@@ -261,8 +261,59 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     ).count()
     timings["pq_adc"] = time.time() - t0
 
+    t0 = time.time()
+    from model_presto_spark.operators.lines import line_dedup_stats
+
+    n_boiler = (
+        line_dedup_stats(
+            docs, min_doc_freq=20, delimiter=None, width=3, fast_hash=True
+        )
+        .where(F.col("boiler_lines") > 0)
+        .count()
+    )
+    timings["line_boilerplate"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    from model_presto_spark.operators.dedup import ngram_containment_pairs
+
+    n_cont = ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=500,
+        fast_hash=True,
+    ).count()
+    timings["containment"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    from model_presto_spark.operators.dsir import dsir_sample
+
+    n_dsir = dsir_sample(
+        docs.where(F.col("lang") != "en"),
+        docs.where(F.col("lang") == "en"),
+        k=500,
+        n_buckets=4096,
+        fast_hash=True,
+    ).count()
+    timings["dsir"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    from model_presto_spark.operators.dedup import semantic_dedup
+
+    n_sem = (
+        semantic_dedup(emb, "vec_id", "embedding", threshold=0.6, planes=8)
+        .where(F.col("is_semantic_dup"))
+        .count()
+    )
+    timings["semantic_dedup"] = time.time() - t0
+    spark.catalog.clearCache()
+
     timings["_counts"] = {  # type: ignore[assignment]
         "minhash_pairs": n_mh,
+        "boiler_docs": n_boiler,
+        "containment_pairs": n_cont,
+        "dsir_kept": n_dsir,
+        "semantic_dups": n_sem,
         "ngram_pairs": n_ng,
         "ann_rows": n_ann,
         "clusters": n_clusters,
