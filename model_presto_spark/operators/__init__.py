@@ -11,6 +11,8 @@ from model_presto_spark.operators.dedup import (
     ngram_jaccard_pairs,
     semantic_dedup,
     simhash_signatures,
+    winnow_fingerprints,
+    winnow_shared_stats,
 )
 from model_presto_spark.operators.dsir import (
     dsir_sample,
@@ -62,6 +64,7 @@ from model_presto_spark.operators.bpe import (
     word_freqs,
 )
 from model_presto_spark.operators.lm import (
+    bigram_perplexity_scores,
     perplexity_scores,
     rrf_fuse,
     tfidf_top_terms,
@@ -209,6 +212,9 @@ __all__ = [
     "per_class_capped_split",
     "perplexity_scores",
     "rrf_fuse",
+    "winnow_fingerprints",
+    "winnow_shared_stats",
+    "bigram_perplexity_scores",
     "semantic_dedup",
     "plan_compaction",
     "positional_concat",

@@ -805,3 +805,112 @@ def semantic_dedup(
             (F.col("cos_centroid") >= threshold) & (F.col("__rk") > 1)
         ).alias("is_semantic_dup"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fast_hash: bool = False,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken
+    2003 — the MOSS algorithm): from the k-token window hashes, keep
+    per sliding window of ``w`` consecutive positions the MINIMAL
+    hash, rightmost on ties. Guarantee: any shared substring of at
+    least ``w + k - 1`` tokens contributes at least one shared
+    fingerprint, while storing ~2/(w+1) of all window hashes — the
+    density/robustness tradeoff span_dup_stats (which keeps every
+    window) does not have.
+
+    Implementation: each hash position p joins the window starts s
+    it participates in (an explode of at most ``w`` starts — n·w
+    rows per doc, all partitioned by doc id), the per-(doc, s)
+    argmin/rightmost pick is one max_by over an orderable struct,
+    and selected positions dedup with a distinct. No cross-document
+    work at all; matching happens downstream on the (8-byte hash,
+    id) relation like every other dedup family.
+
+    Output: (id, pos, whash) — the selected fingerprints.
+    """
+    wh = window_hashes(docs, k, text_col, id_col, fast_hash).where(
+        F.col("whash").isNotNull()
+    )
+    n_w = wh.groupBy(id_col).agg(F.max("i").alias("n_starts"))
+    base = wh.join(n_w, id_col)
+    # window starts that contain position i: [i-w+1, i] clamped to
+    # [1, n_starts - w + 1] (windows of w consecutive hash positions)
+    # a doc with fewer than w hash positions still yields ONE
+    # fingerprint (its global min): the last window start clamps to 1
+    starts = F.sequence(
+        F.greatest(F.col("i") - F.lit(w - 1), F.lit(1)),
+        F.least(
+            F.col("i"), F.greatest(F.col("n_starts") - F.lit(w - 1), F.lit(1))
+        ),
+    )
+    expanded = base.select(
+        id_col,
+        "i",
+        "whash",
+        F.explode_outer(starts).alias("s"),
+    ).where(F.col("s").isNotNull())
+    picked = expanded.groupBy(id_col, "s").agg(
+        F.max_by(
+            F.struct(F.col("i"), F.col("whash")),
+            # minimal hash wins; ties -> rightmost position
+            F.struct(-F.col("whash"), F.col("i")),
+        ).alias("sel")
+    )
+    return picked.select(
+        id_col,
+        F.col("sel.i").alias("pos"),
+        F.col("sel.whash").alias("whash"),
+    ).distinct()
+
+
+def winnow_shared_stats(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fast_hash: bool = False,
+) -> DataFrame:
+    """Per-document winnowing statistics: how many fingerprints were
+    selected and how many of them also occur in another document —
+    the MOSS similarity signal. Same two-aggregation shape as
+    span_dup_stats, but over the ~2/(w+1)-density selected set.
+
+    Output: (id, n_fp, shared_fp, shared_fraction) for every doc.
+    """
+    fp = winnow_fingerprints(docs, k, w, text_col, id_col, fast_hash)
+    from pyspark import StorageLevel
+
+    per_doc = fp.groupBy(id_col, "whash").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    glob = per_doc.groupBy("whash").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    stats = (
+        per_doc.join(glob, "whash")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_fp"),
+            F.sum(
+                F.when(F.col("n_docs") > 1, F.col("cnt")).otherwise(0)
+            ).alias("shared_fp"),
+        )
+    )
+    out = docs.select(id_col).join(stats, id_col, "left")
+    nf = F.coalesce(F.col("n_fp"), F.lit(0)).cast("bigint")
+    sf = F.coalesce(F.col("shared_fp"), F.lit(0)).cast("bigint")
+    return out.select(
+        id_col,
+        nf.alias("n_fp"),
+        sf.alias("shared_fp"),
+        F.when(nf > 0, sf.cast("double") / nf.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("shared_fraction"),
+    )

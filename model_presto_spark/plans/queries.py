@@ -1123,8 +1123,11 @@ _ADJUDICATION_TAIL = [
     # q109/q110 push the never-adjudicated count to 51: q16 (r01/r02
     # green) parks too, and q110 — locally oracle-checked at sf0.01 +
     # sf0.1 and pytest-covered — waits one round for a driver slot.
+    # q111/q112 (added after the head filled) wait alongside it.
     "q16_tpch_q1",
     "q110_semantic_dedup",
+    "q111_winnowing",
+    "q112_bigram_lm",
     # ---- Parked in earlier rounds (r01/r02-green or redundantly
     # covered; per-query rationales in the git history) ------------------
     "q25_dates",

@@ -711,3 +711,148 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         planes=_SD_PLANES,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q111 — winnowing fingerprints (MOSS) + cross-doc sharing stats
+# ---------------------------------------------------------------------------
+_WK = 8
+_WW = 4
+
+_Q111_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK} AS toks FROM documents
+    ), w AS (
+      SELECT doc_id, i,
+             {dd_h60("array_to_string(list_slice(toks, i, i + " + str(_WK - 1) + "), ' ')")}
+               AS whash
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {_WK} + 1)) AS i
+        FROM t WHERE len(toks) >= {_WK}
+      )
+    ), nw AS (
+      SELECT doc_id, MAX(i) AS n_starts FROM w GROUP BY 1
+    ), expd AS (
+      SELECT w.doc_id, w.i, w.whash,
+             unnest(generate_series(
+               greatest(w.i - {_WW - 1}, 1),
+               least(w.i, greatest(nw.n_starts - {_WW - 1}, 1)))) AS s
+      FROM w JOIN nw USING (doc_id)
+    ), sel AS (
+      SELECT DISTINCT doc_id, i, whash FROM (
+        SELECT doc_id, s, i, whash,
+               row_number() OVER (
+                 PARTITION BY doc_id, s ORDER BY whash ASC, i DESC) AS rn
+        FROM expd) WHERE rn = 1
+    ), pc AS (
+      SELECT doc_id, whash, COUNT(*) AS cnt FROM sel GROUP BY 1, 2
+    ), g AS (
+      SELECT whash, COUNT(*) AS n_docs FROM pc GROUP BY 1
+    ), d AS (
+      SELECT pc.doc_id, SUM(cnt) AS n_fp,
+             SUM(CASE WHEN g.n_docs > 1 THEN cnt ELSE 0 END) AS shared_fp
+      FROM pc JOIN g USING (whash) GROUP BY 1
+    )
+    SELECT docs.doc_id,
+           CAST(COALESCE(d.n_fp, 0) AS BIGINT) AS n_fp,
+           CAST(COALESCE(d.shared_fp, 0) AS BIGINT) AS shared_fp,
+           CASE WHEN COALESCE(d.n_fp, 0) > 0
+                THEN CAST(d.shared_fp AS DOUBLE) / CAST(d.n_fp AS DOUBLE)
+                ELSE 0.0 END AS shared_fraction
+    FROM documents docs LEFT JOIN d ON docs.doc_id = d.doc_id
+"""
+
+
+@register(
+    "q111_winnowing",
+    _Q111_ORACLE,
+    doc=f"Winnowing (Schleimer et al. 2003 / MOSS): per sliding "
+    f"window of {_WW} consecutive {_WK}-token window hashes keep the "
+    "minimal hash (rightmost tie) — guaranteed detection of shared "
+    f"substrings >= {_WW + _WK - 1} tokens at ~2/(w+1) storage "
+    "density. Selection is doc-local (n·w rows, partitioned by doc); "
+    "cross-doc sharing is the usual (8-byte hash, id) aggregation.",
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.dedup import winnow_shared_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_shared_stats(docs, k=_WK, w=_WW)
+
+
+# ---------------------------------------------------------------------------
+# Q112 — interpolated bigram LM perplexity (Jelinek-Mercer)
+# ---------------------------------------------------------------------------
+_JM_LAM = 0.7
+_JM_MIN = 2
+
+
+def _q112_oracle() -> str:
+    lam = repr(_JM_LAM)
+    one_m = repr(1.0 - _JM_LAM)  # the exact Python double the plan embeds
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK} AS toks FROM documents
+    ), bp AS (
+      SELECT doc_id, toks[i - 1] AS prev, toks[i] AS token,
+             COUNT(*) AS cnt
+      FROM (
+        SELECT doc_id, toks, unnest(generate_series(2, len(toks))) AS i
+        FROM t WHERE len(toks) >= 2
+      ) GROUP BY 1, 2, 3
+    ), dtc AS (
+      SELECT doc_id, token, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+      GROUP BY 1, 2
+    ), vocab AS (
+      SELECT token, SUM(cnt) AS tf FROM dtc GROUP BY 1
+      HAVING SUM(cnt) >= {_JM_MIN}
+    ), denom AS (
+      SELECT (SELECT SUM(cnt) FROM dtc) AS n_corpus,
+             (SELECT COUNT(*) FROM vocab) AS v_vocab
+    ), big AS (
+      SELECT prev, token, SUM(cnt) AS c_bi FROM bp GROUP BY 1, 2
+    ), ctx AS (
+      SELECT prev, SUM(c_bi) AS c_prev FROM big GROUP BY 1
+    )
+    SELECT bp.doc_id,
+           CAST(SUM(bp.cnt) AS BIGINT) AS n_bigrams,
+           ROUND(
+             -SUM(bp.cnt * ln(
+                {lam} * CAST(big.c_bi AS DOUBLE) / CAST(ctx.c_prev AS DOUBLE)
+                + {one_m} * ((COALESCE(vocab.tf, 0) + 1.0)
+                             / (denom.n_corpus + denom.v_vocab + 1.0))))
+             / SUM(bp.cnt) / ln(2) + 5e-12, 6) AS bits_per_token
+    FROM bp
+    JOIN big USING (prev, token)
+    JOIN ctx USING (prev)
+    LEFT JOIN vocab USING (token)
+    CROSS JOIN denom
+    GROUP BY 1
+"""
+
+
+@register(
+    "q112_bigram_lm",
+    _q112_oracle(),
+    doc="Jelinek-Mercer interpolated bigram LM perplexity "
+    f"(lambda={_JM_LAM}, unigram backoff with min_count={_JM_MIN}): "
+    "the sharper quality gate vs the unigram LM — plausible unigrams "
+    "with impossible transitions score high. Bigram relation "
+    "shuffles once keyed (prev, token); probability tables are "
+    "observed-bigram-bounded aggregations joined back by the same "
+    "keys.",
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.lm import bigram_perplexity_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_perplexity_scores(docs, lam=_JM_LAM, min_count=_JM_MIN)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("bits_per_token") + F.lit(5e-12), 6).alias(
+            "bits_per_token"
+        ),
+    )

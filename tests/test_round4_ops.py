@@ -420,3 +420,115 @@ def test_pipeline_semantic_dedup_stage(spark):
     )
     out = sorted(r["doc_id"] for r in pipe.run(docs).collect())
     assert out == [1, 3]
+
+
+# ---------------------------------------------------------------------------
+# dedup.winnow_fingerprints / winnow_shared_stats
+# ---------------------------------------------------------------------------
+def test_winnowing_guarantee_and_density(spark):
+    from model_presto_spark.operators.dedup import (
+        window_hashes,
+        winnow_fingerprints,
+        winnow_shared_stats,
+    )
+
+    k, w = 3, 4
+    shared = " ".join(f"s{i}" for i in range(k + w - 1))  # >= w+k-1 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e " + shared + " x y z"),
+            (2, "p q r " + shared + " m n"),
+            (3, "totally different words only here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fp = winnow_fingerprints(docs, k=k, w=w).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["whash"])
+    # guarantee: a shared substring of >= w+k-1 tokens yields at
+    # least one shared fingerprint
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    # density: far fewer fingerprints than window hashes
+    n_windows = (
+        window_hashes(docs, k).where(F.col("whash").isNotNull()).count()
+    )
+    assert len(fp) < n_windows
+    stats = {r["doc_id"]: r for r in winnow_shared_stats(docs, k=k, w=w).collect()}
+    assert stats[1]["shared_fp"] > 0 and stats[2]["shared_fp"] > 0
+    assert stats[3]["shared_fp"] == 0
+
+
+def test_winnowing_short_doc_gets_one_fingerprint(spark):
+    from model_presto_spark.operators.dedup import winnow_fingerprints
+
+    # 4 tokens, k=3 -> 2 window hashes, fewer than w=4 windows:
+    # still exactly one fingerprint (the global min)
+    docs = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id bigint, text string"
+    )
+    fp = winnow_fingerprints(docs, k=3, w=4).collect()
+    assert len(fp) == 1
+
+
+def test_winnowing_rightmost_tie_deterministic(spark):
+    from model_presto_spark.operators.dedup import winnow_fingerprints
+
+    # identical repeated window -> equal hashes tie; selection must be
+    # deterministic across runs
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y x y x y")], "doc_id bigint, text string"
+    )
+    a = sorted((r["pos"], r["whash"]) for r in winnow_fingerprints(docs, k=2, w=3).collect())
+    b = sorted((r["pos"], r["whash"]) for r in winnow_fingerprints(docs, k=2, w=3).collect())
+    assert a == b and len(a) >= 1
+
+
+# ---------------------------------------------------------------------------
+# lm.bigram_perplexity_scores
+# ---------------------------------------------------------------------------
+def test_bigram_lm_hand_computed(spark):
+    import math as m
+
+    from model_presto_spark.operators.lm import bigram_perplexity_scores
+
+    # corpus: two docs. unigram counts: a:3 b:2 c:1, N=6
+    # bigrams: (a,b):2 (b,a):1 (a,c):1; contexts: a:3 b:1
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b")], "doc_id bigint, text string"
+    )
+    lam = 0.5
+    out = {
+        r["doc_id"]: r
+        for r in bigram_perplexity_scores(
+            docs, lam=lam, min_count=1
+        ).collect()
+    }
+    V, N = 3, 6
+
+    def p1(tf):
+        return (tf + 1.0) / (N + V + 1.0)
+
+    def p(c_bi, c_prev, tf):
+        return lam * c_bi / c_prev + (1 - lam) * p1(tf)
+
+    # doc 2: one bigram (a,b): c_bi=2, c_prev(a)=3, tf(b)=2
+    exp2 = -m.log(p(2, 3, 2)) / m.log(2)
+    assert out[2]["bits_per_token"] == pytest.approx(exp2, rel=1e-12)
+    assert out[2]["n_bigrams"] == 1
+    # doc 1: bigrams (a,b),(b,a),(a,c)
+    e = -(m.log(p(2, 3, 2)) + m.log(p(1, 1, 3)) + m.log(p(1, 3, 1))) / 3 / m.log(2)
+    assert out[1]["bits_per_token"] == pytest.approx(e, rel=1e-12)
+
+
+def test_bigram_lm_prefers_fluent_transitions(spark):
+    from model_presto_spark.operators.lm import bigram_perplexity_scores
+
+    fluent = [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)]
+    salad = [(100, "dog the over quick lazy fox the brown jumps")]
+    docs = spark.createDataFrame(
+        fluent + salad, "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r["bits_per_token"] for r in bigram_perplexity_scores(docs).collect()}
+    assert out[100] > out[0]
