@@ -1126,14 +1126,22 @@ _Q102_ORACLE = f"""
         ON b1.user_id = b2.user_id AND b1.d = b2.d
        AND b1.event_type < b2.event_type
       GROUP BY 1, 2 HAVING COUNT(*) >= {_FI_MIN}
-    ), l3 AS (
-      SELECT b1.event_type AS i1, b2.event_type AS i2,
-             b3.event_type AS i3, COUNT(*) AS support
+    ), p2 AS (
+      -- the pair relation materializes FIRST: writing l3 as a
+      -- 3-way fb join leaves b2-b3 connected only through the
+      -- inequality, and DuckDB's join-order search can pick the
+      -- b2 x b3 cross product (6.4B rows / 80 GB spill at sf0.1).
+      -- Joining the pair subquery to b3 on the basket keys pins
+      -- every join to an equality.
+      SELECT b1.user_id, b1.d, b1.event_type AS i1, b2.event_type AS i2
       FROM fb b1
       JOIN fb b2 ON b1.user_id = b2.user_id AND b1.d = b2.d
                 AND b1.event_type < b2.event_type
-      JOIN fb b3 ON b1.user_id = b3.user_id AND b1.d = b3.d
-                AND b2.event_type < b3.event_type
+    ), l3 AS (
+      SELECT p2.i1, p2.i2, b3.event_type AS i3, COUNT(*) AS support
+      FROM p2
+      JOIN fb b3 ON p2.user_id = b3.user_id AND p2.d = b3.d
+                AND p2.i2 < b3.event_type
       GROUP BY 1, 2, 3 HAVING COUNT(*) >= {_FI_MIN}
     )
     SELECT event_type AS item1, CAST(NULL AS VARCHAR) AS item2,
