@@ -114,3 +114,91 @@ def test_replay_is_idempotent(spark, tmp_path):
 
     assert spark.read.parquet(corpus).count() == 1
     assert spark.read.parquet(ledger).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# streaming/boilerplate.py — incremental line-boilerplate scrubbing
+# ---------------------------------------------------------------------------
+def test_boilerplate_batch_core_running_frequency(spark):
+    from model_presto_spark.streaming.boilerplate import (
+        scrub_batch_against_ledger,
+    )
+
+    batch = _wave(
+        spark,
+        [
+            (1, "fresh alpha\ncookie banner"),
+            (2, "cookie banner\nfresh beta"),
+        ],
+    )
+    # ledger says "cookie banner" was already seen in 3 docs
+    from model_presto_spark.functions.text import h60_fast
+    ledger = spark.createDataFrame(
+        [("cookie banner", 3)], "line string, doc_freq long"
+    ).select(
+        h60_fast(F.col("line")).alias("lhash"), "doc_freq"
+    )
+    scrubbed, deltas = scrub_batch_against_ledger(
+        batch, ledger, min_doc_freq=5
+    )
+    texts = {r["doc_id"]: r["text"] for r in scrubbed.collect()}
+    # 3 prior + 2 in-batch = 5 >= threshold: the line is scrubbed
+    assert texts[1] == "fresh alpha" and texts[2] == "fresh beta"
+    d = {r["lhash"]: r["doc_freq"] for r in deltas.collect()}
+    assert 2 in set(d.values())  # the banner line's in-batch df
+    # below threshold: nothing scrubbed
+    scr2, _ = scrub_batch_against_ledger(batch, None, min_doc_freq=5)
+    texts2 = {r["doc_id"]: r["text"] for r in scr2.collect()}
+    assert "cookie banner" in texts2[1]
+
+
+def test_boilerplate_ingest_across_waves_and_replay(spark, tmp_path):
+    import os
+
+    from model_presto_spark.streaming.boilerplate import (
+        incremental_boilerplate_ingest,
+    )
+
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "bcorpus")
+    ledger = str(tmp_path / "bledger")
+    ckpt = str(tmp_path / "bckpt")
+    schema = "doc_id long, text string"
+    os.makedirs(landing)
+
+    def run():
+        q = incremental_boilerplate_ingest(
+            spark, landing, corpus, ledger, ckpt, schema, min_doc_freq=3
+        )
+        q.awaitTermination(120)
+
+    # wave 1: the banner appears in 2 docs — below threshold, kept
+    _wave(
+        spark, [(1, "body one\nthe banner"), (2, "the banner\nbody two")]
+    ).coalesce(1).write.mode("append").parquet(landing)
+    run()
+    texts = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(corpus).collect()
+    }
+    assert "the banner" in texts[1] and "the banner" in texts[2]
+
+    # wave 2: one more sighting pushes the running frequency to 3 —
+    # scrubbed from the NEW doc (old docs keep it: forward-only)
+    _wave(spark, [(3, "the banner\nbody three")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    run()
+    texts = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(corpus).collect()
+    }
+    assert texts[3] == "body three"
+    assert "the banner" in texts[1]  # forward-only semantics
+
+    # ledger merge-on-read: running frequency is 3
+    led = (
+        spark.read.parquet(ledger)
+        .groupBy("lhash")
+        .agg(F.sum("doc_freq").alias("df"))
+        .collect()
+    )
+    assert 3 in {r["df"] for r in led}

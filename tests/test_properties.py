@@ -280,3 +280,57 @@ def test_cusum_closed_form_equals_recurrence(spark, vals, target, slack):
         s_dn = max(0.0, s_dn + (target - slack - v))
         assert abs(out[i].cusum_up - s_up) < 1e-6
         assert abs(out[i].cusum_down - s_dn) < 1e-6
+
+
+@given(
+    words_a=st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=20),
+    words_b=st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=20),
+    shared=st.lists(st.sampled_from("pqrstuvw"), min_size=6, max_size=10),
+)
+@FAST
+def test_winnowing_shared_substring_guarantee(spark, words_a, words_b, shared):
+    """Schleimer et al. theorem: any common substring of at least
+    w + k - 1 tokens yields at least one common selected fingerprint
+    (k=3, w=4 => guarantee length 6; `shared` is drawn from a
+    disjoint alphabet so it IS a common substring wherever placed)."""
+    from model_presto_spark.operators.dedup import winnow_fingerprints
+
+    text_a = " ".join(words_a + shared)
+    text_b = " ".join(shared + words_b)
+    docs = spark.createDataFrame(
+        [(1, text_a), (2, text_b)], "doc_id bigint, text string"
+    )
+    fp = winnow_fingerprints(docs, k=3, w=4).collect()
+    sets: dict[int, set] = {1: set(), 2: set()}
+    for r in fp:
+        sets[r["doc_id"]].add(r["whash"])
+    assert sets[1] & sets[2]
+
+
+@given(
+    docs_n=st.integers(2, 6),
+    k=st.integers(1, 4),
+    seed=st.integers(0, 5),
+)
+@FAST
+def test_dsir_sample_is_subset_and_exact_k(spark, docs_n, k, seed):
+    """Gumbel-top-k invariants: output ids are a subset of the raw
+    corpus, exactly min(k, n) rows, deterministic under the seed."""
+    from model_presto_spark.operators.dsir import dsir_sample
+
+    raw = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} gamma") for i in range(docs_n)],
+        "doc_id bigint, text string",
+    )
+    target = spark.createDataFrame(
+        [(99, "alpha beta gamma")], "doc_id bigint, text string"
+    )
+    out = dsir_sample(raw, target, k=k, n_buckets=128, seed=seed).collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == min(k, docs_n)
+    assert set(ids) <= set(range(docs_n))
+    again = [
+        r["doc_id"]
+        for r in dsir_sample(raw, target, k=k, n_buckets=128, seed=seed).collect()
+    ]
+    assert ids == again
