@@ -75,6 +75,10 @@ from model_presto_spark.operators.profile import (
     profile_columns,
     token_divergence,
 )
+from model_presto_spark.operators.quality import (
+    c4_quality_flags,
+    gopher_quality_flags,
+)
 from model_presto_spark.operators.pq import (
     build_ivfpq_index,
     ivfpq_search,
@@ -222,6 +226,8 @@ __all__ = [
     "pq_knn_join",
     "prefix_sum",
     "profile_columns",
+    "gopher_quality_flags",
+    "c4_quality_flags",
     "quantize_vectors",
     "quantized_knn_join",
     "ratio_split",

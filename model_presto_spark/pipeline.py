@@ -315,6 +315,33 @@ def _stage_dsir_select(cfg: dict) -> Callable[[DataFrame], DataFrame]:
     return apply
 
 
+def _stage_gopher_gate(cfg: dict) -> Callable[[DataFrame], DataFrame]:
+    id_col = cfg.get("id_col", "doc_id")
+    col = cfg.get("text_col", "text")
+    kwargs = {
+        k: cfg[k]
+        for k in (
+            "min_words", "max_words", "min_mean_word_len",
+            "max_mean_word_len", "max_symbol_ratio",
+            "min_alpha_word_frac", "min_stop_hits",
+            "max_top_2gram_frac", "max_dup_3gram_frac",
+        )
+        if k in cfg
+    }
+
+    def apply(df: DataFrame) -> DataFrame:
+        from model_presto_spark.operators.quality import gopher_quality_flags
+
+        keep = (
+            gopher_quality_flags(df, col, id_col, **kwargs)
+            .where(F.col("gopher_pass"))
+            .select(id_col)
+        )
+        return df.join(keep, id_col, "left_semi")
+
+    return apply
+
+
 _STAGES: dict[str, tuple[Callable[[dict], Callable], set[str]]] = {
     "normalize": (_stage_normalize, {"text_col"}),
     "scrub_pii": (_stage_scrub_pii, {"text_col"}),
@@ -364,6 +391,13 @@ _STAGES: dict[str, tuple[Callable[[dict], Callable], set[str]]] = {
     "dsir_select": (
         _stage_dsir_select,
         {"id_col", "text_col", "target", "k", "n_buckets", "seed"},
+    ),
+    "gopher_gate": (
+        _stage_gopher_gate,
+        {"id_col", "text_col", "min_words", "max_words",
+         "min_mean_word_len", "max_mean_word_len", "max_symbol_ratio",
+         "min_alpha_word_frac", "min_stop_hits", "max_top_2gram_frac",
+         "max_dup_3gram_frac"},
     ),
 }
 

@@ -856,3 +856,98 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bits_per_token"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q113 — Gopher quality-rule bundle (Rae et al. 2021)
+# ---------------------------------------------------------------------------
+def _q113_oracle() -> str:
+    from model_presto_spark.functions.text import LANG_STOPWORDS
+
+    stops = "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"]) + "]"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOK} AS toks FROM documents
+    ), g2 AS (
+      SELECT doc_id, gram, COUNT(*) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(toks) - 1, 1)),
+                 i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+        FROM t)
+      GROUP BY 1, 2
+    ), r2 AS (
+      SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total FROM g2 GROUP BY 1
+    ), g3 AS (
+      SELECT doc_id, gram, COUNT(*) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(toks) - 2, 1)),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS gram
+        FROM t)
+      GROUP BY 1, 2
+    ), r3 AS (
+      SELECT doc_id, COUNT(*) AS n_distinct, SUM(c) AS total
+      FROM g3 GROUP BY 1
+    ), m AS (
+      SELECT t.doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             ROUND(CASE WHEN len(toks) > 0
+                   THEN CAST(list_sum(list_transform(toks, x -> length(x)))
+                        AS DOUBLE) / len(toks) ELSE 0.0 END + 5e-12, 6)
+               AS mean_word_len,
+             ROUND(CASE WHEN len(toks) > 0 THEN
+                   (CAST(length(text) - length(replace(text, '#', ''))
+                         AS DOUBLE)
+                    + (length(text)
+                       - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3)
+                   / len(toks) ELSE 0.0 END + 5e-12, 6) AS symbol_ratio,
+             ROUND(CASE WHEN len(toks) > 0
+                   THEN CAST(len(list_filter(toks,
+                        x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                        / len(toks) ELSE 0.0 END + 5e-12, 6)
+               AS alpha_word_frac,
+             CAST(len(list_intersect(list_distinct(toks), {stops}))
+                  AS BIGINT) AS stop_hits,
+             ROUND(CAST(r2.top_c AS DOUBLE) / r2.total + 5e-12, 6)
+               AS top_2gram_frac,
+             ROUND(1.0 - CAST(r3.n_distinct AS DOUBLE) / r3.total + 5e-12, 6)
+               AS dup_3gram_frac
+      FROM t JOIN r2 ON r2.doc_id = t.doc_id
+             JOIN r3 ON r3.doc_id = t.doc_id
+    )
+    SELECT *,
+           (r_word_count AND r_mean_word_len AND r_symbol AND r_alpha
+            AND r_stop AND r_top_2gram AND r_dup_3gram) AS gopher_pass
+    FROM (
+      SELECT m.*,
+             (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+             (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+               AS r_mean_word_len,
+             (symbol_ratio <= 0.1) AS r_symbol,
+             (alpha_word_frac >= 0.8) AS r_alpha,
+             (stop_hits >= 2) AS r_stop,
+             (top_2gram_frac <= 0.20) AS r_top_2gram,
+             (dup_3gram_frac <= 0.30) AS r_dup_3gram
+      FROM m
+    )
+"""
+
+
+@register(
+    "q113_gopher_rules",
+    _q113_oracle(),
+    doc="Gopher quality-rule bundle (Rae et al. 2021 Table A1, "
+    "token-multiset analogs for the repetition caps): 7 per-document "
+    "flags + overall pass, every metric a closed-form codegen "
+    "expression over one tokens materialization — no explode, no "
+    "shuffle, no Python; flags compare ROUNDED metrics so both "
+    "engines agree at boundaries.",
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.quality import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs)

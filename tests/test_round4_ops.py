@@ -532,3 +532,54 @@ def test_bigram_lm_prefers_fluent_transitions(spark):
     )
     out = {r["doc_id"]: r["bits_per_token"] for r in bigram_perplexity_scores(docs).collect()}
     assert out[100] > out[0]
+
+
+# ---------------------------------------------------------------------------
+# quality.py — Gopher / C4 rule bundles
+# ---------------------------------------------------------------------------
+def test_gopher_flags_hand_cases(spark):
+    from model_presto_spark.operators.quality import gopher_quality_flags
+
+    good = " ".join(
+        ["the quick brown fox jumps over a lazy dog near the river bank"] * 5
+    )  # 65 words, mean len ~4, stopwords present, varied enough
+    short = "tiny doc"
+    symbols = " ".join(["woke ###### ... ..."] * 20)
+    repeat = " ".join(["spam ham"] * 40)
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, repeat)],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert out[2]["r_word_count"] is False  # 2 words < 50
+    assert out[3]["r_symbol"] is False  # # and ... dominate
+    assert out[4]["r_top_2gram"] is False  # one bigram dominates
+    assert out[1]["r_word_count"] and out[1]["r_stop"] and out[1]["r_alpha"]
+    # metrics sanity
+    assert out[1]["n_words"] == 65
+    assert 3.0 <= out[1]["mean_word_len"] <= 10.0
+
+
+def test_c4_flags_hand_cases(spark):
+    from model_presto_spark.operators.quality import c4_quality_flags
+
+    good = (
+        "This is a full sentence with plenty of words here.\n"
+        "Another proper sentence follows right after that one.\n"
+        "And a third one closes the paragraph nicely today."
+    )
+    braces = "function f() { return 1; }"
+    lorem = "Lorem ipsum dolor sit amet. More filler text here. Done now."
+    fragments = "nav\nhome\nabout\ncontact"
+    docs = spark.createDataFrame(
+        [(1, good), (2, braces), (3, lorem), (4, fragments)],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_quality_flags(docs).collect()}
+    assert out[1]["c4_pass"] is True
+    assert out[1]["n_sentences"] == 3
+    assert out[1]["terminal_line_frac"] == 1.0
+    assert out[2]["r_brace"] is False
+    assert out[3]["r_lorem"] is False
+    assert out[4]["r_sentences"] is False  # no terminal punctuation
+    assert out[4]["r_short_lines"] is False  # every line < 5 words
