@@ -1129,6 +1129,7 @@ _ADJUDICATION_TAIL = [
     "q111_winnowing",
     "q112_bigram_lm",
     "q113_gopher_rules",
+    "q114_c4_rules",
     # ---- Parked in earlier rounds (r01/r02-green or redundantly
     # covered; per-query rationales in the git history) ------------------
     "q25_dates",

@@ -951,3 +951,115 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return gopher_quality_flags(docs)
+
+
+# ---------------------------------------------------------------------------
+# Q114 — C4 quality-rule bundle (Raffel et al. 2020)
+# ---------------------------------------------------------------------------
+# The synthetic documents have no punctuation or newlines, so the
+# query derives a structured corpus IN-PLAN (same precedent as q86's
+# derived dirty registry): tokens regroup into 12-token lines, full
+# lines gain a terminal period, the trailing partial line stays bare.
+# That makes every C4 signal vary with document length: sentence
+# count = number of full lines, terminal/short-line fractions move
+# with the remainder.
+_C4_LW = 12
+
+
+def _q114_oracle() -> str:
+    lw = _C4_LW
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK} AS toks FROM documents
+    ), built AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(
+                 generate_series(0, CAST(ceil(len(toks) / {lw}.0) AS BIGINT) - 1),
+                 j -> array_to_string(
+                        list_slice(toks, j * {lw} + 1, j * {lw} + {lw}), ' ')
+                      || CASE WHEN j < CAST(floor(len(toks) / {lw}.0) AS BIGINT)
+                              THEN '.' ELSE '' END),
+               chr(10)) AS text
+      FROM t WHERE len(toks) > 0
+    ), lines AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)),
+                         x -> trim(x) <> '') AS ls,
+             text
+      FROM built
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+               AS n_sentences,
+             ROUND(CASE WHEN len(ls) > 0
+               THEN CAST(len(list_filter(ls,
+                    x -> regexp_matches(trim(x), '[.!?]$'))) AS DOUBLE)
+                    / len(ls) ELSE 0.0 END + 5e-12, 6) AS terminal_line_frac,
+             ROUND(CASE WHEN len(ls) > 0
+               THEN CAST(len(list_filter(ls,
+                    x -> len(list_filter(regexp_split_to_array(trim(x), '\\s+'),
+                                         y -> y <> '')) < 5)) AS DOUBLE)
+                    / len(ls) ELSE 0.0 END + 5e-12, 6) AS short_line_frac,
+             contains(lower(text), 'lorem ipsum') AS has_lorem,
+             contains(text, '{{') AS has_brace
+      FROM lines
+    )
+    SELECT *,
+           (r_sentences AND r_terminal AND r_short_lines AND r_lorem
+            AND r_brace) AS c4_pass
+    FROM (
+      SELECT m.*,
+             (n_sentences >= 3) AS r_sentences,
+             (terminal_line_frac >= 0.5) AS r_terminal,
+             (short_line_frac <= 0.5) AS r_short_lines,
+             (NOT has_lorem) AS r_lorem,
+             (NOT has_brace) AS r_brace
+      FROM m
+    )
+"""
+
+
+@register(
+    "q114_c4_rules",
+    _q114_oracle(),
+    doc="C4 quality-rule bundle (Raffel et al. 2020): line terminal "
+    "punctuation, sentence minimum, short-line fraction, "
+    "lorem-ipsum/brace rejects over an in-plan sentence-ified "
+    "corpus. Closed-form line/regexp expressions; fractions rounded "
+    "before flag comparison.",
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.functions.text import tokens
+    from model_presto_spark.operators.quality import c4_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    lw = _C4_LW
+    toksed = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    built = toksed.where(n > 0).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.ceil(n / F.lit(float(lw))).cast("bigint") - 1,
+                ),
+                lambda j: F.concat(
+                    F.array_join(
+                        F.slice(
+                            F.col("toks"), (j * lw + 1).cast("int"), lw
+                        ),
+                        " ",
+                    ),
+                    F.when(
+                        j < F.floor(n / F.lit(float(lw))).cast("bigint"),
+                        F.lit("."),
+                    ).otherwise(F.lit("")),
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return c4_quality_flags(built)
