@@ -141,7 +141,10 @@ from model_presto_spark.operators.splits import (
 )
 from model_presto_spark.operators.temporal import (
     cohort_retention,
+    day_streaks,
     kaplan_meier,
+    scd2_intervals,
+    sequence_counts,
     transition_matrix,
 )
 from model_presto_spark.operators.timeseries import (
@@ -250,6 +253,9 @@ __all__ = [
     "train_bpe_merges",
     "train_pq_codebooks",
     "transition_matrix",
+    "scd2_intervals",
+    "day_streaks",
+    "sequence_counts",
     "triangle_stats",
     "window_hashes",
     "word_freqs",

@@ -288,3 +288,130 @@ def kaplan_meier(
         )
         .orderBy("t")
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+) -> DataFrame:
+    """Collapse an ordered per-key state stream into SCD Type-2
+    validity intervals: consecutive equal states merge into one
+    version row (key, state, valid_from, valid_to, version).
+
+    The gaps-and-islands build: one window pass marks state changes
+    (lag), a running sum of change flags numbers the islands, and a
+    groupBy collapses each island to its interval. Two windows + one
+    aggregation, all partitioned by the key — one shuffle of the
+    stream, no self-joins. ``valid_to`` is the island's last observed
+    order value (closed interval; open-ended current versions are
+    the caller's null-handling choice). Complements io.merge_upsert
+    (Type 1 overwrite) with the history-preserving dimension build.
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    marked = df.select(
+        key_col,
+        order_col,
+        state_col,
+        F.when(
+            F.lag(state_col).over(w).isNull()
+            | (F.lag(state_col).over(w) != F.col(state_col)),
+            1,
+        )
+        .otherwise(0)
+        .alias("__chg"),
+    )
+    islands = marked.select(
+        key_col,
+        order_col,
+        state_col,
+        F.sum("__chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__island"),
+    )
+    return (
+        islands.groupBy(key_col, "__island")
+        .agg(
+            F.first(state_col).alias(state_col),
+            F.min(order_col).alias("valid_from"),
+            F.max(order_col).alias("valid_to"),
+            F.count(F.lit(1)).cast("bigint").alias("n_observations"),
+        )
+        .select(
+            key_col,
+            state_col,
+            "valid_from",
+            "valid_to",
+            "n_observations",
+            F.col("__island").cast("bigint").alias("version"),
+        )
+    )
+
+
+def day_streaks(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+) -> DataFrame:
+    """Consecutive-day activity streaks per key (gaps-and-islands on
+    the calendar): input is (key, day) observations (duplicates
+    collapse), output one row per key with the longest streak, the
+    streak count, and the active-day count.
+
+    The classic trick: distinct days ranked per key; ``day -
+    rank`` is constant within a consecutive run, so grouping on it
+    isolates the islands without any self-join. One shuffle on the
+    key; the per-key relation is days-sized.
+    """
+    days = df.select(key_col, F.col(day_col).alias("__d")).distinct()
+    w = Window.partitionBy(key_col).orderBy("__d")
+    anchored = days.select(
+        key_col,
+        "__d",
+        F.date_sub(F.col("__d"), F.row_number().over(w)).alias("__anchor"),
+    )
+    islands = anchored.groupBy(key_col, "__anchor").agg(
+        F.count(F.lit(1)).alias("__len")
+    )
+    return islands.groupBy(key_col).agg(
+        F.max("__len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.sum("__len").cast("bigint").alias("active_days"),
+    )
+
+
+def sequence_counts(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    state_col: str,
+    n: int = 3,
+    min_count: int = 1,
+) -> DataFrame:
+    """Ordered n-step state sequences per entity and their corpus
+    frequencies (the length-n sequential-pattern miner; n=2 is
+    transition_matrix's numerator). One lead-window pass per extra
+    step over the entity-partitioned stream — a single shuffle on
+    the key — then one groupBy on the sequence tuple.
+
+    Output: (step1..stepN, n_occurrences) with every step non-null
+    (sequences run inside one entity's stream only).
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    cols = [F.col(state_col).alias("step1")]
+    for i in range(1, n):
+        cols.append(F.lead(state_col, i).over(w).alias(f"step{i + 1}"))
+    seq = df.select(key_col, *cols)
+    cond = None
+    for i in range(1, n):
+        c = F.col(f"step{i + 1}").isNotNull()
+        cond = c if cond is None else (cond & c)
+    return (
+        seq.where(cond)
+        .groupBy(*[f"step{i + 1}" for i in range(n)])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+    )

@@ -1130,6 +1130,9 @@ _ADJUDICATION_TAIL = [
     "q112_bigram_lm",
     "q113_gopher_rules",
     "q114_c4_rules",
+    "q115_scd2",
+    "q116_streaks",
+    "q117_sequences",
     # ---- Parked in earlier rounds (r01/r02-green or redundantly
     # covered; per-query rationales in the git history) ------------------
     "q25_dates",

@@ -1063,3 +1063,141 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return c4_quality_flags(built)
+
+
+# ---------------------------------------------------------------------------
+# Q115 — SCD Type-2 validity intervals (gaps-and-islands build)
+# ---------------------------------------------------------------------------
+# State stream: each user's daily dominant event type (deterministic
+# mode: count desc, name asc). Consecutive equal states collapse
+# into version rows — the history-preserving dimension build that
+# complements io.merge_upsert's Type-1 overwrite.
+_Q115_ORACLE = """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    ), st AS (
+      SELECT user_id, d, event_type AS state FROM daily
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id, d ORDER BY cnt DESC, event_type ASC) = 1
+    ), mk AS (
+      SELECT user_id, d, state,
+             CASE WHEN lag(state) OVER w IS NULL
+                       OR lag(state) OVER w <> state
+                  THEN 1 ELSE 0 END AS chg
+      FROM st WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    ), isl AS (
+      SELECT user_id, d, state,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM mk
+    )
+    SELECT user_id, state,
+           MIN(d) AS valid_from, MAX(d) AS valid_to,
+           CAST(COUNT(*) AS BIGINT) AS n_observations,
+           CAST(island AS BIGINT) AS version
+    FROM isl GROUP BY user_id, state, island
+"""
+
+
+@register(
+    "q115_scd2",
+    _Q115_ORACLE,
+    doc="SCD Type-2 interval build over each user's daily dominant "
+    "event type: lag marks changes, a running sum numbers the "
+    "islands, one groupBy collapses versions — two windows + one "
+    "agg, all partitioned by the key; no self-joins.",
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.temporal import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    st = daily.groupBy("user_id", "d").agg(
+        F.min_by(
+            "event_type", F.struct(-F.col("cnt"), F.col("event_type"))
+        ).alias("state")
+    )
+    return scd2_intervals(st, "user_id", "d", "state")
+
+
+# ---------------------------------------------------------------------------
+# Q116 — consecutive-day activity streaks (gaps and islands)
+# ---------------------------------------------------------------------------
+_Q116_ORACLE = """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), anchored AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY d) AS INTEGER) AS anchor
+      FROM days
+    ), islands AS (
+      SELECT user_id, anchor, COUNT(*) AS len
+      FROM anchored GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM islands GROUP BY 1
+"""
+
+
+@register(
+    "q116_streaks",
+    _Q116_ORACLE,
+    doc="Gaps-and-islands on the calendar: day - rank is constant "
+    "within a consecutive run, so one groupBy isolates streaks with "
+    "no self-join. One shuffle on the user key.",
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.temporal import day_streaks
+
+    ev = _t(spark, sf_dir, "events")
+    return day_streaks(
+        ev.select("user_id", F.to_date("ts").alias("d")), "user_id", "d"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q117 — length-3 sequential patterns over per-user event streams
+# ---------------------------------------------------------------------------
+_SEQ_MIN = 25
+
+_Q117_ORACLE = f"""
+    WITH seq AS (
+      SELECT event_type AS step1,
+             lead(event_type, 1) OVER w AS step2,
+             lead(event_type, 2) OVER w AS step3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT step1, step2, step3,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM seq
+    WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= {_SEQ_MIN}
+"""
+
+
+@register(
+    "q117_sequences",
+    _Q117_ORACLE,
+    doc="Length-3 sequential patterns (ordered event-type windows "
+    f"per user, corpus support >= {_SEQ_MIN}): lead windows over "
+    "the entity-partitioned stream — one shuffle on the key, then "
+    "one groupBy on the sequence tuple. transition_matrix's n=2 "
+    "generalized.",
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.temporal import sequence_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return sequence_counts(
+        ev, "user_id", ["ts", "event_id"], "event_type",
+        n=3, min_count=_SEQ_MIN,
+    )

@@ -354,3 +354,77 @@ def test_transition_matrix_golden(spark):
         sums[f] += p
     for f, s in sums.items():
         assert s == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: SCD2 intervals, day streaks, sequence mining
+# ---------------------------------------------------------------------------
+def test_scd2_intervals_collapses_islands(spark):
+    import datetime as dt
+
+    from model_presto_spark.operators.temporal import scd2_intervals
+
+    d = dt.date
+    rows = [
+        (1, d(2024, 1, 1), "a"),
+        (1, d(2024, 1, 2), "a"),
+        (1, d(2024, 1, 3), "b"),
+        (1, d(2024, 1, 4), "a"),  # a returns: NEW version, not merged
+        (2, d(2024, 1, 1), "x"),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, day date, state string")
+    out = sorted(
+        scd2_intervals(df, "k", "day", "state").collect(),
+        key=lambda r: (r["k"], r["version"]),
+    )
+    u1 = [r for r in out if r["k"] == 1]
+    assert [(r["state"], r["valid_from"], r["valid_to"], r["version"]) for r in u1] == [
+        ("a", d(2024, 1, 1), d(2024, 1, 2), 1),
+        ("b", d(2024, 1, 3), d(2024, 1, 3), 2),
+        ("a", d(2024, 1, 4), d(2024, 1, 4), 3),
+    ]
+    assert u1[0]["n_observations"] == 2
+
+
+def test_day_streaks_hand_case(spark):
+    import datetime as dt
+
+    from model_presto_spark.operators.temporal import day_streaks
+
+    d = dt.date
+    rows = (
+        [(1, d(2024, 1, i)) for i in (1, 2, 3, 5, 6, 10)]
+        + [(1, d(2024, 1, 2))]  # duplicate day collapses
+        + [(2, d(2024, 1, 1))]
+    )
+    df = spark.createDataFrame(rows, "k bigint, day date")
+    out = {r["k"]: r for r in day_streaks(df, "k", "day").collect()}
+    assert out[1]["longest_streak"] == 3  # 1-2-3
+    assert out[1]["n_streaks"] == 3  # {1,2,3}, {5,6}, {10}
+    assert out[1]["active_days"] == 6
+    assert out[2]["longest_streak"] == 1
+
+
+def test_sequence_counts_ordered_within_entity(spark):
+    from model_presto_spark.operators.temporal import sequence_counts
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "a"),
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, t int, s string")
+    out = {
+        (r["step1"], r["step2"], r["step3"]): r["n_occurrences"]
+        for r in sequence_counts(df, "k", ["t"], "s", n=3).collect()
+    }
+    assert out[("a", "b", "c")] == 2
+    assert out[("b", "c", "a")] == 1
+    # sequences never cross entities: ('c','a','b') would need k=1's
+    # tail to join k=2's head
+    assert ("c", "a", "b") not in out
+    # n=2 equals bigram counting
+    out2 = {
+        (r["step1"], r["step2"]): r["n_occurrences"]
+        for r in sequence_counts(df, "k", ["t"], "s", n=2).collect()
+    }
+    assert out2[("a", "b")] == 2 and out2[("c", "a")] == 1
