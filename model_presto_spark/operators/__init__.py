@@ -1,4 +1,10 @@
 from model_presto_spark.operators.asof import asof_join
+from model_presto_spark.operators.behavior import (
+    attribution,
+    benford_digits,
+    ordered_funnel,
+    rfm_scores,
+)
 from model_presto_spark.operators.bucketing import bucketed_join, write_bucketed
 from model_presto_spark.operators.contamination import ngram_contamination
 from model_presto_spark.operators.dedup import (
@@ -161,6 +167,10 @@ __all__ = [
     "apply_mix",
     "apply_mix_epochs",
     "asof_join",
+    "attribution",
+    "benford_digits",
+    "ordered_funnel",
+    "rfm_scores",
     "balanced_sample",
     "bfs_levels",
     "bilinear_resample",

@@ -1043,6 +1043,7 @@ from model_presto_spark.plans import queries_sql2 as _queries_sql2  # noqa: E402
 from model_presto_spark.plans import queries_approx as _queries_approx  # noqa: E402,F401
 from model_presto_spark.plans import queries_llm4 as _queries_llm4  # noqa: E402,F401
 from model_presto_spark.plans import queries_llm5 as _queries_llm5  # noqa: E402,F401
+from model_presto_spark.plans import queries_analytics as _queries_analytics  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
@@ -1133,6 +1134,10 @@ _ADJUDICATION_TAIL = [
     "q115_scd2",
     "q116_streaks",
     "q117_sequences",
+    "q118_ordered_funnel",
+    "q119_rfm",
+    "q120_attribution",
+    "q121_benford",
     # ---- Parked in earlier rounds (r01/r02-green or redundantly
     # covered; per-query rationales in the git history) ------------------
     "q25_dates",

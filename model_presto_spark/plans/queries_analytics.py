@@ -1,0 +1,249 @@
+"""Conformance queries: behavioral / product-analytics family
+(q118+) over the events and orders streams — ordered funnels, RFM
+segmentation, multi-touch attribution, Benford first-digit audit
+(operators/behavior.py). Oracle conventions as everywhere."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from model_presto_spark.plans.queries import _t, register
+
+# ---------------------------------------------------------------------------
+# Q118 — strict-order funnel signup -> view -> purchase
+# ---------------------------------------------------------------------------
+_FUNNEL = ["signup", "view", "purchase"]
+
+_Q118_ORACLE = """
+    WITH s0 AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), s1 AS (
+      SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN s0 ON s0.user_id = e.user_id
+      WHERE e.event_type = 'view' AND e.ts > s0.t0 GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1
+    )
+    SELECT 'signup' AS step, 1 AS step_index,
+           CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_entities
+    UNION ALL
+    SELECT 'view', 2, CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+    UNION ALL
+    SELECT 'purchase', 3, CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+"""
+
+
+@register(
+    "q118_ordered_funnel",
+    _Q118_ORACLE,
+    doc="Strict-order product funnel (each step strictly after the "
+    "previous, single earliest anchor): one entity-keyed aggregation "
+    "+ one entity-keyed join per step — never a stream self-join. "
+    "Counts monotonically non-increasing by construction.",
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.behavior import ordered_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    out = ordered_funnel(ev, "user_id", "ts", "event_type", _FUNNEL)
+    return out.select(
+        "step", F.col("step_index").cast("int").alias("step_index"), "n_entities"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q119 — RFM segmentation over purchase events
+# ---------------------------------------------------------------------------
+_RFM_TILES = 4
+
+_Q119_ORACLE = f"""
+    WITH p AS (
+      SELECT * FROM events WHERE event_type = 'purchase'
+    ), h AS (
+      SELECT MAX(ts) AS m FROM p
+    ), per AS (
+      SELECT user_id,
+             datediff('day', CAST(MAX(ts) AS DATE),
+                      CAST((SELECT m FROM h) AS DATE)) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             ROUND(SUM(value) + 5e-12, 6) AS monetary
+      FROM p GROUP BY 1
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           ntile({_RFM_TILES}) OVER (ORDER BY recency_days, user_id)
+             AS r_score,
+           ntile({_RFM_TILES}) OVER (ORDER BY frequency DESC, user_id)
+             AS f_score,
+           ntile({_RFM_TILES}) OVER (ORDER BY monetary DESC, user_id)
+             AS m_score,
+           CAST(ntile({_RFM_TILES}) OVER (ORDER BY recency_days, user_id)
+                AS VARCHAR)
+           || CAST(ntile({_RFM_TILES}) OVER (ORDER BY frequency DESC, user_id)
+                   AS VARCHAR)
+           || CAST(ntile({_RFM_TILES}) OVER (ORDER BY monetary DESC, user_id)
+                   AS VARCHAR) AS segment
+    FROM per
+"""
+
+
+@register(
+    "q119_rfm",
+    _Q119_ORACLE,
+    doc=f"RFM segmentation ({_RFM_TILES}-tile scores, 1=best) over "
+    "purchase events: one entity aggregation + three ntile windows "
+    "over the entity-level relation; monetary rounds before the "
+    "ordering so float sums rank identically in any engine.",
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.behavior import rfm_scores
+
+    ev = _t(spark, sf_dir, "events")
+    out = rfm_scores(
+        ev.where(F.col("event_type") == "purchase"),
+        "user_id",
+        "ts",
+        "value",
+        n_tiles=_RFM_TILES,
+    )
+    return out.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        "segment",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q120 — linear multi-touch attribution of purchases
+# ---------------------------------------------------------------------------
+_TOUCHES = ["click", "view"]
+
+_Q120_ORACLE = """
+    WITH stream AS (
+      SELECT user_id, ts, event_id, event_type AS t
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')
+    ), marked AS (
+      SELECT user_id, t,
+             SUM(CASE WHEN t <> 'purchase' THEN 1 ELSE 0 END)
+               OVER wp AS n_prior,
+             SUM(CASE WHEN t = 'click' THEN 1 ELSE 0 END)
+               OVER wp AS cnt_click,
+             SUM(CASE WHEN t = 'view' THEN 1 ELSE 0 END)
+               OVER wp AS cnt_view
+      FROM stream
+      WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), conv AS (
+      SELECT * FROM marked
+      WHERE t = 'purchase' AND COALESCE(n_prior, 0) > 0
+    )
+    SELECT 'click' AS touch_type,
+           ROUND(SUM(CAST(cnt_click AS DOUBLE) / n_prior) + 5e-12, 6)
+             AS credit,
+           CAST(COUNT(CASE WHEN cnt_click > 0 THEN 1 END) AS BIGINT)
+             AS n_conversions
+    FROM conv
+    UNION ALL
+    SELECT 'view',
+           ROUND(SUM(CAST(cnt_view AS DOUBLE) / n_prior) + 5e-12, 6),
+           CAST(COUNT(CASE WHEN cnt_view > 0 THEN 1 END) AS BIGINT)
+    FROM conv
+"""
+
+
+@register(
+    "q120_attribution",
+    _Q120_ORACLE,
+    doc="Linear multi-touch attribution: every prior click/view of "
+    "the converting user splits the conversion credit equally. One "
+    "window pass over the entity-ordered merged stream (running "
+    "per-type prior counts) — never a touches x conversions join.",
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.behavior import attribution
+
+    ev = _t(spark, sf_dir, "events")
+    out = attribution(
+        ev, "user_id", "ts", "event_type", _TOUCHES, "purchase",
+        id_col="event_id", model="linear",
+    )
+    return out.select(
+        "touch_type",
+        F.round(F.col("credit") + F.lit(5e-12), 6).alias("credit"),
+        "n_conversions",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q121 — Benford first-digit audit of order totals per priority
+# ---------------------------------------------------------------------------
+def _q121_oracle() -> str:
+    exp = ", ".join(repr(math.log10(1 + 1 / d)) for d in range(1, 10))
+    return f"""
+    WITH base AS (
+      SELECT o_orderpriority AS grp,
+             CAST(floor(o_totalprice
+                        / power(10.0, floor(log10(o_totalprice))))
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), counts AS (
+      SELECT grp, digit, COUNT(*) AS n FROM base GROUP BY 1, 2
+    ), totals AS (
+      SELECT grp, SUM(n) AS total FROM counts GROUP BY 1
+    ), spine AS (
+      SELECT grp, total, unnest(generate_series(1, 9)) AS digit
+      FROM totals
+    ), scored AS (
+      SELECT s.grp, s.digit,
+             CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+             CAST(COALESCE(c.n, 0) AS DOUBLE) / s.total AS observed,
+             ([{exp}])[s.digit] AS expected,
+             s.total
+      FROM spine s LEFT JOIN counts c
+        ON c.grp = s.grp AND c.digit = s.digit
+    ), chi AS (
+      SELECT grp,
+             SUM(pow(observed - expected, 2) / expected * total) AS chi2
+      FROM scored GROUP BY 1
+    )
+    SELECT scored.grp AS o_orderpriority, scored.digit,
+           scored.n,
+           ROUND(scored.observed + 5e-12, 6) AS observed,
+           ROUND(scored.expected + 5e-12, 6) AS expected,
+           ROUND(chi.chi2 + 5e-12, 6) AS chi2
+    FROM scored JOIN chi ON chi.grp = scored.grp
+"""
+
+
+@register(
+    "q121_benford",
+    _q121_oracle(),
+    doc="Benford first-digit audit (fraud/anomaly staple): digit "
+    "extraction is pure arithmetic (no string round-trip), the "
+    "9-digit spine makes absent digits contribute their expected "
+    "mass to chi-square; expected shares embed as identical Python "
+    "double literals in both engines.",
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.behavior import benford_digits
+
+    o = _t(spark, sf_dir, "orders")
+    out = benford_digits(o, "o_totalprice", "o_orderpriority")
+    return out.select(
+        "o_orderpriority",
+        F.col("digit").cast("int").alias("digit"),
+        "n",
+        F.round(F.col("observed") + F.lit(5e-12), 6).alias("observed"),
+        F.round(F.col("expected") + F.lit(5e-12), 6).alias("expected"),
+        F.round(F.col("chi2") + F.lit(5e-12), 6).alias("chi2"),
+    )
