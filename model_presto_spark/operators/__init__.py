@@ -5,6 +5,12 @@ from model_presto_spark.operators.behavior import (
     ordered_funnel,
     rfm_scores,
 )
+from model_presto_spark.operators.stats import (
+    correlation_matrix,
+    covariance_matrix,
+    grouped_ols,
+    pca_project,
+)
 from model_presto_spark.operators.bucketing import bucketed_join, write_bucketed
 from model_presto_spark.operators.contamination import ngram_contamination
 from model_presto_spark.operators.dedup import (
@@ -158,6 +164,7 @@ from model_presto_spark.operators.timeseries import (
     ewma,
     mad_outliers,
     rolling_zscore,
+    seasonal_decompose,
 )
 
 __all__ = [
@@ -171,6 +178,10 @@ __all__ = [
     "benford_digits",
     "ordered_funnel",
     "rfm_scores",
+    "grouped_ols",
+    "covariance_matrix",
+    "correlation_matrix",
+    "pca_project",
     "balanced_sample",
     "bfs_levels",
     "bilinear_resample",
@@ -247,6 +258,7 @@ __all__ = [
     "remove_dup_spans",
     "remove_frequent_lines",
     "rolling_zscore",
+    "seasonal_decompose",
     "salted_count",
     "salted_join",
     "seeded_shuffle",

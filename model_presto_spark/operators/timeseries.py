@@ -347,3 +347,82 @@ def cusum(
             | (F.col("cusum_down") >= threshold),
         )
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Additive seasonal decomposition (STL-lite, the moving-average
+    classical method): per series key,
+
+      trend(t)    = centered moving average over ``period`` points
+                    (null where the window is incomplete — the
+                    standard edge behavior)
+      seasonal(p) = mean of (value - trend) per phase p = position
+                    mod period, re-centered to sum to zero
+      residual    = value - trend - seasonal
+
+    Two windows over the key-partitioned series + one tiny
+    (key, phase) aggregation joined back — one shuffle of the series
+    plus a phase-sized broadcast. Even periods use the standard
+    2x(period) centered average (half-weight endpoints).
+
+    Output: (key, t, value, phase, trend, seasonal, residual).
+    """
+    w = Window.partitionBy(key_col).orderBy(t_col)
+    half = period // 2
+    if period % 2 == 1:
+        trend = F.avg(F.col(value_col)).over(w.rowsBetween(-half, half))
+        cnt = F.count(F.col(value_col)).over(w.rowsBetween(-half, half))
+        trend = F.when(cnt == period, trend)
+    else:
+        # 2xMA: average of the two length-`period` windows offset by
+        # one — equals half-weighting the two endpoints
+        t1 = F.sum(F.col(value_col)).over(w.rowsBetween(-half, half - 1))
+        c1 = F.count(F.col(value_col)).over(w.rowsBetween(-half, half - 1))
+        t2 = F.sum(F.col(value_col)).over(w.rowsBetween(-half + 1, half))
+        c2 = F.count(F.col(value_col)).over(w.rowsBetween(-half + 1, half))
+        trend = F.when(
+            (c1 == period) & (c2 == period),
+            (t1 + t2) / F.lit(2.0 * period),
+        )
+    pos = F.row_number().over(w) - 1
+    staged = df.select(
+        key_col,
+        t_col,
+        F.col(value_col).cast("double").alias("value"),
+        F.pmod(pos, F.lit(period)).cast("int").alias("phase"),
+        trend.alias("trend"),
+    )
+    phase_means = staged.groupBy(key_col, "phase").agg(
+        F.avg(F.col("value") - F.col("trend")).alias("pm")
+    )
+    centering = phase_means.groupBy(key_col).agg(
+        F.avg("pm").alias("pm_mean")
+    )
+    seasonal = (
+        phase_means.join(centering, key_col)
+        .select(
+            key_col,
+            "phase",
+            (F.col("pm") - F.col("pm_mean")).alias("seasonal"),
+        )
+    )
+    return (
+        staged.join(F.broadcast(seasonal), [key_col, "phase"])
+        .select(
+            key_col,
+            t_col,
+            "value",
+            "phase",
+            "trend",
+            "seasonal",
+            (F.col("value") - F.col("trend") - F.col("seasonal")).alias(
+                "residual"
+            ),
+        )
+    )

@@ -1138,6 +1138,9 @@ _ADJUDICATION_TAIL = [
     "q119_rfm",
     "q120_attribution",
     "q121_benford",
+    "q122_grouped_ols",
+    "q123_covariance",
+    "q124_seasonal",
     # ---- Parked in earlier rounds (r01/r02-green or redundantly
     # covered; per-query rationales in the git history) ------------------
     "q25_dates",

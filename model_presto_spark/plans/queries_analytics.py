@@ -247,3 +247,194 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("expected") + F.lit(5e-12), 6).alias("expected"),
         F.round(F.col("chi2") + F.lit(5e-12), 6).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q122 — grouped closed-form OLS: value vs day per event type
+# ---------------------------------------------------------------------------
+_Q122_ORACLE = """
+    WITH base AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS DOUBLE) AS x,
+             CAST(value AS DOUBLE) AS y
+      FROM events WHERE value IS NOT NULL
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM base GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CASE WHEN n * sxx - sx * sx <> 0.0
+             THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END
+             + 5e-12, 6) AS slope,
+           ROUND(CASE WHEN n * sxx - sx * sx <> 0.0
+             THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+             END + 5e-12, 6) AS intercept,
+           ROUND(CASE WHEN n * sxx - sx * sx <> 0.0
+                       AND n * syy - sy * sy <> 0.0
+             THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+             + 5e-12, 6) AS r2
+    FROM m
+"""
+
+
+@register(
+    "q122_grouped_ols",
+    _Q122_ORACLE,
+    doc="Per-group simple OLS from moment sums (one map-side-"
+    "combinable aggregation, no iterations): slope/intercept/r2 of "
+    "event value vs day. Identical closed-form expression trees in "
+    "both engines.",
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.stats import grouped_ols
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        F.col("value").cast("double").alias("y"),
+    )
+    out = grouped_ols(base, "event_type", "x", "y")
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.col("slope") + F.lit(5e-12), 6).alias("slope"),
+        F.round(F.col("intercept") + F.lit(5e-12), 6).alias("intercept"),
+        F.round(F.col("r2") + F.lit(5e-12), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q123 — covariance + correlation matrix of embedding dimensions
+# ---------------------------------------------------------------------------
+_COV_DIMS = 6
+
+_Q123_ORACLE = f"""
+    WITH long AS (
+      SELECT vec_id, d - 1 AS d, CAST(embedding[d] AS DOUBLE) AS x
+      FROM embeddings, generate_series(1, {_COV_DIMS}) g(d)
+    ), prod AS (
+      SELECT a.d AS i, b.d AS j,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(a.x) AS si, SUM(b.x) AS sj, SUM(a.x * b.x) AS sij
+      FROM long a JOIN long b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ), cov AS (
+      SELECT i, j, (sij - si * sj / n) / (n - 1.0) AS cov FROM prod
+    ), diag AS (
+      SELECT i AS k, cov AS var FROM cov WHERE i = j
+    )
+    SELECT c.i, c.j,
+           ROUND(c.cov + 5e-12, 6) AS cov,
+           ROUND(CASE WHEN di.var > 0 AND dj.var > 0
+             THEN c.cov / sqrt(di.var * dj.var) END + 5e-12, 6) AS corr
+    FROM cov c
+    JOIN diag di ON di.k = c.i
+    JOIN diag dj ON dj.k = c.j
+"""
+
+
+@register(
+    "q123_covariance",
+    _Q123_ORACLE,
+    doc=f"Pairwise covariance + Pearson correlation of the first "
+    f"{_COV_DIMS} embedding dimensions, long form: the pair stream "
+    "is a co-partitioned self-join on the row id (O(n·d²) rows — "
+    "covariance's inherent arithmetic), moments map-side combined; "
+    "the correlation join runs on the d²-sized covariance relation.",
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.stats import (
+        correlation_matrix,
+        covariance_matrix,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cov = covariance_matrix(emb, "vec_id", "embedding", _COV_DIMS)
+    corr = correlation_matrix(emb, "vec_id", "embedding", _COV_DIMS)
+    return (
+        cov.join(corr, ["i", "j"])
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            F.round(F.col("cov") + F.lit(5e-12), 6).alias("cov"),
+            F.round(F.col("corr") + F.lit(5e-12), 6).alias("corr"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q124 — additive seasonal decomposition of daily event-type series
+# ---------------------------------------------------------------------------
+_SD_PERIOD = 7
+
+_Q124_ORACLE = f"""
+    WITH series AS (
+      SELECT event_type AS k, CAST(ts AS DATE) AS d,
+             SUM(value) AS value
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), staged AS (
+      SELECT k, d, CAST(value AS DOUBLE) AS value,
+             CAST((row_number() OVER w - 1) % {_SD_PERIOD} AS INT) AS phase,
+             CASE WHEN COUNT(value) OVER w7 = {_SD_PERIOD}
+                  THEN AVG(CAST(value AS DOUBLE)) OVER w7 END AS trend
+      FROM series
+      WINDOW w AS (PARTITION BY k ORDER BY d),
+             w7 AS (PARTITION BY k ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), pm AS (
+      SELECT k, phase, AVG(value - trend) AS pm
+      FROM staged GROUP BY 1, 2
+    ), ctr AS (
+      SELECT k, AVG(pm) AS pm_mean FROM pm GROUP BY 1
+    ), seas AS (
+      SELECT pm.k, pm.phase, pm.pm - ctr.pm_mean AS seasonal
+      FROM pm JOIN ctr ON ctr.k = pm.k
+    )
+    SELECT s.k AS event_type, s.d, ROUND(s.value + 5e-10, 4) AS value,
+           s.phase,
+           ROUND(s.trend + 5e-12, 6) AS trend,
+           ROUND(seas.seasonal + 5e-12, 6) AS seasonal,
+           ROUND(s.value - s.trend - seas.seasonal + 5e-12, 6) AS residual
+    FROM staged s JOIN seas ON seas.k = s.k AND seas.phase = s.phase
+"""
+
+
+@register(
+    "q124_seasonal",
+    _Q124_ORACLE,
+    doc=f"Classical additive decomposition (period {_SD_PERIOD}, "
+    "centered moving-average trend, zero-centered phase means): two "
+    "windows over the key-partitioned series + one phase-sized "
+    "aggregation joined back. Trend null at incomplete edges — the "
+    "standard boundary contract.",
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.timeseries import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    series = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("k"), F.to_date("ts").alias("d")
+        )
+        .agg(F.sum("value").alias("value"))
+    )
+    out = seasonal_decompose(series, "k", "d", "value", period=_SD_PERIOD)
+    return out.select(
+        F.col("k").alias("event_type"),
+        "d",
+        F.round(F.col("value") + F.lit(5e-10), 4).alias("value"),
+        "phase",
+        F.round(F.col("trend") + F.lit(5e-12), 6).alias("trend"),
+        F.round(F.col("seasonal") + F.lit(5e-12), 6).alias("seasonal"),
+        F.round(F.col("residual") + F.lit(5e-12), 6).alias("residual"),
+    )
