@@ -51,6 +51,7 @@ from model_presto_spark.operators.grid import (
 from model_presto_spark.operators.graph import (
     connected_components,
     dedup_clusters,
+    kcore_peel,
     keep_cluster_representatives,
     label_propagation,
 )
@@ -223,6 +224,7 @@ __all__ = [
     "knn_classify",
     "knn_join",
     "label_propagation",
+    "kcore_peel",
     "line_dedup_stats",
     "linkage_clusters",
     "mad_outliers",

@@ -481,3 +481,64 @@ def label_propagation(
             ).alias("label")
         ).localCheckpoint(eager=True)
     return labels
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    rounds: int = 4,
+) -> DataFrame:
+    """Bounded k-core peeling: repeatedly drop nodes with degree < k
+    (undirected, dedup'd edges) for a FIXED number of rounds, then
+    report every original node with its final degree and whether it
+    survived. With enough rounds this converges to the true k-core;
+    fixing ``rounds`` keeps the whole computation restatable as
+    unrolled SQL (the pagerank/BFS/LPA contract) — callers wanting
+    the fixpoint loop until the drop count hits zero (each round is
+    one degree aggregation + one semi-join, the CC shape, eager
+    checkpoint per round).
+
+    Output: (node, degree, in_core) — degree within the peeled
+    subgraph (0 if peeled out).
+    """
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    e = (
+        edges.select(a, b)
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    cur = e
+    for _ in range(rounds):
+        sym = cur.select(F.col("a").alias("n")).unionByName(
+            cur.select(F.col("b").alias("n"))
+        )
+        deg = sym.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("n")
+        cur = (
+            cur.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    sym = cur.select(F.col("a").alias("node")).unionByName(
+        cur.select(F.col("b").alias("node"))
+    )
+    final_deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        all_nodes.join(final_deg, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("degree"), F.lit(0)).cast("bigint").alias(
+                "degree"
+            ),
+            (F.coalesce(F.col("degree"), F.lit(0)) >= k).alias("in_core"),
+        )
+    )

@@ -1141,6 +1141,8 @@ _ADJUDICATION_TAIL = [
     "q122_grouped_ols",
     "q123_covariance",
     "q124_seasonal",
+    "q125_zipf",
+    "q126_kcore",
     # ---- Parked in earlier rounds (r01/r02-green or redundantly
     # covered; per-query rationales in the git history) ------------------
     "q25_dates",

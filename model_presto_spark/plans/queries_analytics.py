@@ -438,3 +438,140 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("seasonal") + F.lit(5e-12), 6).alias("seasonal"),
         F.round(F.col("residual") + F.lit(5e-12), 6).alias("residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q125 — Zipf-law fit of the corpus token frequency distribution
+# ---------------------------------------------------------------------------
+_Q125_ORACLE = """
+    WITH tf AS (
+      SELECT token, COUNT(*) AS freq
+      FROM (
+        SELECT unnest(list_filter(
+          regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS token
+        FROM documents)
+      GROUP BY 1
+    ), ranked AS (
+      SELECT log10(CAST(row_number() OVER (ORDER BY freq DESC, token)
+                        AS DOUBLE)) AS x,
+             log10(CAST(freq AS DOUBLE)) AS y
+      FROM tf
+    ), m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_types,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) + 5e-12, 6)
+             AS zipf_slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                 + 5e-12, 6) AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) + 5e-12, 6)
+             AS r2
+    FROM m
+"""
+
+
+@register(
+    "q125_zipf",
+    _Q125_ORACLE,
+    doc="Zipf-law exponent of the corpus unigram distribution: "
+    "log-log rank/frequency OLS composed from the posting-list "
+    "frequency table and the closed-form moment regression "
+    "(stats.grouped_ols) — the corpus-health fingerprint a data "
+    "pipeline tracks across snapshots.",
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from model_presto_spark.functions.text import tokens
+    from model_presto_spark.operators.stats import grouped_ols
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.col("token"))
+    ranked = tf.select(
+        F.lit("all").alias("g"),
+        F.log10(F.row_number().over(w).cast("double")).alias("x"),
+        F.log10(F.col("freq").cast("double")).alias("y"),
+    )
+    out = grouped_ols(ranked, "g", "x", "y")
+    return out.select(
+        F.col("n").alias("n_types"),
+        F.round(F.col("slope") + F.lit(5e-12), 6).alias("zipf_slope"),
+        F.round(F.col("intercept") + F.lit(5e-12), 6).alias("intercept"),
+        F.round(F.col("r2") + F.lit(5e-12), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q126 — bounded k-core peeling on the derived orders graph
+# ---------------------------------------------------------------------------
+_KC_MOD = 50
+_KC_K = 4
+_KC_ROUNDS = 3
+
+
+def _q126_oracle() -> str:
+    head = f"""
+    WITH e0 AS (
+      SELECT DISTINCT
+        least(o_custkey % {_KC_MOD}, o_orderkey % {_KC_MOD}) AS a,
+        greatest(o_custkey % {_KC_MOD}, o_orderkey % {_KC_MOD}) AS b
+      FROM orders
+      WHERE o_custkey % {_KC_MOD} <> o_orderkey % {_KC_MOD}
+    ), nodes AS (
+      SELECT a AS node FROM e0 UNION SELECT b FROM e0
+    )"""
+    steps = []
+    for i in range(_KC_ROUNDS):
+        steps.append(f""", d{i} AS (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT a AS n FROM e{i} UNION ALL SELECT b FROM e{i}) GROUP BY 1
+    ), k{i} AS (
+      SELECT n FROM d{i} WHERE d >= {_KC_K}
+    ), e{i + 1} AS (
+      SELECT e.a, e.b FROM e{i} e
+      JOIN k{i} ka ON ka.n = e.a
+      JOIN k{i} kb ON kb.n = e.b
+    )""")
+    tail = f"""
+    , fd AS (
+      SELECT n AS node, COUNT(*) AS degree FROM (
+        SELECT a AS n FROM e{_KC_ROUNDS}
+        UNION ALL SELECT b FROM e{_KC_ROUNDS}) GROUP BY 1
+    )
+    SELECT CAST(nodes.node AS BIGINT) AS node,
+           CAST(COALESCE(fd.degree, 0) AS BIGINT) AS degree,
+           COALESCE(fd.degree, 0) >= {_KC_K} AS in_core
+    FROM nodes LEFT JOIN fd ON fd.node = nodes.node"""
+    return head + "".join(steps) + tail
+
+
+@register(
+    "q126_kcore",
+    _q126_oracle(),
+    doc=f"Bounded k-core peeling (k={_KC_K}, {_KC_ROUNDS} rounds, "
+    "unrolled-SQL contract like PageRank/BFS/LPA): each round one "
+    "degree aggregation + two semi-joins, eager checkpoint lineage "
+    "truncation; the fixpoint variant loops until the drop count "
+    "hits zero.",
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.graph import kcore_peel
+
+    orders = _t(spark, sf_dir, "orders")
+    e = orders.select(
+        (F.col("o_custkey") % _KC_MOD).cast("bigint").alias("src"),
+        (F.col("o_orderkey") % _KC_MOD).cast("bigint").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    out = kcore_peel(e, k=_KC_K, rounds=_KC_ROUNDS)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"), "degree", "in_core"
+    )

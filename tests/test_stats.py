@@ -106,3 +106,20 @@ def test_seasonal_decompose_recovers_planted_cycle(spark):
     assert by_t[mid]["residual"] == pytest.approx(0.0, abs=1e-9)
     # edges: trend null where the centered window is incomplete
     assert by_t[dt.date(2024, 1, 1)]["trend"] is None
+
+
+def test_kcore_peel_converges_on_planted_core(spark):
+    from pyspark.sql import functions as F
+
+    from model_presto_spark.operators.graph import kcore_peel
+
+    # K5 clique (every node degree 4) + a pendant path hanging off it
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    path = [(4, 10), (10, 11), (11, 12)]
+    e = spark.createDataFrame(clique + path, "src bigint, dst bigint")
+    out = {r["node"]: r for r in kcore_peel(e, k=3, rounds=4).collect()}
+    assert all(out[i]["in_core"] for i in range(5))
+    assert not out[11]["in_core"] and not out[12]["in_core"]
+    # node 10's pendant chain peels away; the clique's degrees hold
+    assert out[0]["degree"] >= 3
+    assert out[12]["degree"] == 0
