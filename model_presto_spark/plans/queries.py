@@ -1143,6 +1143,9 @@ _ADJUDICATION_TAIL = [
     "q124_seasonal",
     "q125_zipf",
     "q126_kcore",
+    "q127_pareto",
+    "q128_association_rules",
+    "q129_lead_lag",
     # ---- Parked in earlier rounds (r01/r02-green or redundantly
     # covered; per-query rationales in the git history) ------------------
     "q25_dates",

@@ -575,3 +575,253 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").cast("bigint").alias("node"), "degree", "in_core"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q127 — Pareto (80/20) concentration analysis of customer revenue
+# ---------------------------------------------------------------------------
+_PARETO_TH = 0.8
+
+_Q127_ORACLE = f"""
+    WITH rev AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice) + 5e-12, 6) AS revenue
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT o_custkey, revenue,
+             row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rnk,
+             SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             SUM(revenue) OVER () AS total_rev,
+             COUNT(*) OVER () AS n_cust
+    FROM rev
+    )
+    SELECT CAST(MIN(rnk) AS BIGINT) AS n_top,
+           CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+           ROUND(CAST(MIN(rnk) AS DOUBLE) / MAX(n_cust) + 5e-12, 6)
+             AS top_share_of_customers
+    FROM ranked
+    WHERE cum_rev / total_rev >= {_PARETO_TH}
+"""
+
+
+@register(
+    "q127_pareto",
+    _Q127_ORACLE,
+    doc=f"Pareto concentration: the smallest top-k of customers whose "
+    f"cumulative revenue reaches {_PARETO_TH:.0%}. Revenue rounds "
+    "before ranking (cross-engine stable order); the cumulative "
+    "window runs over the customer-level relation, not raw orders.",
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") + F.lit(5e-12), 6).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.col("o_custkey"))
+    ranked = rev.select(
+        "o_custkey",
+        "revenue",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("revenue").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum_rev"),
+        F.sum("revenue").over(Window.partitionBy()).alias("total_rev"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_cust"),
+    )
+    hit = ranked.where(
+        F.col("cum_rev") / F.col("total_rev") >= _PARETO_TH
+    )
+    return hit.agg(
+        F.min("rnk").cast("bigint").alias("n_top"),
+        F.max("n_cust").cast("bigint").alias("n_customers"),
+        F.round(
+            F.min("rnk").cast("double") / F.max("n_cust") + F.lit(5e-12), 6
+        ).alias("top_share_of_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q128 — association rules (confidence / lift) from frequent pairs
+# ---------------------------------------------------------------------------
+_AR_MIN = 150
+
+_Q128_ORACLE = f"""
+    WITH b AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+      FROM events
+    ), nb AS (
+      SELECT COUNT(*) AS n_baskets
+      FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events)
+    ), l1 AS (
+      SELECT event_type, COUNT(*) AS support FROM b GROUP BY 1
+    ), p2 AS (
+      SELECT b1.event_type AS antecedent, b2.event_type AS consequent,
+             COUNT(*) AS pair_support
+      FROM b b1 JOIN b b2
+        ON b1.user_id = b2.user_id AND b1.d = b2.d
+       AND b1.event_type <> b2.event_type
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_AR_MIN}
+    )
+    SELECT p2.antecedent, p2.consequent,
+           CAST(p2.pair_support AS BIGINT) AS pair_support,
+           ROUND(CAST(p2.pair_support AS DOUBLE) / la.support + 5e-12, 6)
+             AS confidence,
+           ROUND(CAST(p2.pair_support AS DOUBLE) * nb.n_baskets
+                 / (CAST(la.support AS DOUBLE) * lc.support) + 5e-12, 6)
+             AS lift
+    FROM p2
+    JOIN l1 la ON la.event_type = p2.antecedent
+    JOIN l1 lc ON lc.event_type = p2.consequent
+    CROSS JOIN nb
+"""
+
+
+@register(
+    "q128_association_rules",
+    _Q128_ORACLE,
+    doc="Association rules over user-day baskets: directed "
+    "confidence P(c|a) and lift from the within-basket pair counts "
+    f"(support >= {_AR_MIN}) — the Apriori (q102) post-processing "
+    "that turns itemsets into recommendations. Basket-keyed joins "
+    "only; item-support tables broadcast.",
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    ).distinct()
+    nb = b.select("user_id", "d").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    l1 = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("support"))
+    b1 = b.select("user_id", "d", F.col("event_type").alias("antecedent"))
+    b2 = b.select("user_id", "d", F.col("event_type").alias("consequent"))
+    p2 = (
+        b1.join(b2, ["user_id", "d"])
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("pair_support"))
+        .where(F.col("pair_support") >= _AR_MIN)
+    )
+    la = l1.select(
+        F.col("event_type").alias("antecedent"),
+        F.col("support").alias("sup_a"),
+    )
+    lc = l1.select(
+        F.col("event_type").alias("consequent"),
+        F.col("support").alias("sup_c"),
+    )
+    return (
+        p2.join(F.broadcast(la), "antecedent")
+        .join(F.broadcast(lc), "consequent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("pair_support").cast("bigint").alias("pair_support"),
+            F.round(
+                F.col("pair_support").cast("double") / F.col("sup_a")
+                + F.lit(5e-12),
+                6,
+            ).alias("confidence"),
+            F.round(
+                F.col("pair_support").cast("double")
+                * F.col("n_baskets")
+                / (F.col("sup_a").cast("double") * F.col("sup_c"))
+                + F.lit(5e-12),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q129 — lead-lag cross-correlation between two daily series
+# ---------------------------------------------------------------------------
+_XC_LAGS = 3
+
+_Q129_ORACLE = f"""
+    WITH s AS (
+      SELECT CAST(ts AS DATE) AS d,
+             SUM(CASE WHEN event_type = 'view' THEN value END) AS x,
+             SUM(CASE WHEN event_type = 'purchase' THEN value END) AS y
+      FROM events GROUP BY 1
+    ), lags AS (
+      SELECT unnest(generate_series(-{_XC_LAGS}, {_XC_LAGS})) AS lag
+    ), paired AS (
+      SELECT l.lag, a.x, b.y
+      FROM lags l
+      JOIN s a ON TRUE
+      JOIN s b ON b.d = a.d + CAST(l.lag AS INTEGER)
+      WHERE a.x IS NOT NULL AND b.y IS NOT NULL
+    ), m AS (
+      SELECT lag, CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM paired GROUP BY 1
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           ROUND(CASE WHEN (n * sxx - sx * sx) > 0
+                       AND (n * syy - sy * sy) > 0
+             THEN (n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+             + 5e-12, 6) AS xcorr
+    FROM m
+"""
+
+
+@register(
+    "q129_lead_lag",
+    _Q129_ORACLE,
+    doc=f"Lead-lag cross-correlation (lags -{_XC_LAGS}..{_XC_LAGS}) "
+    "between the daily view and purchase value series: the lag table "
+    "is a literal spine crossed against the (days-sized) series "
+    "relation; Pearson per lag from the same closed-form moments as "
+    "grouped OLS.",
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", F.col("value"))
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+        ).alias("y"),
+    )
+    lags = ev.sparkSession.range(-_XC_LAGS, _XC_LAGS + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = s.select("d", "x")
+    b = s.select(F.col("d").alias("bd"), "y")
+    paired = (
+        lags.crossJoin(a)
+        .join(b, F.col("bd") == F.expr("date_add(d, lag)"))
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    x, y = F.col("x"), F.col("y")
+    m = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    dx = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    dy = m["n"] * m["syy"] - m["sy"] * m["sy"]
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.when(
+                (dx > 0) & (dy > 0),
+                (m["n"] * m["sxy"] - m["sx"] * m["sy"]) / F.sqrt(dx * dy),
+            )
+            + F.lit(5e-12),
+            6,
+        ).alias("xcorr"),
+    )
