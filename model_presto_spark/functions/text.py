@@ -344,3 +344,70 @@ def normalize_text(text: Column) -> Column:
     no_ctl = F.regexp_replace(text, r"[\x00-\x08\x0b-\x1f\x7f-\x9f]", "")
     collapsed = F.regexp_replace(no_ctl, r"[ \t]+", " ")
     return F.trim(collapsed)
+
+
+def charclass_counts(text: Column) -> dict[str, Column]:
+    """Character-class census: uppercase / digit / punctuation /
+    whitespace counts and ratios over the raw text.
+
+    Mirrors the reference's quality heuristics (symbol-to-word and
+    capital-ratio rules) as pure length-difference expressions — the
+    count of class C is ``len(s) - len(regexp_replace(s, C, ''))``,
+    entirely JVM-side, no UDF. ASCII classes only, so Java regex and
+    RE2 (DuckDB oracle) agree byte-for-byte.
+    """
+    n_chars = F.length(text).cast("double")
+
+    def _count(cls: str) -> Column:
+        return (
+            F.length(text) - F.length(F.regexp_replace(text, cls, ""))
+        ).cast("bigint")
+
+    n_upper = _count("[A-Z]")
+    n_digit = _count("[0-9]")
+    n_punct = _count("[.,;:!?]")
+    n_space = _count("[ \\t\\n]")
+    safe = F.when(n_chars > 0, n_chars).otherwise(F.lit(1.0))
+    return {
+        "n_chars": F.length(text).cast("bigint"),
+        "n_upper": n_upper,
+        "n_digit": n_digit,
+        "n_punct": n_punct,
+        "n_space": n_space,
+        "upper_ratio": n_upper.cast("double") / safe,
+        "digit_ratio": n_digit.cast("double") / safe,
+        "punct_ratio": n_punct.cast("double") / safe,
+        "space_ratio": n_space.cast("double") / safe,
+    }
+
+
+def readability_features(text: Column) -> dict[str, Column]:
+    """Flesch reading-ease via deterministic proxies: words =
+    whitespace tokens, sentences = ``[.!?]+`` runs (min 1),
+    syllables = ``[aeiouy]+`` vowel groups in the lowercased text.
+
+    The syllable proxy is the standard cheap estimator (one vowel
+    group ~ one syllable); scores are comparable across documents,
+    which is what corpus-quality filtering needs. All counts are
+    ``regexp_extract_all`` sizes — vectorized, no UDF.
+    """
+    n_words = F.size(tokens(text)).cast("double")
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("double")
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("double")
+    flesch = F.when(
+        n_words > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sents)
+        - F.lit(84.6) * (n_syll / n_words),
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_words": n_words.cast("bigint"),
+        "n_sentences": n_sents.cast("bigint"),
+        "n_syllables": n_syll.cast("bigint"),
+        "flesch": flesch,
+    }

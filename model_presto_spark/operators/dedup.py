@@ -914,3 +914,62 @@ def winnow_shared_stats(
         .otherwise(F.lit(0.0))
         .alias("shared_fraction"),
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    prefix_tokens: int | None = None,
+) -> DataFrame:
+    """Pairwise content overlap between sources: for every source
+    pair (a < b), the count of shared normalized-text fingerprints
+    and the fingerprint-set Jaccard.
+
+    ``prefix_tokens`` fingerprints only the first N whitespace tokens
+    (a "lead shingle") instead of the full body — the standard cheap
+    proxy for near-duplicate leads across crawls, where full-body
+    equality is too strict to surface leakage.
+
+    Scale shape: documents reduce to distinct (source, 60-bit
+    fingerprint) rows immediately — bodies never shuffle. The pair
+    generation is an equi-join on the fingerprint (not a source
+    cross-product), so cost is proportional to actual overlap, and
+    per-source set sizes come from one grouped countDistinct.
+    Mirrors the reference's cross-dataset leakage audit semantics
+    (presto-tolbi/presto/dataops/dataset.py idempotence keys).
+
+    Returns (source_a, source_b, n_shared, n_a, n_b, jaccard).
+    """
+    from model_presto_spark.functions.text import fingerprint60, tokens
+
+    if prefix_tokens is None:
+        key = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    else:
+        key = F.concat_ws(
+            " ", F.slice(tokens(F.col(text_col)), 1, prefix_tokens)
+        )
+    fp = (
+        df.select(F.col(source_col).alias("src"), fingerprint60(key).alias("fp"))
+        .distinct()
+    )
+    sizes = fp.groupBy("src").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        shared.join(F.broadcast(sizes.withColumnRenamed("src", "source_a")
+                                .withColumnRenamed("n_fp", "n_a")), "source_a")
+        .join(F.broadcast(sizes.withColumnRenamed("src", "source_b")
+                          .withColumnRenamed("n_fp", "n_b")), "source_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+        )
+    )
+    return out.select("source_a", "source_b", "n_shared", "n_a", "n_b", "jaccard")
