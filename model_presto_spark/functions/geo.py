@@ -275,3 +275,27 @@ def square_buffer_bbox(lat: Column, lon: Column, half_side_m: Column) -> Column:
         (lon + dlon).alias("max_lon"),
         (lat + dlat).alias("max_lat"),
     )
+
+
+def grid_cell16(qlat: Column, qlon: Column, bits: int = 8) -> Column:
+    """Geohash-style interleaved cell id from two pre-quantized
+    integer coordinates in [0, 2^bits): even bit positions take
+    longitude bits, odd take latitude (geohash bit order), yielding
+    a Z-order cell id in [0, 4^bits).
+
+    Pure integer bit algebra (shiftright/&/+) so any SQL engine with
+    ``>>`` and ``&`` reproduces it bit-for-bit — the oracle-safe core
+    of geohash bucketing; neighbor cells share id prefixes, so range
+    scans on the id cluster spatially (same property Z-order layout
+    exploits in ``operators/layout.py``).
+    """
+    cell = F.lit(0).cast("bigint")
+    for i in range(bits):
+        lon_bit = F.shiftright(qlon.cast("bigint"), i).bitwiseAND(F.lit(1))
+        lat_bit = F.shiftright(qlat.cast("bigint"), i).bitwiseAND(F.lit(1))
+        cell = (
+            cell
+            + lon_bit * F.lit(1 << (2 * i)).cast("bigint")
+            + lat_bit * F.lit(1 << (2 * i + 1)).cast("bigint")
+        )
+    return cell

@@ -199,3 +199,120 @@ def pca_project(
     return df.select(
         F.col(id_col), F.array(*pcs).alias("pc")
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    out_col: str = "weighted_median",
+) -> DataFrame:
+    """Per-group weighted median: the smallest value whose cumulative
+    weight reaches half the group's total weight (lower weighted
+    median — deterministic, no interpolation).
+
+    Window algebra only: one shuffle on the group key, a running
+    weight sum ordered by (value, rowid for tie stability), and a
+    min over qualifying rows. Weighted quantiles are the piece
+    Spark's ``percentile`` family lacks (it is frequency-weighted
+    only via ``percentile(col, p, freq)`` with *integer* freq; this
+    accepts arbitrary non-negative double weights).
+    """
+    from pyspark.sql import Window
+
+    w_ord = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(value_col).asc(), F.col(weight_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = F.sum(weight_col).over(w_ord)
+    tot = F.sum(weight_col).over(w_all)
+    qual = F.when(cum * 2 >= tot, F.col(value_col))
+    return (
+        df.withColumn("_qual", qual)
+        .groupBy(group_col)
+        .agg(F.min("_qual").alias(out_col))
+    )
+
+
+def clamped_running_balance(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: list[str],
+    delta_col: str,
+    out_col: str = "balance",
+) -> DataFrame:
+    """Non-negative running balance b_t = max(0, b_{t-1} + delta_t)
+    in closed form — no recursion, no UDF.
+
+    Identity: with prefix sums P_t, the clamped recurrence equals
+    ``P_t - min(0, min_{j<=t} P_j)`` — one running sum plus one
+    running min over the same ordered window. The standard inventory
+    /credit-ledger primitive that naive window SQL cannot express
+    without recursion.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # a window function cannot nest inside another window function,
+    # so materialize the prefix column before taking its running min
+    prefix = F.sum(delta_col).over(w)
+    df2 = df.withColumn("_prefix", prefix)
+    w2 = (
+        Window.partitionBy(entity_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df2.withColumn("_runmin", F.min("_prefix").over(w2))
+        .withColumn(
+            out_col,
+            F.col("_prefix") - F.least(F.lit(0.0), F.col("_runmin")),
+        )
+        .drop("_prefix", "_runmin")
+    )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    out_col: str = "ts_slope",
+) -> DataFrame:
+    """Per-group Theil-Sen estimator: the median of pairwise slopes
+    (y_j - y_i)/(x_j - x_i) over all i<j with distinct x.
+
+    Robust complement to ``grouped_ols`` (up to ~29% outlier
+    contamination). The pair generation is an in-group self-join —
+    O(n_g^2) per group by definition of the estimator, so cap the
+    group size upstream (aggregate to a coarser x first, as q145
+    does with daily totals). The join is co-partitioned on the group
+    key: one shuffle of each side, pairs never leave their executor.
+    """
+    a = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).alias("_xa"),
+        F.col(y_col).alias("_ya"),
+    )
+    b = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).alias("_xb"),
+        F.col(y_col).alias("_yb"),
+    )
+    pairs = a.join(b, "_g").where(F.col("_xb") > F.col("_xa"))
+    slopes = pairs.select(
+        "_g",
+        ((F.col("_yb") - F.col("_ya")) / (F.col("_xb") - F.col("_xa"))).alias(
+            "_slope"
+        ),
+    )
+    return slopes.groupBy("_g").agg(
+        F.expr("percentile(_slope, 0.5)").alias(out_col)
+    ).withColumnRenamed("_g", group_col)

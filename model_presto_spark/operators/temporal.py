@@ -415,3 +415,54 @@ def sequence_counts(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
         .where(F.col("n_occurrences") >= min_count)
     )
+
+
+def max_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    group_cols: list[str] | None = None,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Peak number of simultaneously-open intervals (sweep line):
+    explode each [start, end) interval into a +1/-1 event stream,
+    running-sum it in time order, take the max.
+
+    End events sort before start events at equal timestamps (the end
+    is exclusive), and ``tie_cols`` pins a total order so the running
+    sum is deterministic. With ``group_cols`` the sweep runs
+    independently per group — one shuffle on the group key; without,
+    it is a single global ordered window (documented single-reducer
+    bottleneck: use a group column, e.g. the calendar day, at scale).
+
+    Returns one row per group: (group..., peak_concurrency).
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    tcols = list(tie_cols or [])
+    base = [F.col(c) for c in gcols]
+    starts = df.select(
+        *base,
+        F.col(start_col).alias("_t"),
+        F.lit(1).alias("_delta"),
+        *[F.col(c).alias(f"_tie_{c}") for c in tcols],
+    )
+    ends = df.select(
+        *base,
+        F.col(end_col).alias("_t"),
+        F.lit(-1).alias("_delta"),
+        *[F.col(c).alias(f"_tie_{c}") for c in tcols],
+    )
+    ev = starts.unionByName(ends)
+    order = [F.col("_t").asc(), F.col("_delta").asc()] + [
+        F.col(f"_tie_{c}").asc() for c in tcols
+    ]
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = ev.withColumn("_open", F.sum("_delta").over(w))
+    agg = swept.groupBy(*gcols).agg(F.max("_open").alias("peak_concurrency"))
+    return agg

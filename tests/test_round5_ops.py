@@ -94,3 +94,77 @@ def test_source_overlap_prefix_tokens(spark):
     lead = source_overlap(df, "source", "text", prefix_tokens=3).collect()
     assert full == 0  # full bodies differ
     assert len(lead) == 1 and lead[0].n_shared == 1
+
+
+# ---------------------------------------------------------------------------
+# stats.py / temporal.py / geo.py round-5 additions
+# ---------------------------------------------------------------------------
+def test_weighted_median_hand_computed(spark):
+    from model_presto_spark.operators.stats import weighted_median
+
+    # g: values 1,2,3 with weights 1,1,10 -> cum 1,2,12 tot 12 ->
+    # first cum*2>=12 is value 3
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 10.0),
+         ("h", 5.0, 2.0), ("h", 7.0, 2.0)],
+        "grp string, v double, w double",
+    )
+    out = {r.grp: r.weighted_median
+           for r in weighted_median(df, "grp", "v", "w").collect()}
+    assert out["g"] == 3.0
+    assert out["h"] == 5.0  # lower weighted median at the 50% boundary
+
+
+def test_clamped_running_balance_matches_recurrence(spark):
+    import random
+
+    from model_presto_spark.operators.stats import clamped_running_balance
+
+    rng = random.Random(7)
+    rows = [("u", i, rng.uniform(-5, 4)) for i in range(60)]
+    df = spark.createDataFrame(rows, "e string, i int, d double")
+    got = (
+        clamped_running_balance(df, "e", ["i"], "d")
+        .orderBy("i")
+        .select("balance")
+        .collect()
+    )
+    bal, want = 0.0, []
+    for _, _, d in rows:
+        bal = max(0.0, bal + d)
+        want.append(bal)
+    for g, w in zip(got, want):
+        assert abs(g.balance - w) < 1e-9
+
+
+def test_theil_sen_resists_outlier(spark):
+    from model_presto_spark.operators.stats import theil_sen_slope
+
+    # y = 2x except one wild outlier; OLS would bend, Theil-Sen won't
+    rows = [("g", float(x), 2.0 * x) for x in range(10)]
+    rows[5] = ("g", 5.0, 500.0)
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    slope = theil_sen_slope(df, "grp", "x", "y").first().ts_slope
+    assert abs(slope - 2.0) < 1e-9
+
+
+def test_max_concurrency_exclusive_end(spark):
+    from model_presto_spark.operators.temporal import max_concurrency
+
+    # [0,10) [10,20) never overlap; [5,15) overlaps both
+    df = spark.createDataFrame(
+        [("d", 1, 0.0, 10.0), ("d", 2, 10.0, 20.0), ("d", 3, 5.0, 15.0)],
+        "day string, id int, s double, e double",
+    )
+    out = max_concurrency(df, "s", "e", ["day"], ["id"]).first()
+    assert out.peak_concurrency == 2
+
+
+def test_grid_cell16_interleaves(spark):
+    from model_presto_spark.functions.geo import grid_cell16
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(3, 1)], "qlat int, qlon int")
+    # lat=0b11 on odd bits -> 0b1010; lon=0b01 on even bits -> 0b0001
+    cell = df.select(grid_cell16(F.col("qlat"), F.col("qlon")).alias("c")).first().c
+    assert cell == 0b1011
