@@ -542,3 +542,48 @@ def kcore_peel(
             (F.coalesce(F.col("degree"), F.lit(0)) >= k).alias("in_core"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """HITS (Kleinberg) hub/authority scores with a fixed unrolled
+    iteration count, integer-exact.
+
+    Scores stay UN-normalized through the iterations — starting from
+    hub=1 they remain integers (authority = sum of incident hubs,
+    hub = sum of incident authorities), so any engine reproduces
+    them bit-for-bit; the caller normalizes once at the end (the
+    returned ``authority`` column is authority_raw / sum). Each
+    iteration is one edge equi-join + one groupBy — identical
+    shuffle shape per round to ``pagerank``; the edge relation is
+    re-read per round, so persist it upstream for >2 iterations.
+
+    Returns (dst, authority_raw BIGINT, authority DOUBLE).
+    """
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    # hub == 1 initially -> first authority pass is plain indegree
+    auth = e.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    for _ in range(iterations - 1):
+        hub = (
+            e.join(auth, "v")
+            .groupBy("u")
+            .agg(F.sum("a").cast("bigint").alias("h"))
+        )
+        auth = (
+            e.join(hub, "u")
+            .groupBy("v")
+            .agg(F.sum("h").cast("bigint").alias("a"))
+        )
+    total = auth.agg(F.sum("a").cast("double").alias("s"))
+    return (
+        auth.crossJoin(F.broadcast(total))
+        .select(
+            F.col("v").alias("dst"),
+            F.col("a").alias("authority_raw"),
+            (F.col("a").cast("double") / F.col("s")).alias("authority"),
+        )
+    )

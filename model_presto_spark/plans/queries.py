@@ -1046,6 +1046,7 @@ from model_presto_spark.plans import queries_llm5 as _queries_llm5  # noqa: E402
 from model_presto_spark.plans import queries_analytics as _queries_analytics  # noqa: E402,F401
 from model_presto_spark.plans import queries_text3 as _queries_text3  # noqa: E402,F401
 from model_presto_spark.plans import queries_analytics2 as _queries_analytics2  # noqa: E402,F401
+from model_presto_spark.plans import queries_graph2 as _queries_graph2  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.

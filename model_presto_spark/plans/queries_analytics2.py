@@ -235,3 +235,169 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.sum("value")).alias("total_value"),
     )
     return agg.orderBy(F.col("n").desc(), F.col("cell").asc()).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Q139 — weekly + cumulative VWAP per returnflag
+# ---------------------------------------------------------------------------
+_Q139_RUN = (
+    "SUM(pv) OVER (PARTITION BY l_returnflag ORDER BY week "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / "
+    "SUM(vol) OVER (PARTITION BY l_returnflag ORDER BY week "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
+_Q139_ORACLE = f"""
+    WITH wk AS (
+      SELECT l_returnflag,
+             strftime(date_trunc('week', l_shipdate), '%Y-%m-%d') AS week,
+             SUM(l_extendedprice * l_quantity) AS pv,
+             SUM(l_quantity) AS vol
+      FROM lineitem
+      GROUP BY 1, 2
+    )
+    SELECT l_returnflag, week,
+           {_R6.format(x='pv / vol')} AS vwap_week,
+           {_R6.format(x=_Q139_RUN)} AS vwap_cum
+    FROM wk
+"""
+
+
+@register(
+    "q139_vwap",
+    _Q139_ORACLE,
+    doc="Weekly and cumulative volume-weighted average price per "
+    "returnflag: one partial-aggregated groupBy to weekly moments, "
+    "then running-ratio windows over the (tiny) weekly relation — "
+    "the raw stream never enters a window.",
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    wk = (
+        li.groupBy(
+            "l_returnflag",
+            F.date_format(F.date_trunc("week", "l_shipdate"), "yyyy-MM-dd").alias(
+                "week"
+            ),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("pv"),
+            F.sum("l_quantity").alias("vol"),
+        )
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("week")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return wk.select(
+        "l_returnflag",
+        "week",
+        _r6(F.col("pv") / F.col("vol")).alias("vwap_week"),
+        _r6(F.sum("pv").over(w) / F.sum("vol").over(w)).alias("vwap_cum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q140 — non-negative running balance (closed-form clamp)
+# ---------------------------------------------------------------------------
+_Q140_ORACLE = f"""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('purchase', 'signup') THEN value
+                  ELSE -value END AS delta
+      FROM events
+    ), pre AS (
+      SELECT user_id, ts, event_id,
+             SUM(delta) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM d
+    ), bal AS (
+      SELECT user_id,
+             p - LEAST(0.0, MIN(p) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS b
+      FROM pre
+    )
+    SELECT user_id,
+           {_R6.format(x='MAX(b)')} AS peak_balance
+    FROM bal GROUP BY user_id
+"""
+
+
+@register(
+    "q140_clamped_balance",
+    _Q140_ORACLE,
+    doc="Non-negative running ledger balance b_t = max(0, b_(t-1) + "
+    "delta_t) in closed form (operators/stats.py "
+    "clamped_running_balance): prefix sum minus clamped running min "
+    "— the recursion SQL cannot express, as two windows.",
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.stats import clamped_running_balance
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type").isin("purchase", "signup"), F.col("value")
+        )
+        .otherwise(-F.col("value"))
+        .alias("delta"),
+    )
+    bal = clamped_running_balance(d, "user_id", ["ts", "event_id"], "delta")
+    return bal.groupBy("user_id").agg(
+        _r6(F.max("balance")).alias("peak_balance")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q141 — hopping (sliding) event-time windows, native F.window
+# ---------------------------------------------------------------------------
+_Q141_ORACLE = f"""
+    WITH hop AS (
+      SELECT e.value, e.event_type,
+             (CAST(floor(epoch(e.ts) / 600) AS BIGINT) * 600 - k.k * 600)
+               AS ws
+      FROM events e
+      CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS k) k
+    )
+    SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {_R6.format(x='SUM(value)')} AS total_value
+    FROM hop
+    GROUP BY ws
+"""
+
+
+@register(
+    "q141_hopping_window",
+    _Q141_ORACLE,
+    doc="30-min hopping windows with 10-min hop via native F.window "
+    "(slideDuration) — Catalyst's window generator emits the 3 "
+    "covering windows per event; epoch-aligned starts match the "
+    "oracle's floor arithmetic. The Structured Streaming windowed-agg "
+    "shape, run batch.",
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r6(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+            "total_value",
+        )
+    )

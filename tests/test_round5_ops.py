@@ -168,3 +168,18 @@ def test_grid_cell16_interleaves(spark):
     # lat=0b11 on odd bits -> 0b1010; lon=0b01 on even bits -> 0b0001
     cell = df.select(grid_cell16(F.col("qlat"), F.col("qlon")).alias("c")).first().c
     assert cell == 0b1011
+
+
+def test_hits_integer_scores(spark):
+    from model_presto_spark.operators.graph import hits
+
+    # u1 -> {v1, v2}, u2 -> {v1}: a1 = indeg: v1=2, v2=1
+    # h2(u1) = a1(v1)+a1(v2) = 3; h2(u2) = 2
+    # a2(v1) = h2(u1)+h2(u2) = 5; a2(v2) = h2(u1) = 3
+    edges = spark.createDataFrame(
+        [("u1", "v1"), ("u1", "v2"), ("u2", "v1")], "src string, dst string"
+    )
+    out = {r.dst: r for r in hits(edges, "src", "dst", iterations=2).collect()}
+    assert out["v1"].authority_raw == 5
+    assert out["v2"].authority_raw == 3
+    assert abs(out["v1"].authority - 5 / 8) < 1e-12
