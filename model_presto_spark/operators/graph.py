@@ -587,3 +587,67 @@ def hits(
             (F.col("a").cast("double") / F.col("s")).alias("authority"),
         )
     )
+
+
+def grid_density_clusters(
+    cells: DataFrame,
+    row_col: str = "r",
+    col_col: str = "c",
+    grid_w: int = 32,
+) -> DataFrame:
+    """DBSCAN-style density clustering on a pre-bucketed grid:
+    orthogonally-adjacent dense cells merge into clusters.
+
+    ``cells`` must already be the DENSE cell relation (one row per
+    cell that passed the density threshold) with integer (row, col)
+    coordinates in [0, grid_w). The distributed work is the upstream
+    quantization + density aggregation over the raw points (that is
+    what scales to 100 TB — the classic grid-DBSCAN reduction that
+    replaces any distance cross-join); the dense-cell GRAPH is
+    bounded by the grid itself (<= grid_w^2 nodes regardless of data
+    volume), so its transitive closure runs as driver-side
+    union-find — the "model crosses the driver, not the data"
+    contract shared with PCA's d x d eigensolve and IVF's k
+    centroids. (``connected_components`` stays the tool for
+    UNBOUNDED node sets, e.g. q55's document graph; a percolation-
+    regime grid would cost it tens of min-propagation rounds for a
+    graph that fits in L2 cache.) Isolated dense cells become
+    singleton clusters.
+
+    Returns (cell_id, cluster) with cluster = min cell_id reachable.
+    """
+    ids = cells.select(
+        (F.col(row_col).cast("bigint") * grid_w + F.col(col_col)).alias(
+            "cell_id"
+        )
+    )
+    dense = sorted(r.cell_id for r in ids.collect())  # <= grid_w^2 rows
+    dense_set = set(dense)
+    parent = {cid: cid for cid in dense}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min keeps the label = min reachable cell id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for cid in dense:
+        c = cid % grid_w
+        r = cid // grid_w
+        if c < grid_w - 1 and (cid + 1) in dense_set:
+            union(cid, cid + 1)
+        if r < grid_w - 1 and (cid + grid_w) in dense_set:
+            union(cid, cid + grid_w)
+
+    spark = cells.sparkSession
+    mapping = spark.createDataFrame(
+        [(cid, find(cid)) for cid in dense], "cell_id long, cluster long"
+    )
+    return mapping

@@ -183,3 +183,25 @@ def test_hits_integer_scores(spark):
     assert out["v1"].authority_raw == 5
     assert out["v2"].authority_raw == 3
     assert abs(out["v1"].authority - 5 / 8) < 1e-12
+
+
+def test_grid_density_clusters_adjacency(spark):
+    from model_presto_spark.operators.graph import grid_density_clusters
+
+    # L-shaped blob + singleton + horizontal pair
+    cells = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 1), (5, 5), (9, 9), (9, 10)], "r int, c int"
+    )
+    out = grid_density_clusters(cells, "r", "c", grid_w=32)
+    comp = {r.cell_id: r.cluster for r in out.collect()}
+    assert comp[0] == comp[1] == comp[33]  # L-shape merges
+    assert comp[165] == 165  # isolated dense cell = singleton
+    assert comp[297] == comp[298] and comp[297] != comp[0]
+
+
+def test_grid_density_no_diagonal_merge(spark):
+    from model_presto_spark.operators.graph import grid_density_clusters
+
+    cells = spark.createDataFrame([(0, 0), (1, 1)], "r int, c int")
+    out = grid_density_clusters(cells, "r", "c", grid_w=32).collect()
+    assert len({r.cluster for r in out}) == 2  # diagonals don't touch
