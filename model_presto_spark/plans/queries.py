@@ -1048,6 +1048,7 @@ from model_presto_spark.plans import queries_text3 as _queries_text3  # noqa: E4
 from model_presto_spark.plans import queries_analytics2 as _queries_analytics2  # noqa: E402,F401
 from model_presto_spark.plans import queries_graph2 as _queries_graph2  # noqa: E402,F401
 from model_presto_spark.plans import queries_analytics3 as _queries_analytics3  # noqa: E402,F401
+from model_presto_spark.plans import queries_stats2 as _queries_stats2  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
