@@ -559,12 +559,17 @@ def hits(
     them bit-for-bit; the caller normalizes once at the end (the
     returned ``authority`` column is authority_raw / sum). Each
     iteration is one edge equi-join + one groupBy — identical
-    shuffle shape per round to ``pagerank``; the edge relation is
-    re-read per round, so persist it upstream for >2 iterations.
+    shuffle shape per round to ``pagerank``. The edge list is
+    localCheckpoint-materialized up front: each iteration references
+    it twice (hub and authority passes), and an un-materialized plan
+    would re-run the whole upstream join/distinct per reference
+    (the q137 plan audit measured 24 scans -> 2 from this line).
 
     Returns (dst, authority_raw BIGINT, authority DOUBLE).
     """
-    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).localCheckpoint(eager=False)
     # hub == 1 initially -> first authority pass is plain indegree
     auth = e.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
     for _ in range(iterations - 1):
