@@ -308,8 +308,66 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timings["semantic_dedup"] = time.time() - t0
     spark.catalog.clearCache()
 
+    # round-5 additions: HITS on the derived graph, cross-source
+    # overlap matrix, weighted median / EWMA / sweep-line concurrency
+    # window algebra over a synthetic event stream derived from docs
+    from model_presto_spark.operators.graph import hits
+
+    t0 = time.time()
+    n_hits = hits(e, "src", "dst", iterations=2).count()
+    timings["hits"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    from model_presto_spark.operators.dedup import source_overlap
+
+    t0 = time.time()
+    n_overlap = source_overlap(docs, "source", "text", prefix_tokens=4).count()
+    timings["source_overlap"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    from model_presto_spark.operators.stats import weighted_median
+    from model_presto_spark.operators.timeseries import ewma
+    from model_presto_spark.operators.temporal import max_concurrency
+
+    stream = docs.select(
+        (F.col("doc_id") % 997).alias("entity"),
+        F.col("doc_id").alias("seq"),
+        (F.pmod(F.xxhash64("text"), F.lit(1000)).cast("double") / 10.0).alias(
+            "v"
+        ),
+    )
+    t0 = time.time()
+    n_wm = weighted_median(stream, "entity", "v", "v").count()
+    timings["weighted_median"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    n_ewma = (
+        ewma(stream, "entity", ["seq"], "v")
+        .agg(F.sum("ewma")).collect()
+    )
+    n_ewma = len(n_ewma)
+    timings["ewma"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    iv = stream.select(
+        "entity", "seq", F.col("seq").alias("s"),
+        (F.col("seq") + 500).alias("e2"),
+    )
+    n_conc = max_concurrency(
+        iv, "s", "e2", group_cols=["entity"], tie_cols=["seq"]
+    ).count()
+    timings["concurrency"] = time.time() - t0
+    spark.catalog.clearCache()
+
     timings["_counts"] = {  # type: ignore[assignment]
         "minhash_pairs": n_mh,
+        "hits_nodes": n_hits,
+        "overlap_pairs": n_overlap,
+        "wm_groups": n_wm,
+        "ewma_rows": n_ewma,
+        "conc_groups": n_conc,
         "boiler_docs": n_boiler,
         "containment_pairs": n_cont,
         "dsir_kept": n_dsir,
