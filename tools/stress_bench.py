@@ -421,6 +421,11 @@ def main() -> int:
         "triangles",
         "adamic_adar",
         "bfs",
+        "hits",
+        "source_overlap",
+        "weighted_median",
+        "ewma",
+        "concurrency",
     ):
         r = results[big_tag][op] / max(results[small_tag][op], 1e-9)
         exponents[op] = round(math.log(r) / math.log(ratio_n), 3)
