@@ -84,13 +84,19 @@ def windowed_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     extra_keys: list[str] | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window aggregate with late-data watermark (W1 on a
-    stream; the reference has no stream processor — this is the
-    Spark-native upgrade of its monthly batch loop)."""
-    keys = [F.window(F.col(ts_col), window).alias("win")] + [
-        F.col(k) for k in (extra_keys or [])
-    ]
+    """Tumbling — or, with ``slide``, hopping — window aggregate with
+    late-data watermark (W1 on a stream; the reference has no stream
+    processor — this is the Spark-native upgrade of its monthly batch
+    loop). A slide shorter than the window emits every covering
+    window per event (q141's batch shape, run continuously)."""
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    keys = [win.alias("win")] + [F.col(k) for k in (extra_keys or [])]
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(*keys)

@@ -266,3 +266,32 @@ def test_stream_stream_left_outer_join(spark, events_landing, tmp_path):
     w = keyset(want.collect())
     assert g == w
     assert any(ts == "None" for _, _, ts in g)  # outer rows present
+
+
+def test_hopping_windows_match_batch(spark, events_landing, tmp_path):
+    """Hopping (sliding) windows on a stream == the batch q141 shape:
+    every event lands in window/slide covering windows on both
+    paths."""
+    from model_presto_spark.streaming.pipeline import windowed_counts
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    stream = spark.readStream.schema(schema).parquet(events_landing)
+    agg = windowed_counts(
+        stream, "ts", window="6 hours", watermark="12 hours",
+        slide="2 hours",
+    )
+    got = _run_to_memory(
+        spark, agg, "hop_parity", str(tmp_path / "ck_hop")
+    ).select("window_start", "n", "total")
+
+    batch = spark.read.schema(schema).parquet(events_landing)
+    want = (
+        batch.groupBy(F.window("ts", "6 hours", "2 hours").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(F.col("win.start").alias("window_start"), "n", "total")
+    )
+    g = {(str(r.window_start), r.n, round(r.total, 6)) for r in got.collect()}
+    w = {(str(r.window_start), r.n, round(r.total, 6)) for r in want.collect()}
+    assert g == w
+    # hopping emits ~3x the tumbling window count (6h window, 2h hop)
+    assert len(g) > 30
