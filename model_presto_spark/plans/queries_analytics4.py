@@ -55,10 +55,15 @@ _Q152_ORACLE = f"""
 def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # materialize the bipartite edge list once: deg + both pair sides
+    # reference it, and an un-materialized plan re-runs the
+    # orders-lineitem join/distinct per reference (plan audit: 16
+    # scans -> 4)
     e = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
     a = e.select(F.col("c"), F.col("s").alias("s1"))
@@ -234,9 +239,14 @@ _Q155_ORACLE = f"""
 )
 def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    obs = ev.groupBy(
-        F.col("event_type").alias("x"), F.dayofweek("ts").alias("y")
-    ).agg(F.count(F.lit(1)).cast("double").alias("nxy"))
+    # obs is a ~35-row contingency table referenced by xs/ys/spine/
+    # marginals — materialize once instead of re-aggregating the
+    # stream per reference (plan audit: 24 scans -> 2)
+    obs = (
+        ev.groupBy(F.col("event_type").alias("x"), F.dayofweek("ts").alias("y"))
+        .agg(F.count(F.lit(1)).cast("double").alias("nxy"))
+        .localCheckpoint(eager=False)
+    )
     xs = obs.select("x").distinct()
     ys = obs.select("y").distinct()
     spine = xs.crossJoin(ys)
@@ -372,6 +382,9 @@ def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     n_docs = tf.select("doc_id").distinct().count()
+    # the weighted posting list feeds norms AND both sides of the
+    # pair join — materialize once so the token explosion + tf/df
+    # aggregation runs a single time (plan audit: 16 scans -> 2)
     w = (
         tf.join(F.broadcast(df), "term")
         .where((F.col("df") <= _Q157_MAX_DF) & (F.col("df") > 1))
@@ -382,6 +395,7 @@ def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "w"
             ),
         )
+        .localCheckpoint(eager=False)
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
