@@ -205,3 +205,70 @@ def test_grid_density_no_diagonal_merge(spark):
     cells = spark.createDataFrame([(0, 0), (1, 1)], "r int, c int")
     out = grid_density_clusters(cells, "r", "c", grid_w=32).collect()
     assert len({r.cluster for r in out}) == 2  # diagonals don't touch
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    """ewma() claims pandas ewm(adjust=True).mean() semantics — pin
+    it against the real thing on a random series."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(31)
+    vals = [rng.uniform(-10, 10) for _ in range(40)]
+    df = spark.createDataFrame(
+        [("u", i, v) for i, v in enumerate(vals)], "e string, i int, v double"
+    )
+    from model_presto_spark.operators.timeseries import ewma
+
+    got = [
+        r.ewma
+        for r in ewma(df, "e", ["i"], "v", alpha=0.25)
+        .orderBy("i")
+        .collect()
+    ]
+    want = pd.Series(vals).ewm(alpha=0.25, adjust=True).mean().tolist()
+    assert all(abs(g - w) < 1e-9 for g, w in zip(got, want))
+
+
+def test_weighted_median_matches_numpy_style(spark):
+    """Lower weighted median == first value whose cumulative weight
+    reaches half the total, on random integer weights."""
+    import random
+
+    rng = random.Random(13)
+    rows = [("g", rng.uniform(0, 100), float(rng.randint(1, 9)))
+            for _ in range(200)]
+    df = spark.createDataFrame(rows, "grp string, v double, w double")
+    from model_presto_spark.operators.stats import weighted_median
+
+    got = weighted_median(df, "grp", "v", "w").first().weighted_median
+    srt = sorted(rows, key=lambda r: (r[1], r[2]))
+    tot = sum(r[2] for r in rows)
+    cum = 0.0
+    want = None
+    for _, v, w in srt:
+        cum += w
+        if cum * 2 >= tot:
+            want = v
+            break
+    assert got == want
+
+
+def test_max_concurrency_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(99)
+    ivs = []
+    for i in range(120):
+        s = rng.uniform(0, 100)
+        ivs.append(("d", i, s, s + rng.uniform(1, 25)))
+    df = spark.createDataFrame(ivs, "day string, id int, s double, e double")
+    from model_presto_spark.operators.temporal import max_concurrency
+
+    got = max_concurrency(df, "s", "e", ["day"], ["id"]).first().peak_concurrency
+    # brute force: for every start point, count open intervals
+    want = max(
+        sum(1 for (_, _, s2, e2) in ivs if s2 <= s < e2) for (_, _, s, _) in ivs
+    )
+    assert got == want
