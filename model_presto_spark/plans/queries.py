@@ -1071,6 +1071,15 @@ from model_presto_spark.plans import queries_analytics4 as _queries_analytics4  
 #   query has been driver-adjudicated in some round.
 # - Round 4+: when adding queries, re-rotate so anything still
 #   without a driver row in ANY round sits inside the head-50.
+# - Round-5 session (driver round 3) added q130-q159 — all parked
+#   below (they join q110-q129 in waiting). The head was left
+#   UNTOUCHED all session: it holds the 50 oldest never-adjudicated
+#   queries and CORRECTNESS_r03 (whenever the driver snapshots) will
+#   adjudicate exactly them. NEXT SESSION: once CORRECTNESS_r03
+#   exists and covers the current head, park all 50 head members
+#   here and promote q110-q159 (exactly 50) to the head — do it at
+#   session START, since driver snapshots have been observed
+#   mid-round (CORRECTNESS_r02 reflects a mid-round-2 state).
 #
 # Every query (head and tail) still runs in bench.py and in the local
 # gate (tools/check_correctness.py at sf0.01 AND sf0.1), which has no
@@ -1152,6 +1161,38 @@ _ADJUDICATION_TAIL = [
     "q127_pareto",
     "q128_association_rules",
     "q129_lead_lag",
+    # ---- Round-5 additions: parked on arrival (never displace the
+    # current head) — promoted next session together with q110-q129 ----
+    "q130_charclass_profile",
+    "q131_readability",
+    "q132_source_overlap",
+    "q133_weighted_median",
+    "q134_ewma",
+    "q135_concurrency",
+    "q136_geohash_grid",
+    "q137_hits",
+    "q138_label_noise",
+    "q139_vwap",
+    "q140_clamped_balance",
+    "q141_hopping_window",
+    "q142_grid_dbscan",
+    "q143_entropy_gini",
+    "q144_bollinger",
+    "q145_theil_sen",
+    "q146_moments",
+    "q147_ks_test",
+    "q148_gini",
+    "q149_autocorr",
+    "q150_funnel_latency",
+    "q151_mutual_info",
+    "q152_bipartite_projection",
+    "q153_rolling_median",
+    "q154_mom_growth",
+    "q155_chi_square",
+    "q156_burstiness",
+    "q157_tfidf_cosine",
+    "q158_interval_coverage",
+    "q159_sojourn",
     # ---- Parked in earlier rounds (r01/r02-green or redundantly
     # covered; per-query rationales in the git history) ------------------
     "q25_dates",
