@@ -6,10 +6,13 @@ from model_presto_spark.operators.behavior import (
     rfm_scores,
 )
 from model_presto_spark.operators.stats import (
+    clamped_running_balance,
     correlation_matrix,
     covariance_matrix,
     grouped_ols,
     pca_project,
+    theil_sen_slope,
+    weighted_median,
 )
 from model_presto_spark.operators.bucketing import bucketed_join, write_bucketed
 from model_presto_spark.operators.contamination import ngram_contamination
@@ -125,12 +128,15 @@ from model_presto_spark.operators.timeseries import (
 
 from model_presto_spark.operators.dedup import (
     remove_dup_spans,
+    source_overlap,
     span_dup_stats,
     window_hashes,
 )
 from model_presto_spark.operators.graph import (
     adamic_adar,
     bfs_levels,
+    grid_density_clusters,
+    hits,
     pagerank,
     triangle_stats,
 )
@@ -156,6 +162,7 @@ from model_presto_spark.operators.temporal import (
     cohort_retention,
     day_streaks,
     kaplan_meier,
+    max_concurrency,
     scd2_intervals,
     sequence_counts,
     transition_matrix,
@@ -238,6 +245,13 @@ __all__ = [
     "pack_sequences",
     "pad_series",
     "pagerank",
+    "hits",
+    "grid_density_clusters",
+    "max_concurrency",
+    "weighted_median",
+    "clamped_running_balance",
+    "theil_sen_slope",
+    "source_overlap",
     "patch_pool",
     "per_class_capped_split",
     "perplexity_scores",
