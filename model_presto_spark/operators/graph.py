@@ -565,6 +565,10 @@ def hits(
     would re-run the whole upstream join/distinct per reference
     (the q137 plan audit measured 24 scans -> 2 from this line).
 
+    Multigraph semantics: duplicate (src, dst) rows count as parallel
+    edges and weight the scores accordingly — pass a ``.distinct()``
+    edge list for simple-graph HITS (q137 does).
+
     Returns (dst, authority_raw BIGINT, authority DOUBLE).
     """
     e = edges.select(
