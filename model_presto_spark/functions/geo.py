@@ -279,9 +279,13 @@ def square_buffer_bbox(lat: Column, lon: Column, half_side_m: Column) -> Column:
 
 def grid_cell16(qlat: Column, qlon: Column, bits: int = 8) -> Column:
     """Geohash-style interleaved cell id from two pre-quantized
-    integer coordinates in [0, 2^bits): even bit positions take
-    longitude bits, odd take latitude (geohash bit order), yielding
-    a Z-order cell id in [0, 4^bits).
+    integer coordinates in [0, 2^bits): even bit positions (from the
+    LSB) take longitude bits, odd take latitude, yielding a Z-order
+    cell id in [0, 4^bits). NOTE: this is geohash's alternation
+    pattern but counted from the LSB, so the ids are NOT prefix-
+    compatible with real geohash strings (whose most-significant
+    interleaved bit is longitude) — same neighbor-clustering
+    property, different bit significance.
 
     Pure integer bit algebra (shiftright/&/+) so any SQL engine with
     ``>>`` and ``&`` reproduces it bit-for-bit — the oracle-safe core

@@ -949,9 +949,13 @@ def source_overlap(
         key = F.concat_ws(
             " ", F.slice(tokens(F.col(text_col)), 1, prefix_tokens)
         )
+    # materialize: fp is referenced three times (both pair-join sides
+    # and the size aggregation) — an un-materialized plan re-runs the
+    # body tokenize/fingerprint/distinct per reference
     fp = (
         df.select(F.col(source_col).alias("src"), fingerprint60(key).alias("fp"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = fp.groupBy("src").agg(F.count(F.lit(1)).alias("n_fp"))
     a = fp.alias("a")

@@ -213,8 +213,12 @@ def weighted_median(
     median — deterministic, no interpolation).
 
     Window algebra only: one shuffle on the group key, a running
-    weight sum ordered by (value, rowid for tie stability), and a
-    min over qualifying rows. Weighted quantiles are the piece
+    weight sum ordered by (value, weight), and a min over qualifying
+    rows. Rows tied on (value, weight) have engine-chosen order, but
+    the LOWER-median result is invariant to it: the min qualifying
+    VALUE cannot change when equal values swap places. (Extensions
+    that return the qualifying ROW would need a real unique-id
+    tie-break.) Weighted quantiles are the piece
     Spark's ``percentile`` family lacks (it is frequency-weighted
     only via ``percentile(col, p, freq)`` with *integer* freq; this
     accepts arbitrary non-negative double weights).

@@ -67,6 +67,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Shared 6-dp cross-engine rounding convention (see the module
+# docstring for why the +5e-12 nudge exists). Query modules import
+# these rather than redefining them so the convention has one home.
+R6_SQL = "ROUND({x} + 5e-12, 6)"
+
+
+def r6(c):
+    return F.round(c + F.lit(5e-12), 6)
+
+
 # ---------------------------------------------------------------------------
 # Q1 — scan / projection / ordered limit  (S4/S7, P1, O6)
 # ---------------------------------------------------------------------------

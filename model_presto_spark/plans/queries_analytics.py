@@ -689,9 +689,13 @@ _Q128_ORACLE = f"""
 )
 def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    b = ev.select(
-        "user_id", F.to_date("ts").alias("d"), "event_type"
-    ).distinct()
+    # b feeds nb/l1/b1/b2 — materialize the distinct basket relation
+    # once instead of re-scanning events per reference
+    b = (
+        ev.select("user_id", F.to_date("ts").alias("d"), "event_type")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nb = b.select("user_id", "d").distinct().agg(
         F.count(F.lit(1)).alias("n_baskets")
     )

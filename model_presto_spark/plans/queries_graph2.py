@@ -8,14 +8,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from model_presto_spark.plans.queries import _t, register
+from model_presto_spark.plans.queries import R6_SQL, _t, r6, register
 from model_presto_spark.plans.queries_ml import _SQDIST
 
-_R6 = "ROUND({x} + 5e-12, 6)"
-
-
-def _r6(c):
-    return F.round(c + F.lit(5e-12), 6)
+_R6 = R6_SQL
+_r6 = r6
 
 
 # ---------------------------------------------------------------------------

@@ -12,13 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from model_presto_spark.plans.queries import _t, register
+from model_presto_spark.plans.queries import R6_SQL, _t, r6, register
 
-_R6 = "ROUND({x} + 5e-12, 6)"
-
-
-def _r6(c):
-    return F.round(c + F.lit(5e-12), 6)
+_R6 = R6_SQL
+_r6 = r6
 
 
 # ---------------------------------------------------------------------------
@@ -93,17 +90,16 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q147 — two-sample Kolmogorov-Smirnov statistic (ECDF sweep)
 # ---------------------------------------------------------------------------
 _Q147_ORACLE = f"""
-    WITH a AS (
-      SELECT l_extendedprice AS v FROM lineitem WHERE l_returnflag = 'R'
-    ), b AS (
-      SELECT l_extendedprice AS v FROM lineitem WHERE l_returnflag = 'A'
-    ), na AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM a),
-    nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM b),
-    u AS (
-      SELECT v, 1 AS ca, 0 AS cb FROM a
-      UNION ALL
-      SELECT v, 0 AS ca, 1 AS cb FROM b
-    ), sweep AS (
+    WITH u AS (
+      SELECT l_extendedprice AS v,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS cb
+      FROM lineitem
+      WHERE l_returnflag IN ('R', 'A')
+      GROUP BY 1
+    ), na AS (SELECT CAST(SUM(ca) AS DOUBLE) AS n FROM u),
+    nb AS (SELECT CAST(SUM(cb) AS DOUBLE) AS n FROM u),
+    sweep AS (
       SELECT SUM(ca) OVER (ORDER BY v ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                / (SELECT n FROM na) AS f1,
@@ -123,30 +119,34 @@ _Q147_ORACLE = f"""
     "q147_ks_test",
     _Q147_ORACLE,
     doc="Two-sample Kolmogorov-Smirnov D between price distributions "
-    "(R vs A): tagged union, one ordered sweep of running ECDFs, max "
-    "gap. D is invariant to the within-tie sweep order (both ECDFs "
-    "are step functions evaluated after each point), so the "
-    "value-ordered window needs no tie-break. Single-reducer global "
-    "sort is documented — at scale, pre-bucket values and sweep "
-    "bucket boundaries instead.",
+    "(R vs A): per-distinct-value tag counts FIRST (the group-by "
+    "collapses cross-sample ties into one sweep point, so the ECDF "
+    "is only ever evaluated at step boundaries — evaluating inside a "
+    "tie block would make D depend on the engine's within-tie "
+    "interleaving), then one ordered sweep of running ECDFs, max "
+    "gap. Single-reducer global sort over the distinct values is "
+    "documented — at scale, pre-bucket values and sweep bucket "
+    "boundaries instead.",
 )
 def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem")
-    a = li.where(F.col("l_returnflag") == "R").select(
-        F.col("l_extendedprice").alias("v"),
-        F.lit(1).alias("ca"),
-        F.lit(0).alias("cb"),
+    u = (
+        li.where(F.col("l_returnflag").isin("R", "A"))
+        .groupBy(F.col("l_extendedprice").alias("v"))
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "A", 1).otherwise(0)
+            ).alias("cb"),
+        )
+        .localCheckpoint(eager=False)
     )
-    b = li.where(F.col("l_returnflag") == "A").select(
-        F.col("l_extendedprice").alias("v"),
-        F.lit(0).alias("ca"),
-        F.lit(1).alias("cb"),
-    )
-    na = a.count()
-    nb = b.count()
-    u = a.unionByName(b)
+    totals = u.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb")).first()
+    na, nb = int(totals.na), int(totals.nb)
     w = Window.orderBy(F.col("v").asc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -372,9 +372,13 @@ _Q151_ORACLE = f"""
 )
 def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    joint = ev.groupBy(
-        F.col("event_type").alias("x"), F.dayofweek("ts").alias("y")
-    ).agg(F.count(F.lit(1)).cast("double").alias("nxy"))
+    # joint is a ~35-row table referenced by tot/px/py/the final join
+    # — materialize once instead of re-aggregating the stream 4x
+    joint = (
+        ev.groupBy(F.col("event_type").alias("x"), F.dayofweek("ts").alias("y"))
+        .agg(F.count(F.lit(1)).cast("double").alias("nxy"))
+        .localCheckpoint(eager=False)
+    )
     tot = joint.agg(F.sum("nxy").alias("n"))
     px = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
     py = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))

@@ -342,11 +342,7 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     spark.catalog.clearCache()
 
     t0 = time.time()
-    n_ewma = (
-        ewma(stream, "entity", ["seq"], "v")
-        .agg(F.sum("ewma")).collect()
-    )
-    n_ewma = len(n_ewma)
+    n_ewma = ewma(stream, "entity", ["seq"], "v").count()
     timings["ewma"] = time.time() - t0
     spark.catalog.clearCache()
 
