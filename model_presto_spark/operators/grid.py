@@ -158,3 +158,69 @@ def positional_concat(a: DataFrame, b: DataFrame) -> DataFrame:
     an = a.withColumn("__pos", F.row_number().over(wa))
     bn = b.withColumn("__pos", F.row_number().over(wb))
     return an.join(bn, "__pos", "inner").drop("__pos")
+
+
+def radius_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_lat: str,
+    probe_lon: str,
+    build_lat: str,
+    build_lon: str,
+    radius_m: float,
+    cell_deg: float,
+) -> DataFrame:
+    """Distance-bounded spatial join: every (probe, build) pair within
+    ``radius_m`` great-circle metres, plus a ``dist_m`` column.
+
+    Scale design (the ST_DWithin shape the reference resolves through
+    geopandas buffers, src/common.py:55-78): both sides are bucketed
+    into ``cell_deg``-degree lat/lon cells; the PROBE side explodes
+    its 3x3 neighbor cells (x9 rows — put the smaller relation here)
+    and the candidate set forms by a plain equi-join on the cell key,
+    so Catalyst shuffles on (cell_lat, cell_lon) instead of building
+    the full cross product; the exact haversine test then filters
+    candidates. One shuffle each side, no theta-join.
+
+    Correctness constraint (caller-checked): ``cell_deg`` degrees
+    must cover ``radius_m`` in BOTH axes at every latitude present —
+    i.e. cell_deg >= radius_m / (111320 * cos(max|lat|)) — else pairs
+    straddling more than one cell boundary are missed.
+
+    Column names must not collide across the two inputs.
+    """
+    neighbor = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+                for di in (-1, 0, 1)
+                for dj in (-1, 0, 1)
+            ]
+        )
+    )
+    p = (
+        probe.withColumn("__n", neighbor)
+        .withColumn(
+            "__cl",
+            (F.floor(F.col(probe_lat) / cell_deg) + F.col("__n.di")).cast("bigint"),
+        )
+        .withColumn(
+            "__cn",
+            (F.floor(F.col(probe_lon) / cell_deg) + F.col("__n.dj")).cast("bigint"),
+        )
+        .drop("__n")
+    )
+    b = build.withColumn(
+        "__cl", F.floor(F.col(build_lat) / cell_deg).cast("bigint")
+    ).withColumn("__cn", F.floor(F.col(build_lon) / cell_deg).cast("bigint"))
+    from model_presto_spark.functions.geo import haversine_m
+
+    joined = p.join(b, ["__cl", "__cn"]).withColumn(
+        "dist_m",
+        haversine_m(
+            F.col(probe_lat), F.col(probe_lon), F.col(build_lat), F.col(build_lon)
+        ),
+    )
+    return joined.where(F.col("dist_m") <= F.lit(float(radius_m))).drop(
+        "__cl", "__cn"
+    )

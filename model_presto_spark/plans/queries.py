@@ -1060,6 +1060,7 @@ from model_presto_spark.plans import queries_graph2 as _queries_graph2  # noqa: 
 from model_presto_spark.plans import queries_analytics3 as _queries_analytics3  # noqa: E402,F401
 from model_presto_spark.plans import queries_stats2 as _queries_stats2  # noqa: E402,F401
 from model_presto_spark.plans import queries_analytics4 as _queries_analytics4  # noqa: E402,F401
+from model_presto_spark.plans import queries_analytics5 as _queries_analytics5  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.

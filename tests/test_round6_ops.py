@@ -1,0 +1,102 @@
+"""Unit tests for the round-6 operators: cell-bucketed radius join
+(vs brute force, including cell-boundary pairs), Poisson-bootstrap
+weight law, and the quantile-normalization invariant. (Oracle parity
+of the q160-q163 query forms is covered by test_queries_oracle.py.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_radius_join_matches_brute_force(spark):
+    """Every pair the brute-force haversine cross join finds must be
+    found by the cell-bucketed join — including pairs straddling a
+    cell boundary — and nothing extra."""
+    from model_presto_spark.functions.geo import haversine_m
+    from model_presto_spark.operators.grid import radius_join
+
+    # Points hugging the 2-degree cell boundary at lat/lon = 0 plus a
+    # far-away decoy; 150 km radius with 2-degree cells.
+    probe = spark.createDataFrame(
+        [(1, -0.01, -0.01), (2, 1.99, 0.0), (3, 40.0, 40.0)],
+        "pid int, plat double, plon double",
+    )
+    build = spark.createDataFrame(
+        [(10, 0.01, 0.01), (11, 2.01, 0.0), (12, -0.5, 1.0), (13, 60.0, 60.0)],
+        "bid int, blat double, blon double",
+    )
+    got = sorted(
+        (r.pid, r.bid)
+        for r in radius_join(
+            probe, build, "plat", "plon", "blat", "blon",
+            radius_m=150_000.0, cell_deg=2.0,
+        ).collect()
+    )
+    brute = sorted(
+        (r.pid, r.bid)
+        for r in probe.crossJoin(build)
+        .where(
+            haversine_m(
+                F.col("plat"), F.col("plon"), F.col("blat"), F.col("blon")
+            )
+            <= 150_000.0
+        )
+        .collect()
+    )
+    assert got == brute
+    assert (1, 10) in got  # straddles the (0,0) cell corner
+    assert (2, 11) in got  # straddles a lat cell boundary
+    assert (3, 13) not in got
+
+
+def test_radius_join_dist_column(spark):
+    from model_presto_spark.operators.grid import radius_join
+
+    probe = spark.createDataFrame([(1, 0.0, 0.0)], "pid int, plat double, plon double")
+    build = spark.createDataFrame([(2, 0.0, 0.5)], "bid int, blat double, blon double")
+    row = radius_join(
+        probe, build, "plat", "plon", "blat", "blon",
+        radius_m=100_000.0, cell_deg=1.0,
+    ).first()
+    # 0.5 deg of longitude at the equator on the WGS84 sphere ~ 55.7 km
+    assert 55_000 < row.dist_m < 56_500
+
+
+def test_poisson_bootstrap_weight_law(spark, sf_dir):
+    """Poisson(1) weights: mean multiplicity ~ 1 and the replicate
+    draws are deterministic (same plan twice -> same rows)."""
+    from model_presto_spark.plans.queries import QUERIES
+
+    fn = QUERIES["q162_poisson_bootstrap"].fn
+    a = {(r.rep, r.n_eff, r.boot_mean) for r in fn(spark, sf_dir).collect()}
+    b = {(r.rep, r.n_eff, r.boot_mean) for r in fn(spark, sf_dir).collect()}
+    assert a == b and len(a) == 24
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    for _, n_eff, _ in a:
+        # E[n_eff] = n_orders, sd = sqrt(n_orders); allow 5 sigma
+        assert abs(n_eff - n_orders) < 5 * max(n_orders, 1) ** 0.5 + 5
+
+
+def test_quantile_normalize_aligns_distributions(spark, sf_dir):
+    """After quantile normalization every source holds the identical
+    multiset of normalized values (the operator's defining property)."""
+    from model_presto_spark.plans.queries import QUERIES
+
+    out = QUERIES["q161_quantile_normalize"].fn(spark, sf_dir).collect()
+    per_source: dict[str, list[float]] = {}
+    for r in out:
+        per_source.setdefault(r.source, []).append(r.norm_value)
+    dists = {tuple(sorted(v)) for v in per_source.values()}
+    assert len(dists) == 1 and len(per_source) > 1
+
+
+def test_url_canonical_cap_and_dedup(spark, sf_dir):
+    from model_presto_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q160_url_canonical"].fn(spark, sf_dir).collect()
+    assert rows, "expected at least one domain"
+    for r in rows:
+        assert r.n_canonical <= r.n_docs
+        assert r.n_kept <= min(r.n_canonical, 15)
+        assert r.domain.endswith(".example.com")
+        assert not r.domain.startswith("www.")
