@@ -320,3 +320,68 @@ def theil_sen_slope(
     return slopes.groupBy("_g").agg(
         F.expr("percentile(_slope, 0.5)").alias(out_col)
     ).withColumnRenamed("_g", group_col)
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    is_a_col: str,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Two-sample Mann-Whitney U with midrank ties and the
+    tie-corrected normal-approximation z, per group.
+
+    ``is_a_col`` is 1 for sample A rows, 0 for sample B. Computed on
+    the per-distinct-value counts relation, never per-row ranks:
+    avg_rank(v) = (#values below v) + (n_v + 1)/2 via one running
+    count, so the shuffle is on (group, value) counts — the same
+    counts-first discipline as the exact AUC (binary_auc above). All
+    sums stay dyadic-exact until the final z division. Groups with an
+    empty side are dropped (U undefined).
+
+    Returns: group_cols + n_a, n_b, u_stat, z (unrounded doubles).
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    pv = df.groupBy(*gcols, value_col).agg(
+        F.sum(F.col(is_a_col)).cast("bigint").alias("__na"),
+        F.sum(1 - F.col(is_a_col)).cast("bigint").alias("__nb"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = pv.withColumn(
+        "__cum", F.coalesce(F.sum("__n").over(w), F.lit(0).cast("bigint"))
+    )
+    agg = (
+        rk.groupBy(*gcols)
+        .agg(
+            F.sum("__na").cast("bigint").alias("n_a"),
+            F.sum("__nb").cast("bigint").alias("n_b"),
+            F.sum(
+                F.col("__na") * (F.col("__cum") + (F.col("__n") + 1) / 2.0)
+            ).alias("__ra"),
+            F.sum(
+                F.col("__n").cast("double") * F.col("__n") * F.col("__n")
+                - F.col("__n")
+            ).alias("__tie"),
+        )
+        .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )
+    u = F.col("__ra") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    mu = F.col("n_a").cast("double") * F.col("n_b") / 2.0
+    nn = F.col("n_a") + F.col("n_b")
+    sigma2 = (F.col("n_a").cast("double") * F.col("n_b") / 12.0) * (
+        (nn + 1) - F.col("__tie") / (nn.cast("double") * (nn - 1))
+    )
+    return agg.select(
+        *gcols,
+        "n_a",
+        "n_b",
+        u.alias("u_stat"),
+        ((u - mu) / F.sqrt(sigma2)).alias("z"),
+    )

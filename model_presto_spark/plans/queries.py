@@ -1061,6 +1061,7 @@ from model_presto_spark.plans import queries_analytics3 as _queries_analytics3  
 from model_presto_spark.plans import queries_stats2 as _queries_stats2  # noqa: E402,F401
 from model_presto_spark.plans import queries_analytics4 as _queries_analytics4  # noqa: E402,F401
 from model_presto_spark.plans import queries_analytics5 as _queries_analytics5  # noqa: E402,F401
+from model_presto_spark.plans import queries_stats3 as _queries_stats3  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.

