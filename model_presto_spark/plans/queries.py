@@ -1062,6 +1062,7 @@ from model_presto_spark.plans import queries_stats2 as _queries_stats2  # noqa: 
 from model_presto_spark.plans import queries_analytics4 as _queries_analytics4  # noqa: E402,F401
 from model_presto_spark.plans import queries_analytics5 as _queries_analytics5  # noqa: E402,F401
 from model_presto_spark.plans import queries_stats3 as _queries_stats3  # noqa: E402,F401
+from model_presto_spark.plans import queries_llm6 as _queries_llm6  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.

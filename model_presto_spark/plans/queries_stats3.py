@@ -458,3 +458,104 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q172 — Benjamini-Hochberg FDR over the daily Mann-Whitney screen
+# ---------------------------------------------------------------------------
+# Two-sided p-values from |z| via the logistic normal-CDF
+# approximation (Bowling et al. 2009: Phi(x) ~ 1/(1+exp(-0.07056x^3
+# -1.5976x))) — a fixed literal formula both engines evaluate
+# identically, so the BH decision boundary is cross-engine exact.
+# BH: rank p ascending, reject all ranks <= the largest k with
+# p_k <= (k/m) * q.
+_Q172_Q = 0.10
+
+_Q172_PAPPROX = (
+    "2.0 * (1.0 - 1.0 / (1.0 + exp(-0.07056 * abs_z * abs_z * abs_z "
+    "- 1.5976 * abs_z)))"
+)
+
+_Q172_ORACLE = f"""
+    WITH mw AS ({{mw_oracle}}),
+    p AS (
+      SELECT day, abs(z) AS abs_z FROM mw
+    ), pv AS (
+      SELECT day, {_Q172_PAPPROX} AS pval FROM p
+    ), ranked AS (
+      SELECT day, pval,
+             ROW_NUMBER() OVER (ORDER BY pval, day) AS k,
+             COUNT(*) OVER () AS m
+      FROM pv
+    ), cutoff AS (
+      SELECT COALESCE(MAX(CASE WHEN pval <= {_Q172_Q} * k / m
+                               THEN k END), 0) AS kmax
+      FROM ranked
+    )
+    SELECT r.day, {_R6.format(x='r.pval')} AS pval, r.k,
+           CASE WHEN r.k <= c.kmax THEN 1 ELSE 0 END AS rejected
+    FROM ranked r CROSS JOIN cutoff c
+    ORDER BY r.k
+""".format(mw_oracle=_Q164_ORACLE.replace("ORDER BY day", ""))
+
+
+@register(
+    "q172_bh_fdr",
+    _Q172_ORACLE,
+    doc="Benjamini-Hochberg FDR control (q=0.10) over the per-day "
+    "Mann-Whitney z screen (q164): two-sided p via the literal "
+    "logistic normal-CDF approximation (engine-exact), p-rank window, "
+    "reject ranks <= max{k : p_k <= qk/m} — the multiple-testing "
+    "closer for the statistical-testing family. The ranked relation "
+    "is #tests rows (one per day), so the global window is "
+    "test-count-, not data-, sized.",
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = q164(spark, sf_dir)
+    abs_z = F.abs(F.col("z"))
+    pv = base.select(
+        "day",
+        (
+            2.0
+            * (
+                1.0
+                - 1.0
+                / (
+                    1.0
+                    + F.exp(
+                        -0.07056 * abs_z * abs_z * abs_z - 1.5976 * abs_z
+                    )
+                )
+            )
+        ).alias("pval"),
+    )
+    w = Window.orderBy("pval", "day")
+    ranked = pv.select(
+        "day",
+        "pval",
+        F.row_number().over(w).alias("k"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("m"),
+    )
+    kmax = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("pval") <= _Q172_Q * F.col("k") / F.col("m"),
+                    F.col("k"),
+                )
+            ),
+            F.lit(0),
+        ).alias("kmax")
+    )
+    return (
+        ranked.join(F.broadcast(kmax))
+        .select(
+            "day",
+            r6(F.col("pval")).alias("pval"),
+            "k",
+            F.when(F.col("k") <= F.col("kmax"), 1).otherwise(0).alias("rejected"),
+        )
+        .orderBy("k")
+    )

@@ -151,3 +151,62 @@ def test_watermark_audit_monotone_no_drops(spark, sf_dir):
         assert 0 <= r.n_dropped <= r.n_events
         if r.n_dropped > 0:
             assert r.max_delay_s > 600
+
+
+def test_dedup_curve_monotone(spark, sf_dir):
+    """Raising the threshold can only shrink the pair and removal
+    counts; the floor row equals the full scored relation."""
+    from model_presto_spark.plans.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["q169_dedup_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == [0.3, 0.5, 0.7, 0.9]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_removed >= b.n_removed
+    assert all(r.n_removed <= r.n_pairs for r in rows)
+
+
+def test_ngram_novelty_bounds_and_first_doc(spark, sf_dir):
+    from model_presto_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q170_ngram_novelty"].fn(spark, sf_dir).collect()
+    assert rows
+    by_id = sorted(rows, key=lambda r: r.doc_id)
+    # the lowest doc_id sees an empty prior corpus: everything novel
+    assert by_id[0].novelty == 1.0
+    for r in rows:
+        assert 0.0 <= r.novelty <= 1.0
+        assert r.n_grams > 0
+
+
+def test_winsorized_scaler_clips_to_band(spark, sf_dir):
+    from model_presto_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q171_winsorized_scaler"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # clipped to [p05, p95] and centered on the median implies
+        # scaled stays within +-1 of the band (scale = p95 - p05)
+        assert -1.0 <= r.scaled <= 1.0
+
+
+def test_bh_fdr_prefix_property(spark, sf_dir):
+    """BH rejections form a prefix of the p-value ranking, and every
+    rejected p is <= the step-up boundary at its rank."""
+    from model_presto_spark.plans.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["q172_bh_fdr"].fn(spark, sf_dir).collect(), key=lambda r: r.k
+    )
+    m = len(rows)
+    flags = [r.rejected for r in rows]
+    # prefix: once a row is not rejected, none after it are
+    if 0 in flags:
+        first_zero = flags.index(0)
+        assert all(f == 0 for f in flags[first_zero:])
+    for r in rows:
+        if r.rejected:
+            assert r.pval <= 0.10 * r.k / m + 1e-9

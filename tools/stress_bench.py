@@ -357,6 +357,47 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timings["concurrency"] = time.time() - t0
     spark.catalog.clearCache()
 
+    from model_presto_spark.operators.grid import radius_join
+    from model_presto_spark.operators.stats import mann_whitney_u
+
+    # radius join: n probe points vs n build points scattered over a
+    # +-60 deg band; cell-bucketed candidates must scale ~linearly
+    # with the true pair count, never as n^2
+    pts_a = docs.select(
+        F.col("doc_id").alias("aid"),
+        ((F.col("doc_id") % 1200) / 10.0 - 60 + 0.37).alias("alat"),
+        ((F.col("doc_id") % 3400) / 10.0 - 170 + 0.73).alias("alon"),
+    )
+    pts_b = docs.select(
+        F.col("doc_id").alias("bid"),
+        (((F.col("doc_id") * 7) % 1200) / 10.0 - 60 + 0.11).alias("blat"),
+        (((F.col("doc_id") * 13) % 3400) / 10.0 - 170 + 0.29).alias("blon"),
+    )
+    t0 = time.time()
+    n_rj = radius_join(
+        pts_a, pts_b, "alat", "alon", "blat", "blon",
+        radius_m=100_000.0, cell_deg=2.0,
+    ).count()
+    timings["radius_join"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    mw = mann_whitney_u(
+        docs.select(
+            (F.col("doc_id") % 30).alias("g"),
+            (F.pmod(F.xxhash64("text"), F.lit(5000)).cast("double")).alias(
+                "value"
+            ),
+            (F.col("doc_id") % 2).alias("is_a"),
+        ),
+        "value",
+        "is_a",
+        group_cols=["g"],
+    )
+    n_mw = mw.count()
+    timings["mann_whitney"] = time.time() - t0
+    spark.catalog.clearCache()
+
     timings["_counts"] = {  # type: ignore[assignment]
         "minhash_pairs": n_mh,
         "hits_nodes": n_hits,
@@ -379,6 +420,8 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         "triangles": int(tri_row["n_triangles"]),
         "aa_pairs": n_aa,
         "bfs_reached": n_bfs,
+        "radius_pairs": n_rj,
+        "mw_groups": n_mw,
     }
     return timings
 
@@ -422,6 +465,8 @@ def main() -> int:
         "weighted_median",
         "ewma",
         "concurrency",
+        "radius_join",
+        "mann_whitney",
     ):
         r = results[big_tag][op] / max(results[small_tag][op], 1e-9)
         exponents[op] = round(math.log(r) / math.log(ratio_n), 3)
