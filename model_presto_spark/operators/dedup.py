@@ -977,3 +977,89 @@ def source_overlap(
         )
     )
     return out.select("source_a", "source_b", "n_shared", "n_a", "n_b", "jaccard")
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    reuse: bool = True,
+    fast_hash: bool = False,
+) -> DataFrame:
+    """Prefix-filtered exact n-gram Jaccard self-join (the PPJoin
+    family, Xiao et al. WWW'08 — lossless, unlike LSH).
+
+    Order every doc's distinct gram hashes by GLOBAL document
+    frequency (rarest first, (df, gram) ties broken on the hash);
+    only the first ``|g| - ceil(t*|g|) + 1`` grams are indexed. The
+    prefix-filter lemma guarantees two docs with Jaccard >= t share
+    at least one PREFIX gram, so the candidate join touches prefix
+    postings only — at t=0.5 that halves the posting volume and,
+    because prefixes hold each doc's RAREST grams, the inverted
+    index has no hot buckets: the rare-first ordering is the skew
+    guard itself (no ``max_doc_freq`` cutoff needed, so recall is
+    exact — the guarantee the stop-gram cutoff path gives up).
+    Candidates verify with exact Jaccard over the full gram sets.
+
+    Returns (id_a, id_b, jaccard_sim) with id_a < id_b, sim >= t.
+    """
+    toksed = spread(df).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    grams = toksed.select(
+        "id",
+        F.array_distinct(
+            hash_array(word_ngrams(F.col("toks"), n), fast=fast_hash)
+        ).alias("grams"),
+    )
+    if reuse:
+        # feeds posting, the prefix build, and both verify sides
+        from pyspark import StorageLevel
+
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    posting = grams.select("id", F.explode_outer("grams").alias("gram"))
+    dfreq = posting.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # global rare-first order per doc: sort (df, gram) structs, then
+    # keep the prefix. sort_array on structs is field-lexicographic —
+    # identical to ORDER BY df, gram.
+    ordered = (
+        posting.join(dfreq, "gram")
+        .groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("gram")))
+            ).alias("og")
+        )
+    )
+    pre_len = (
+        F.size("og")
+        - F.ceil(F.lit(float(threshold)) * F.size("og")).cast("int")
+        + 1
+    )
+    prefpost = ordered.select(
+        "id", F.explode_outer(F.slice(F.col("og"), 1, pre_len)).alias("pg")
+    ).select("id", F.col("pg.gram").alias("gram"))
+    buckets = (
+        prefpost.groupBy("gram")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        buckets.select(F.explode_outer(_pairs_within("ids")).alias("pr"))
+        .select(F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    common = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    jac = common.cast("double") / (
+        F.size("g_a") + F.size("g_b") - common
+    ).cast("double")
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard_sim"))
+        .where(F.col("jaccard_sim") >= F.lit(float(threshold)))
+    )

@@ -4,7 +4,7 @@ screen), winsorized robust scaling. Oracle conventions as everywhere."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from model_presto_spark.plans.queries import R6_SQL, _t, r6, register
@@ -260,4 +260,140 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q173 — PPJoin prefix-filtered similarity self-join (lossless dedup)
+# ---------------------------------------------------------------------------
+_Q173_T = 0.5
+
+_Q173_JAC = (
+    "CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) "
+    "/ (len(ga.grams) + len(gb.grams) "
+    "- len(list_intersect(ga.grams, gb.grams)))"
+)
+
+_Q173_ORACLE = f"""
+    WITH g AS (
+      SELECT doc_id AS id,
+             list_distinct({dd_hash_array(_Q170_GRAMS)}) AS grams
+      FROM documents
+    ), posting AS (
+      SELECT id, UNNEST(grams) AS gram FROM g
+    ), dfreq AS (
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+      FROM posting GROUP BY gram
+    ), ordered AS (
+      SELECT p.id, list(p.gram ORDER BY d.df, p.gram) AS og
+      FROM posting p JOIN dfreq d USING (gram) GROUP BY p.id
+    ), pre AS (
+      SELECT id,
+             UNNEST(og[1 : len(og)
+                        - CAST(ceil({_Q173_T} * len(og)) AS BIGINT) + 1])
+               AS gram
+      FROM ordered
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM pre a JOIN pre b ON a.gram = b.gram AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND({_Q173_JAC} + 5e-12, 6) AS jaccard_sim
+    FROM cand c
+    JOIN g ga ON ga.id = c.id_a
+    JOIN g gb ON gb.id = c.id_b
+    WHERE {_Q173_JAC} >= {_Q173_T}
+"""
+
+
+@register(
+    "q173_ppjoin",
+    _Q173_ORACLE,
+    doc="PPJoin prefix-filtered exact-Jaccard self-join "
+    "(operators/dedup.ppjoin_pairs, Xiao et al. WWW'08): grams "
+    "ordered rarest-first by global doc frequency, only the "
+    "|g|-ceil(t|g|)+1 prefix indexed — the prefix-filter lemma makes "
+    "the candidate join LOSSLESS (exact recall, unlike LSH) while "
+    "prefix postings hold each doc's rarest grams, so the inverted "
+    "index has no hot buckets by construction. The scale-path "
+    "alternative to q34's stop-gram cutoff when exact recall is "
+    "required.",
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.dedup import ppjoin_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ppjoin_pairs(docs, "doc_id", "text", n=3, threshold=_Q173_T)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("jaccard_sim") + 5e-12, 6).alias("jaccard_sim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q174 — time-weighted average price (TWAP) over irregular events
+# ---------------------------------------------------------------------------
+# The irregular-sampling twin of q139's VWAP: each observation holds
+# until the next one, so the daily mean weights values by holding
+# time (exact integer microseconds), not by row count.
+_Q174_ORACLE = f"""
+    WITH seq AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, value,
+             epoch_us(ts) AS t_us,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY strftime(ts, '%Y-%m-%d')
+               ORDER BY ts, event_id) AS nxt_us
+      FROM events WHERE event_type = 'purchase'
+    ), held AS (
+      SELECT day, value, nxt_us - t_us AS dt_us
+      FROM seq WHERE nxt_us IS NOT NULL
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           {_R6.format(x='SUM(value * dt_us) / SUM(dt_us)')} AS twap,
+           {_R6.format(x='AVG(value) + 5e-10')} AS plain_mean
+    FROM held
+    GROUP BY day
+    ORDER BY day
+"""
+
+
+@register(
+    "q174_twap",
+    _Q174_ORACLE,
+    doc="Daily time-weighted average of purchase values: each value "
+    "holds until the next observation (lead window, exact integer-"
+    "microsecond holding times), so irregular sampling cannot bias "
+    "the mean — the sensor/price-feed standard next to q139's "
+    "volume-weighted VWAP; plain mean reported alongside as the bias "
+    "reference. One window + one aggregation, both on the day key.",
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.temporal import _epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.where(F.col("event_type") == "purchase").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+        _epoch_us("ts").alias("t_us"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("day").orderBy("ts", "event_id")
+    held = (
+        seq.withColumn("nxt_us", F.lead("t_us").over(w))
+        .where(F.col("nxt_us").isNotNull())
+        .select("day", "value", (F.col("nxt_us") - F.col("t_us")).alias("dt_us"))
+    )
+    return (
+        held.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            r6(
+                F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us")
+            ).alias("twap"),
+            F.round(F.avg("value") + 5e-10 + 5e-12, 6).alias("plain_mean"),
+        )
+        .orderBy("day")
     )

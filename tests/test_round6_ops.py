@@ -210,3 +210,55 @@ def test_bh_fdr_prefix_property(spark, sf_dir):
     for r in rows:
         if r.rejected:
             assert r.pval <= 0.10 * r.k / m + 1e-9
+
+
+def test_ppjoin_equals_full_inverted_index(spark, sf_dir):
+    """PPJoin's prefix filter is LOSSLESS: at the same threshold it
+    must return exactly the pair set of the full inverted-index join
+    (uncapped), with identical similarities."""
+    from model_presto_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ppjoin_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {
+        (r.id_a, r.id_b): round(r.jaccard_sim, 9)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5,
+            max_doc_freq=10**9,
+        ).collect()
+    }
+    pp = {
+        (r.id_a, r.id_b): round(r.jaccard_sim, 9)
+        for r in ppjoin_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert pp == full and full
+
+
+def test_twap_equals_mean_on_regular_grid(spark):
+    """On an exactly regular grid every holding time is equal, so the
+    TWAP must equal the plain mean of the held values."""
+    from model_presto_spark.plans.queries import QUERIES
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 10 * i), 1, "purchase", float(v), "{}")
+        for i, v in enumerate([10.0, 20.0, 60.0, 30.0])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = QUERIES["q174_twap"].fn(spark, d).collect()
+    assert len(out) == 1
+    # held values are the first three (last has no next observation)
+    assert abs(out[0].twap - 30.0) < 1e-6
+    assert out[0].n_intervals == 3
