@@ -1064,6 +1064,7 @@ from model_presto_spark.plans import queries_analytics5 as _queries_analytics5  
 from model_presto_spark.plans import queries_stats3 as _queries_stats3  # noqa: E402,F401
 from model_presto_spark.plans import queries_llm6 as _queries_llm6  # noqa: E402,F401
 from model_presto_spark.plans import queries_tpch2 as _queries_tpch2  # noqa: E402,F401
+from model_presto_spark.plans import queries_sql3 as _queries_sql3  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
