@@ -251,3 +251,174 @@ def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("etype").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# Q184 — correlated-subquery semantics (EXISTS / NOT EXISTS / scalar)
+# ---------------------------------------------------------------------------
+# The oracle states the query with correlated subqueries; the Spark
+# side states the SAME semantics as decorrelated joins (left-join
+# count, conditional max, anti-join) — exactly the rewrite Catalyst
+# performs internally, so the conformance check pins the
+# decorrelation, not just the syntax.
+_Q184_ORACLE = """
+    SELECT c.c_custkey,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           CAST((CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_custkey = c.c_custkey
+                                     AND o.o_totalprice > 300000)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS has_big
+    FROM customer c
+    WHERE c.c_custkey < 400
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F'
+                        AND o.o_totalprice < 1000)
+    ORDER BY c.c_custkey
+"""
+
+
+@register(
+    "q184_correlated_subqueries",
+    _Q184_ORACLE,
+    doc="Correlated-subquery semantics: scalar COUNT subquery, "
+    "EXISTS filter, NOT EXISTS exclusion, and an EXISTS-derived "
+    "flag. Oracle states the correlated form; the Spark side states "
+    "the decorrelated plan (per-customer aggregate + semi/anti "
+    "joins) — the rewrite Catalyst itself applies, so both engines "
+    "execute join plans and the conformance pins the decorrelation "
+    "semantics (empty-group counts, null-safe anti join).",
+)
+def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max(
+            F.when(F.col("o_totalprice") > 300000, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("has_big"),
+    )
+    bad = o.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 1000)
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        c.join(per_cust, "c_custkey")  # inner join == EXISTS(any order)
+        .join(bad, "c_custkey", "left_anti")  # NOT EXISTS
+        .select("c_custkey", "n_orders", "has_big")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q185 — exact-money aggregation (integer cents)
+# ---------------------------------------------------------------------------
+# Money sums in double are order-dependent in the last ulps — the
+# root of every float-ordering hazard in this suite. The engine
+# pattern: round each line to integer CENTS once (the true value is
+# integral, fp error ~1e-10, so the .5-boundary rounding divergence
+# between engines is unreachable), then aggregate BIGINTs — exact,
+# associative, engine- and partition-order-independent.
+_Q185_ORACLE = """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS gross_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS net_cents,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                          AS BIGINT)) / 100.0, 2) AS net_dollars
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@register(
+    "q185_exact_money",
+    _Q185_ORACLE,
+    doc="Exact-money aggregation: per-line rounding to integer cents "
+    "(ROUND before CAST so DuckDB's rounding cast and Spark's "
+    "truncating cast agree on the already-integral double), then "
+    "BIGINT sums — exact and summation-order-independent, the "
+    "pattern that removes the float-ordering hazard from every "
+    "revenue rollup. No epsilon nudges needed: the output is "
+    "integer-deterministic.",
+)
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    gross_c = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    net_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(gross_c).cast("bigint").alias("gross_cents"),
+            F.sum(net_c).cast("bigint").alias("net_cents"),
+        )
+        .select(
+            "l_returnflag",
+            "gross_cents",
+            "net_cents",
+            F.round(F.col("net_cents") / 100.0, 2).alias("net_dollars"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q186 — UNION BY NAME with missing columns
+# ---------------------------------------------------------------------------
+_Q186_ORACLE = """
+    WITH a AS (
+      SELECT o_custkey AS entity, o_totalprice AS amount
+      FROM orders WHERE o_custkey < 100
+    ), b AS (
+      SELECT c_custkey AS entity, c_mktsegment AS segment
+      FROM customer WHERE c_custkey < 100
+    ), u AS (
+      SELECT * FROM a UNION ALL BY NAME SELECT * FROM b
+    )
+    SELECT entity,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(amount) AS BIGINT) AS n_amount,
+           CAST(COUNT(segment) AS BIGINT) AS n_segment
+    FROM u
+    GROUP BY entity
+    ORDER BY entity
+"""
+
+
+@register(
+    "q186_union_by_name",
+    _Q186_ORACLE,
+    doc="Schema-evolving union: two relations with only the entity "
+    "key in common, merged positionally-by-NAME with missing columns "
+    "null-filled (Spark unionByName(allowMissingColumns) == DuckDB "
+    "UNION ALL BY NAME) — the append path when a source adds or "
+    "drops columns mid-stream. Null counts per side prove the fill "
+    "semantics.",
+)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    a = o.select(
+        F.col("o_custkey").alias("entity"), F.col("o_totalprice").alias("amount")
+    )
+    b = c.select(
+        F.col("c_custkey").alias("entity"), F.col("c_mktsegment").alias("segment")
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return (
+        u.groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("amount").alias("n_amount"),
+            F.count("segment").alias("n_segment"),
+        )
+        .orderBy("entity")
+    )
