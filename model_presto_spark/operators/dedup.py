@@ -1020,12 +1020,17 @@ def ppjoin_pairs(
 
         grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     posting = grams.select("id", F.explode_outer("grams").alias("gram"))
-    dfreq = posting.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    # global rare-first order per doc: sort (df, gram) structs, then
-    # keep the prefix. sort_array on structs is field-lexicographic —
-    # identical to ORDER BY df, gram.
+    # global rare-first order per doc: document frequency via a
+    # partition-wide window count (ONE shuffle on the gram hash — a
+    # groupBy+join-back would shuffle the posting relation twice),
+    # then sort (df, gram) structs per doc and keep the prefix.
+    # sort_array on structs is field-lexicographic — identical to
+    # ORDER BY df, gram.
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("gram")
     ordered = (
-        posting.join(dfreq, "gram")
+        posting.withColumn("df", F.count(F.lit(1)).over(wg))
         .groupBy("id")
         .agg(
             F.sort_array(

@@ -559,3 +559,92 @@ def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q187 — PSI distribution-drift alarm (profile.psi_drift as an oracle query)
+# ---------------------------------------------------------------------------
+# Reference window = pre-1998 orders, current = 1998+; equi-depth
+# bucket edges come from EXACT reference deciles (percentile ==
+# quantile_cont, the q17-proven parity), so both engines bucket with
+# identical literals. Promotes the drift operator from
+# unit-test-only to oracle-checked.
+_Q187_PROBS = [i / 10 for i in range(1, 10)]
+
+_Q187_QLIST = ", ".join(str(p) for p in _Q187_PROBS)
+_Q187_BUCKET = "1 + " + " + ".join(
+    f"CAST(v > q[{i}] AS INT)" for i in range(1, 10)
+)
+
+_Q187_ORACLE = f"""
+    WITH ref AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+    ), cur AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+    ), qs AS (
+      SELECT quantile_cont(v, [{_Q187_QLIST}]) AS q FROM ref
+    ), rb AS (
+      SELECT {_Q187_BUCKET} AS bucket FROM ref, qs
+    ), cb AS (
+      SELECT {_Q187_BUCKET} AS bucket FROM cur, qs
+    ), rs AS (
+      SELECT bucket, CAST(COUNT(*) AS DOUBLE)
+               / SUM(COUNT(*)) OVER () AS p_ref
+      FROM rb GROUP BY bucket
+    ), cs AS (
+      SELECT bucket, CAST(COUNT(*) AS DOUBLE)
+               / SUM(COUNT(*)) OVER () AS p_cur
+      FROM cb GROUP BY bucket
+    ), per AS (
+      SELECT COALESCE(rs.bucket, cs.bucket) AS bucket,
+             COALESCE(p_ref, 0.0) AS p_ref,
+             COALESCE(p_cur, 0.0) AS p_cur
+      FROM rs FULL JOIN cs ON rs.bucket = cs.bucket
+    ), scored AS (
+      SELECT bucket, p_ref, p_cur,
+             (p_cur - p_ref) * ln((p_cur + 1e-6) / (p_ref + 1e-6)) AS contrib
+      FROM per
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           {_R6.format(x='p_ref')} AS p_ref,
+           {_R6.format(x='p_cur')} AS p_cur,
+           {_R6.format(x='contrib')} AS contrib
+    FROM scored
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           {_R6.format(x='SUM(contrib)')}
+    FROM scored
+    ORDER BY bucket NULLS FIRST
+"""
+
+
+@register(
+    "q187_psi_drift",
+    _Q187_ORACLE,
+    doc="Population Stability Index between pre-1998 and 1998+ order "
+    "values (operators/profile.psi_drift): equi-depth bucket edges "
+    "from EXACT reference deciles collected as plan literals (an "
+    "O(1) driver crossing — the model, not the data), one "
+    "aggregation per side, a 10-row full join, PSI total row. The "
+    "standard drift alarm for a continuously-ingesting pipeline, now "
+    "oracle-checked.",
+)
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.profile import psi_drift
+
+    o = _t(spark, sf_dir, "orders")
+    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select(
+        F.col("o_totalprice")
+    )
+    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select(
+        F.col("o_totalprice")
+    )
+    out = psi_drift(ref, cur, "o_totalprice", n_buckets=10)
+    return out.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        r6(F.col("p_ref")).alias("p_ref"),
+        r6(F.col("p_cur")).alias("p_cur"),
+        r6(F.col("contrib")).alias("contrib"),
+    ).orderBy(F.col("bucket").asc_nulls_first())
