@@ -1065,6 +1065,7 @@ from model_presto_spark.plans import queries_stats3 as _queries_stats3  # noqa: 
 from model_presto_spark.plans import queries_llm6 as _queries_llm6  # noqa: E402,F401
 from model_presto_spark.plans import queries_tpch2 as _queries_tpch2  # noqa: E402,F401
 from model_presto_spark.plans import queries_sql3 as _queries_sql3  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops4 as _queries_ops4  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
