@@ -164,3 +164,115 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .limit(400)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q190 — end-to-end corpus-hygiene pipeline (CorpusPipeline composite)
+# ---------------------------------------------------------------------------
+# Five stages through pipeline.CorpusPipeline — normalize,
+# quality gate (min tokens + alpha ratio), lang filter, exact dedup,
+# per-source token budget — composed into ONE lazy DAG; the oracle
+# restates every stage in sequence. This is the conformance check of
+# stage COMPOSITION (each stage is separately oracle-checked by
+# q31/q37/q62 and friends): gates run on the normalized text,
+# fingerprints form on the gated survivors, the budget runs on the
+# deduped set.
+_Q190_TOKS = (
+    "list_filter(regexp_split_to_array(lower({t}), '\\s+'), x -> x <> '')"
+)
+_Q190_NORM = (
+    "trim(regexp_replace(regexp_replace(text, "
+    "'[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]', '', 'g'), "
+    "'[ \\t]+', ' ', 'g'))"
+)
+_Q190_FP = (
+    "CAST(('0x' || substr(md5(regexp_replace(trim(lower(text)), "
+    "'\\s+', ' ', 'g')), 1, 15)) AS BIGINT)"
+)
+
+_Q190_ORACLE = f"""
+    WITH norm AS (
+      SELECT doc_id, source, lang, {_Q190_NORM} AS text
+      FROM documents
+    ), gated AS (
+      SELECT doc_id, source, lang, text FROM norm
+      WHERE len({_Q190_TOKS.format(t='text')}) >= 8
+        AND (CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                       AS DOUBLE) / length(text)
+             ELSE 0.0 END) >= 0.55
+        AND lang IN ('en', 'fr', 'de')
+    ), fp AS (
+      SELECT doc_id, source, text, {_Q190_FP} AS f FROM gated
+    ), keep AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+        FROM fp
+      ) WHERE rn = 1
+    ), toks AS (
+      SELECT doc_id, source,
+             len({_Q190_TOKS.format(t='text')}) AS n_tok
+      FROM keep
+    ), cum AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM toks
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(MAX(cum_tok) AS BIGINT) AS used_budget
+    FROM cum WHERE cum_tok <= 5000
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register(
+    "q190_corpus_pipeline",
+    _Q190_ORACLE,
+    doc="End-to-end corpus-hygiene pipeline (pipeline.CorpusPipeline: "
+    "normalize -> quality_gate(min_tokens=8, min_alpha=0.55) -> "
+    "lang_filter(en/fr/de) -> exact_dedup -> token_budget(5000/"
+    "source)), one lazy DAG so Catalyst fuses filters and prunes "
+    "columns ACROSS stage boundaries; the oracle restates the exact "
+    "stage composition. Per-stage semantics are individually pinned "
+    "by q31/q37/q62 — this pins their ordering and data flow.",
+)
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.functions.text import token_count
+    from model_presto_spark.pipeline import CorpusPipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    pipe = CorpusPipeline(
+        [
+            {"op": "normalize"},
+            {"op": "quality_gate", "min_tokens": 8, "min_alpha": 0.55},
+            {"op": "lang_filter", "keep": ["en", "fr", "de"]},
+            {"op": "exact_dedup"},
+            {"op": "token_budget", "budget_tokens": 5000},
+        ]
+    )
+    clean = pipe.run(docs)
+    toks = clean.select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.max("cum_tok").cast("bigint").alias("used_budget"),
+        )
+        .orderBy("source")
+    )
