@@ -360,6 +360,15 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     from model_presto_spark.operators.grid import radius_join
     from model_presto_spark.operators.stats import mann_whitney_u
 
+    t0 = time.time()
+    from model_presto_spark.operators.dedup import ppjoin_pairs
+
+    n_pp = ppjoin_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, fast_hash=True
+    ).count()
+    timings["ppjoin"] = time.time() - t0
+    spark.catalog.clearCache()
+
     # radius join: n probe points vs n build points scattered over a
     # +-60 deg band; cell-bucketed candidates must scale ~linearly
     # with the true pair count, never as n^2
@@ -388,7 +397,7 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
             (F.pmod(F.xxhash64("text"), F.lit(5000)).cast("double")).alias(
                 "value"
             ),
-            (F.col("doc_id") % 2).alias("is_a"),
+            (F.floor(F.col("doc_id") / 30) % 2).cast("int").alias("is_a"),
         ),
         "value",
         "is_a",
@@ -422,6 +431,7 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         "bfs_reached": n_bfs,
         "radius_pairs": n_rj,
         "mw_groups": n_mw,
+        "ppjoin_pairs": n_pp,
     }
     return timings
 
@@ -467,6 +477,7 @@ def main() -> int:
         "concurrency",
         "radius_join",
         "mann_whitney",
+        "ppjoin",
     ):
         r = results[big_tag][op] / max(results[small_tag][op], 1e-9)
         exponents[op] = round(math.log(r) / math.log(ratio_n), 3)
