@@ -276,3 +276,85 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q191 — hierarchy subtree rollup (org-chart / BOM aggregation)
+# ---------------------------------------------------------------------------
+# A tree synthesized over customer keys (parent = child/5,
+# root 0): subtree totals per node = sum of acctbal over all
+# descendants incl. self. The oracle walks the tree with WITH
+# RECURSIVE; the engine materializes the bounded-depth
+# ancestor-descendant closure with UNROLLED self-joins (8 hops
+# covers ceil(log5(maxkey)) for every test SF incl. sf1.0; extra
+# hops are no-ops past the root — fixed iteration count, the
+# k-core/BFS contract) and aggregates once. No driver loop.
+_Q191_DEPTH = 8
+
+_Q191_ORACLE = """
+    WITH RECURSIVE edges AS (
+      SELECT c_custkey AS child,
+             CAST(floor(c_custkey / 5.0) AS BIGINT) AS parent,
+             CAST(c_acctbal AS DOUBLE) AS w
+      FROM customer
+    ), walk AS (
+      SELECT child AS anc, child AS node, w FROM edges
+      UNION ALL
+      SELECT e.parent AS anc, walk.node, walk.w
+      FROM walk JOIN edges e ON walk.anc = e.child
+      WHERE e.parent < walk.anc
+    )
+    SELECT anc AS node,
+           CAST(COUNT(*) AS BIGINT) AS subtree_size,
+           ROUND(SUM(w) + 5e-10, 2) AS subtree_balance
+    FROM walk
+    GROUP BY anc
+    ORDER BY subtree_size DESC, node ASC
+    LIMIT 50
+"""
+
+
+@register(
+    "q191_hierarchy_rollup",
+    _Q191_ORACLE,
+    doc="Hierarchical subtree rollup (the org-chart / bill-of-"
+    "materials aggregation): every node's descendant count and "
+    "balance total. Oracle recurses (WITH RECURSIVE); the engine "
+    "unrolls the parent walk to the tree's bounded depth "
+    f"({_Q191_DEPTH} fixed self-joins over the edge relation — the "
+    "same fixed-iteration contract as BFS/k-core) and aggregates the "
+    "closure once. Each unroll step is an equi-join on the child "
+    "key; no driver loop.",
+)
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    edges = cust.select(
+        F.col("c_custkey").alias("child"),
+        F.floor(F.col("c_custkey") / 5.0).cast("bigint").alias("parent"),
+        F.col("c_acctbal").cast("double").alias("w"),
+    ).localCheckpoint(eager=False)
+    # closure rows (anc, node, w): start with self, then hop the
+    # parent pointer a fixed number of times
+    walk = edges.select(
+        F.col("child").alias("anc"), F.col("child").alias("node"), "w"
+    )
+    closure = walk
+    for _ in range(_Q191_DEPTH):
+        parents = edges.select(
+            F.col("child").alias("anc"), F.col("parent").alias("up")
+        )
+        walk = (
+            walk.join(parents, "anc")
+            .where(F.col("up") < F.col("anc"))
+            .select(F.col("up").alias("anc"), "node", "w")
+        )
+        closure = closure.unionByName(walk)
+    return (
+        closure.groupBy(F.col("anc").alias("node"))
+        .agg(
+            F.count(F.lit(1)).alias("subtree_size"),
+            F.round(F.sum("w") + 5e-10, 2).alias("subtree_balance"),
+        )
+        .orderBy(F.col("subtree_size").desc(), F.col("node").asc())
+        .limit(50)
+    )
