@@ -358,3 +358,116 @@ def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("subtree_size").desc(), F.col("node").asc())
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q192 — growth accounting (new / retained / resurrected / churned DAU)
+# ---------------------------------------------------------------------------
+# The standard product-analytics decomposition of daily active
+# users: new (first-ever day), retained (also active the previous
+# day), resurrected (active before, but not the previous day), and
+# churned attributed to day d (active d-1, silent on d). Pure
+# integer counts from one user-day window pass + one anti-join.
+_Q192_ORACLE = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), seq AS (
+      SELECT user_id, day,
+             LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+             MIN(day) OVER (PARTITION BY user_id) AS first_day
+      FROM ud
+    ), classed AS (
+      SELECT strftime(day, '%Y-%m-%d') AS day,
+             CASE WHEN day = first_day THEN 2
+                  WHEN prev_day = day - 1 THEN 1
+                  ELSE 0 END AS klass
+      FROM seq
+    ), act AS (
+      SELECT day,
+             CAST(SUM(CASE WHEN klass = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(SUM(CASE WHEN klass = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+             CAST(SUM(CASE WHEN klass = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_resurrected
+      FROM classed GROUP BY 1
+    ), churn AS (
+      SELECT strftime(u.day + 1, '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_churned
+      FROM ud u
+      WHERE NOT EXISTS (SELECT 1 FROM ud v
+                        WHERE v.user_id = u.user_id
+                          AND v.day = u.day + 1)
+      GROUP BY 1
+    )
+    SELECT a.day, a.n_new, a.n_retained, a.n_resurrected,
+           COALESCE(c.n_churned, 0) AS n_churned
+    FROM act a LEFT JOIN churn c ON a.day = c.day
+    ORDER BY a.day
+"""
+
+
+@register(
+    "q192_growth_accounting",
+    _Q192_ORACLE,
+    doc="Growth accounting: daily active users decomposed into new / "
+    "retained / resurrected, plus churn attributed to the following "
+    "day — the standard DAU ledger (new + retained + resurrected - "
+    "churned telescopes the DAU series). One lag/min window over the "
+    "distinct user-day relation, one anti-join for churn; everything "
+    "shuffles on the user key, counts are integer-exact.",
+)
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct().localCheckpoint(eager=False)
+    w = Window.partitionBy("user_id").orderBy("day")
+    wall = Window.partitionBy("user_id")
+    seq = ud.withColumn("prev_day", F.lag("day").over(w)).withColumn(
+        "first_day", F.min("day").over(wall)
+    )
+    klass = (
+        F.when(F.col("day") == F.col("first_day"), 2)
+        .when(F.col("prev_day") == F.date_sub(F.col("day"), 1), 1)
+        .otherwise(0)
+    )
+    act = (
+        seq.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            klass.alias("klass"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("klass") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("klass") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_retained"),
+            F.sum(F.when(F.col("klass") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_resurrected"),
+        )
+    )
+    nxt = ud.select("user_id", F.date_add("day", 1).alias("day"))
+    churn = (
+        nxt.join(ud, ["user_id", "day"], "left_anti")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        act.join(churn, "day", "left")
+        .select(
+            "day",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0).cast("bigint")).alias(
+                "n_churned"
+            ),
+        )
+        .orderBy("day")
+    )
