@@ -1099,11 +1099,11 @@ from model_presto_spark.plans import queries_ops4 as _queries_ops4  # noqa: E402
 # - Round-6 session (driver round 3 continued; CORRECTNESS_r03 never
 #   appeared during the session) added q160-q190. They are NOT in
 #   this tail list, so they sit in the head portion at positions
-#   51-81 — past the adjudication cap, waiting. The head-50 is STILL
+#   51-84 — past the adjudication cap, waiting. The head-50 is STILL
 #   untouched (the same 50 oldest never-adjudicated queries as the
 #   round-5 note above). Rotation queue when r03 lands:
-#   r04 head := q110-q159 (50); r05 head := q160-q190 (31) + 19
-#   oldest re-verifications. The local gate covers all 190 at both
+#   r04 head := q110-q159 (50); r05 head := q160-q193 (34) + 16
+#   oldest re-verifications. The local gate covers all 193 at both
 #   sf0.01 and sf0.1 regardless.
 #
 # Every query (head and tail) still runs in bench.py and in the local

@@ -471,3 +471,80 @@ def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q193 — rolling distinct actives (DAU / WAU-7 / stickiness)
+# ---------------------------------------------------------------------------
+# Rolling COUNT(DISTINCT) has no window form in any SQL engine — the
+# standard rewrite expands each user-day into the <= 7 spine days it
+# keeps the user "active" for (a bounded explode, x7), then counts
+# distinct users per spine day: one equi-shaped aggregation, no
+# self-join of the fact table, no collect_set. Spine days are the
+# observed activity days.
+_Q193_ORACLE = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM ud
+    ), cover AS (
+      SELECT DISTINCT u.user_id, d.day
+      FROM ud u JOIN days d
+        ON d.day >= u.day AND d.day <= u.day + 6
+    ), wau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS wau7 FROM cover GROUP BY day
+    ), dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau7,
+           ROUND(CAST(d.dau AS DOUBLE) / w.wau7 + 5e-12, 6) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    ORDER BY d.day
+"""
+
+
+@register(
+    "q193_rolling_actives",
+    _Q193_ORACLE,
+    doc="Rolling distinct actives: DAU, trailing-7-day WAU, and the "
+    "DAU/WAU stickiness ratio per day. Rolling COUNT(DISTINCT) has "
+    "no window form — the engine expands each user-day into the <= 7 "
+    "spine days it covers (bounded x7 explode via sequence, never a "
+    "fact self-join) and deduplicates per (user, spine day); one "
+    "shuffle on the user-day key, one on the day. The oracle "
+    "restates it as the equivalent bounded band join.",
+)
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ud = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    days = ud.select("day").distinct()
+    # bounded expansion: each user-day covers itself + 6 following
+    # days; restrict to observed spine days via a semi-join
+    cover = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), 6)
+                )
+            ).alias("day"),
+        )
+        .join(days, "day", "left_semi")
+        .distinct()
+    )
+    wau = cover.groupBy("day").agg(F.count(F.lit(1)).alias("wau7"))
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau7",
+            r6(F.col("dau").cast("double") / F.col("wau7")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
