@@ -254,3 +254,238 @@ def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q197 — CDC apply / MERGE semantics (operators/cdc.py)
+# ---------------------------------------------------------------------------
+# A change batch with competing ops per key: updates keyed by
+# o_orderkey sequence (latest order wins), deletes that either beat
+# (seq 10^15) or lose to (seq -1) the updates depending on key
+# parity, and supplier-derived inserts. One max_by collapse + one
+# full-outer join; the oracle restates it with a window.
+_Q197_ORACLE = """
+    WITH changes AS (
+      SELECT o_custkey AS c_custkey, CAST(o_orderkey AS BIGINT) AS seq,
+             'U' AS op, ROUND(o_totalprice / 100.0, 2) AS c_acctbal,
+             'UPDATED' AS c_mktsegment
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
+      UNION ALL
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 2 = 0 THEN CAST(1000000000000000 AS BIGINT)
+                  ELSE CAST(-1 AS BIGINT) END AS seq,
+             'D' AS op, CAST(NULL AS DOUBLE) AS c_acctbal,
+             CAST(NULL AS VARCHAR) AS c_mktsegment
+      FROM customer WHERE c_custkey % 97 = 0
+      UNION ALL
+      SELECT 1000000 + s_suppkey AS c_custkey, CAST(1 AS BIGINT) AS seq,
+             'U' AS op, CAST(s_acctbal AS DOUBLE) AS c_acctbal,
+             'NEW' AS c_mktsegment
+      FROM supplier
+    ), latest AS (
+      SELECT c_custkey, op, c_acctbal, c_mktsegment,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY seq DESC) AS rk
+      FROM changes
+    ), applied AS (
+      SELECT COALESCE(s.c_custkey, l.c_custkey) AS c_custkey,
+             CASE WHEN l.c_custkey IS NOT NULL THEN l.c_acctbal
+                  ELSE s.c_acctbal END AS c_acctbal,
+             CASE WHEN l.c_custkey IS NOT NULL THEN l.c_mktsegment
+                  ELSE s.c_mktsegment END AS c_mktsegment
+      FROM customer s
+      FULL OUTER JOIN (SELECT * FROM latest WHERE rk = 1) l
+        ON s.c_custkey = l.c_custkey
+      WHERE l.c_custkey IS NULL OR l.op <> 'D'
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c_acctbal) + 5e-12, 4) AS total_balance
+    FROM applied GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+@register(
+    "q197_cdc_apply",
+    _Q197_ORACLE,
+    doc="CDC/MERGE apply (operators/cdc.py): a change batch mixing "
+    "per-key competing updates (latest o_orderkey wins), deletes "
+    "that beat or lose to the updates by sequence, and inserts of "
+    "unseen keys, applied to the customer snapshot with one max_by "
+    "collapse and one full-outer join — no iteration, no driver "
+    "state. Post-image summarized per segment.",
+)
+def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.cdc import apply_changes
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    orders = _t(spark, sf_dir, "orders")
+    upd = orders.where(
+        F.col("o_orderdate").between("1995-01-01", "1995-06-30")
+    ).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").cast("bigint").alias("seq"),
+        F.lit("U").alias("op"),
+        F.round(F.col("o_totalprice") / 100.0, 2).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    dels = cust.where(F.col("c_custkey") % 97 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 2 == 0, F.lit(1000000000000000))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    ins = _t(spark, sf_dir, "supplier").select(
+        (F.lit(1000000) + F.col("s_suppkey")).alias("c_custkey"),
+        F.lit(1).cast("bigint").alias("seq"),
+        F.lit("U").alias("op"),
+        F.col("s_acctbal").cast("double").alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    applied = apply_changes(
+        cust,
+        changes,
+        key_cols=["c_custkey"],
+        value_cols=["c_acctbal", "c_mktsegment"],
+    )
+    return (
+        applied.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal") + F.lit(5e-12), 4).alias(
+                "total_balance"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q198 — feature hashing / the hashing trick (functions/features.py)
+# ---------------------------------------------------------------------------
+_Q198_DIM = 64
+
+_Q198_H = "CAST(('0x' || substr(md5('{s}' || tok), 1, 15)) AS BIGINT)"
+
+_Q198_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents WHERE doc_id % 50 = 0
+    ), hashed AS (
+      SELECT doc_id,
+             CAST({_Q198_H.format(s='fh#')} % {_Q198_DIM} AS INT) AS bucket,
+             CASE WHEN {_Q198_H.format(s='fhs#')} % 2 = 0
+                  THEN 1 ELSE -1 END AS sign
+      FROM tok
+    )
+    SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS weight
+    FROM hashed GROUP BY doc_id, bucket
+    HAVING SUM(sign) <> 0
+    ORDER BY doc_id, bucket
+"""
+
+
+@register(
+    "q198_feature_hashing",
+    _Q198_ORACLE,
+    doc="Hashing-trick vectorization (functions/features.py): signed "
+    "64-bucket hashed bag-of-words in sparse (doc, bucket, weight) "
+    "form — no vocabulary fit, no dictionary broadcast, one explode "
+    "+ one groupBy; stateless and mergeable across shards, which is "
+    "why it is the 100 TB vectorizer. md5 hashes replayed exactly "
+    "by the oracle.",
+)
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.functions.features import hashed_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
+    return hashed_features(docs, "doc_id", "text", dim=_Q198_DIM).orderBy(
+        "doc_id", "bucket"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q199 — deterministic negative sampling (operators/pairs.py)
+# ---------------------------------------------------------------------------
+_Q199_H = (
+    "CAST(('0x' || substr(md5('neg#' || CAST(a.doc_id AS VARCHAR) || '#' "
+    "|| CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+_Q199_ORACLE = f"""
+    WITH indexed AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (ORDER BY doc_id) AS idx
+      FROM documents
+    ), n AS (SELECT COUNT(*) AS n FROM documents),
+    cand AS (
+      SELECT a.doc_id AS anchor_id, a.source AS a_src, a.idx, j,
+             {_Q199_H} % n.n + 1 AS raw, n.n
+      FROM indexed a
+      CROSS JOIN n
+      CROSS JOIN (SELECT UNNEST(generate_series(1, 4)) AS j)
+      WHERE a.doc_id % 37 = 0
+    ), picked AS (
+      SELECT anchor_id, a_src, j,
+             CASE WHEN raw = idx THEN raw % n + 1 ELSE raw END AS neg_idx
+      FROM cand
+    )
+    SELECT p.anchor_id, p.j, i.doc_id AS neg_id,
+           (i.source = p.a_src) AS same_source
+    FROM picked p JOIN indexed i ON i.idx = p.neg_idx
+    ORDER BY p.anchor_id, p.j
+"""
+
+
+@register(
+    "q199_negative_sampling",
+    _Q199_ORACLE,
+    doc="Deterministic contrastive negative sampling "
+    "(operators/pairs.py): 4 uniform negatives per anchor via "
+    "hash-derived dense-index candidates resolved with ONE equi-join "
+    "— no crossJoin, no RNG state, identical pairs on any cluster "
+    "size or retry. Self-collisions shift cyclically so every anchor "
+    "gets exactly k negatives; same-source flag joined on.",
+)
+def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.pairs import negative_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = negative_pairs(
+        docs, "doc_id", k=4, anchor_filter=F.col("doc_id") % 37 == 0
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("anchor_id"),
+                F.col("source").alias("__a_src"),
+            ),
+            "anchor_id",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("neg_id"),
+                F.col("source").alias("__n_src"),
+            ),
+            "neg_id",
+        )
+        .select(
+            "anchor_id",
+            "j",
+            "neg_id",
+            (F.col("__n_src") == F.col("__a_src")).alias("same_source"),
+        )
+        .orderBy("anchor_id", "j")
+    )

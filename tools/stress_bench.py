@@ -407,6 +407,33 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timings["mann_whitney"] = time.time() - t0
     spark.catalog.clearCache()
 
+    # round-7 ops: Bloom-prefilter join (probe = per-token stream,
+    # build = 4% of doc ids) and count-min sketch build+probe over
+    # the token stream (the sketch shuffle is constant-size, so this
+    # should scale ~linearly in stream length).
+    from model_presto_spark.operators.bloom import bloom_prefilter_join
+    from model_presto_spark.operators.cms import cms_build, cms_estimate
+
+    tok_stream = docs.select(
+        "doc_id", F.explode_outer(tokens(F.col("text"))).alias("tok")
+    )
+    t0 = time.time()
+    build = docs.where(F.col("doc_id") % 25 == 0).select("doc_id")
+    n_bloom = bloom_prefilter_join(
+        tok_stream, build, on="doc_id", num_bits=1 << 16
+    ).count()
+    timings["bloom_join"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    sketch = cms_build(tok_stream, "tok", depth=4, width=2048)
+    probes = (
+        tok_stream.groupBy("tok").count().orderBy(F.desc("count"), "tok").limit(20)
+    )
+    n_cms = cms_estimate(probes, sketch, "tok").count()
+    timings["cms"] = time.time() - t0
+    spark.catalog.clearCache()
+
     timings["_counts"] = {  # type: ignore[assignment]
         "minhash_pairs": n_mh,
         "hits_nodes": n_hits,
@@ -431,6 +458,8 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         "bfs_reached": n_bfs,
         "radius_pairs": n_rj,
         "mw_groups": n_mw,
+        "bloom_rows": n_bloom,
+        "cms_probes": n_cms,
         "ppjoin_pairs": n_pp,
     }
     return timings
