@@ -1067,6 +1067,7 @@ from model_presto_spark.plans import queries_tpch2 as _queries_tpch2  # noqa: E4
 from model_presto_spark.plans import queries_sql3 as _queries_sql3  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops4 as _queries_ops4  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops5 as _queries_ops5  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops6 as _queries_ops6  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
@@ -1098,13 +1099,13 @@ from model_presto_spark.plans import queries_ops5 as _queries_ops5  # noqa: E402
 #   session START, since driver snapshots have been observed
 #   mid-round (CORRECTNESS_r02 reflects a mid-round-2 state).
 # - Round-6 session (driver round 3 continued; CORRECTNESS_r03 never
-#   appeared during the session) added q160-q199. They are NOT in
+#   appeared during the session) added q160-q202. They are NOT in
 #   this tail list, so they sit in the head portion at positions
-#   51-90 — past the adjudication cap, waiting. The head-50 is STILL
+#   51-93 — past the adjudication cap, waiting. The head-50 is STILL
 #   untouched (the same 50 oldest never-adjudicated queries as the
 #   round-5 note above). Rotation queue when r03 lands:
-#   r04 head := q110-q159 (50); r05 head := q160-q199 (40) + 10
-#   oldest re-verifications. The local gate covers all 199 at both
+#   r04 head := q110-q159 (50); r05 head := q160-q202 (43) + 7
+#   oldest re-verifications. The local gate covers all 202 at both
 #   sf0.01 and sf0.1 regardless.
 #
 # Every query (head and tail) still runs in bench.py and in the local

@@ -263,7 +263,12 @@ _Q35_ORACLE = f"""
 def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     from model_presto_spark.operators.knn import knn_join
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # double-cast before the fold: float32 products can straddle a
+    # 6dp rounding boundary vs the oracle's CAST-to-DOUBLE products
+    # (bit-identical after the cast; q201 actually hit this at sf0.1)
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
     probes = emb.filter(F.col("vec_id") < 10)
     out = knn_join(
         probes.withColumnRenamed("vec_id", "probe_id"),
@@ -515,7 +520,10 @@ _Q40_ORACLE = f"""
 def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     from model_presto_spark.operators.knn import ann_lsh_join
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # double-cast for the same 6dp-boundary reason as q35/q201
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
     probes = emb.filter(F.col("vec_id") < 10)
     out = ann_lsh_join(
         probes.withColumnRenamed("vec_id", "probe_id"),

@@ -507,6 +507,8 @@ def main() -> int:
         "radius_join",
         "mann_whitney",
         "ppjoin",
+        "bloom_join",
+        "cms",
     ):
         r = results[big_tag][op] / max(results[small_tag][op], 1e-9)
         exponents[op] = round(math.log(r) / math.log(ratio_n), 3)
