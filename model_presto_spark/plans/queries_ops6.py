@@ -333,3 +333,280 @@ def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q203 — 2-D skyline (Pareto-optimal frontier)
+# ---------------------------------------------------------------------------
+# Skyline = parts not dominated on (retailprice, size), both
+# minimized. The naive plan is the O(n^2) NOT EXISTS the oracle
+# states; the Spark plan is the sort-prune rewrite: collapse to one
+# min-size per distinct price level (one aggregation), running min
+# over strictly-preceding levels (one window over the TINY level
+# relation), then one broadcast join back — a point survives iff it
+# beats every cheaper point's size and matches its own level's min.
+_Q203_ORACLE = """
+    SELECT p.p_partkey,
+           ROUND(p.p_retailprice, 2) AS price,
+           CAST(p.p_size AS INT) AS size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part o
+      WHERE o.p_retailprice <= p.p_retailprice AND o.p_size <= p.p_size
+        AND (o.p_retailprice < p.p_retailprice OR o.p_size < p.p_size)
+    )
+    ORDER BY p.p_partkey
+"""
+
+
+@register(
+    "q203_skyline",
+    _Q203_ORACLE,
+    doc="2-D skyline (Pareto frontier) of parts minimizing "
+    "(retailprice, size): the sort-prune plan — per-price-level min "
+    "size, running min over cheaper levels, broadcast join back — "
+    "replaces the O(n^2) NOT EXISTS the oracle states. Dominance "
+    "ties (equal on both dims) are kept, per skyline semantics.",
+)
+def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+    levels = part.groupBy("price").agg(F.min("size").alias("lvl_min"))
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    pruned = levels.withColumn("prev_min", F.min("lvl_min").over(w))
+    sky = (
+        part.join(F.broadcast(pruned), "price")
+        .where(
+            (F.col("prev_min").isNull() | (F.col("size") < F.col("prev_min")))
+            & (F.col("size") == F.col("lvl_min"))
+        )
+        .select(
+            "p_partkey",
+            F.round("price", 2).alias("price"),
+            "size",
+        )
+        .orderBy("p_partkey")
+    )
+    return sky
+
+
+# ---------------------------------------------------------------------------
+# Q204 — consistent-hashing ring assignment + resize movement
+# ---------------------------------------------------------------------------
+# The op behind minimal-movement shard routing: 16 virtual nodes per
+# shard on a 60-bit md5 ring; a doc routes to the first vnode
+# clockwise from its hash. The ring is a PARAMETER (128/144 vnodes),
+# so it ships as two sorted plan-literal arrays and the lookup is a
+# pure codegen fold (count vnodes below the hash, index, wrap) — the
+# bloom-filter trick again: constant-size state as literals, zero
+# joins on the big side. Resizing 8 -> 9 shards must move only ~1/9
+# of docs; the query reports per-shard volumes and moved counts.
+import hashlib as _hashlib
+
+
+def _ring(n_shards: int, vnodes: int = 16):
+    pts = []
+    for s in range(n_shards):
+        for v in range(vnodes):
+            h = int(
+                _hashlib.md5(f"ring#shard{s}#{v}".encode()).hexdigest()[:15],
+                16,
+            )
+            pts.append((h, f"shard{s}"))
+    pts.sort()
+    return [p[0] for p in pts], [p[1] for p in pts]
+
+_Q204_VH8, _Q204_SH8 = _ring(8)
+_Q204_VH9, _Q204_SH9 = _ring(9)
+
+
+def _dd_ring_pick(vhs: list[int], shards: list[str], h: str) -> str:
+    vh_lit = "[" + ", ".join(str(v) for v in vhs) + "]"
+    sh_lit = "[" + ", ".join(f"'{s}'" for s in shards) + "]"
+    idx = (
+        f"(len(list_filter({vh_lit}, v -> v < {h})) % {len(vhs)}) + 1"
+    )
+    return f"{sh_lit}[{idx}]"
+
+
+_Q204_H = "CAST(('0x' || substr(md5('doc#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+_Q204_ORACLE = f"""
+    WITH hashed AS (
+      SELECT doc_id, {_Q204_H} AS h FROM documents
+    ), assigned AS (
+      SELECT doc_id,
+             {_dd_ring_pick(_Q204_VH8, _Q204_SH8, 'h')} AS shard8,
+             {_dd_ring_pick(_Q204_VH9, _Q204_SH9, 'h')} AS shard9
+      FROM hashed
+    )
+    SELECT shard9 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN shard8 <> shard9 THEN 1 END) AS BIGINT)
+             AS n_moved
+    FROM assigned GROUP BY shard9 ORDER BY shard9
+"""
+
+
+def _spark_ring_pick(vhs: list[int], shards: list[str], h):
+    below = F.aggregate(
+        F.lit(vhs),
+        F.lit(0),
+        lambda acc, v: acc + F.when(v < h, F.lit(1)).otherwise(F.lit(0)),
+    )
+    idx = F.pmod(below, F.lit(len(vhs))) + F.lit(1)
+    return F.element_at(F.lit(shards), idx)
+
+
+@register(
+    "q204_consistent_hashing",
+    _Q204_ORACLE,
+    doc="Consistent-hashing ring routing (16 md5 vnodes/shard as "
+    "sorted plan-literal arrays; lookup = pure codegen fold + index "
+    "+ wrap, no join on the doc side) and the 8->9 shard resize "
+    "audit: per-shard volume and moved-doc counts (~1/9 total moves "
+    "— the property the ring exists for).",
+)
+def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.functions.text import h60
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = h60(F.concat(F.lit("doc#"), F.col("doc_id").cast("string")))
+    assigned = docs.select(
+        _spark_ring_pick(_Q204_VH8, _Q204_SH8, h).alias("shard8"),
+        _spark_ring_pick(_Q204_VH9, _Q204_SH9, h).alias("shard9"),
+    )
+    return (
+        assigned.groupBy(F.col("shard9").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(
+                F.when(F.col("shard8") != F.col("shard9"), 1)
+            ).alias("n_moved"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q205 — Neyman-allocation stratified sampling
+# ---------------------------------------------------------------------------
+# Optimal stratified design: sample budget n allocated across strata
+# proportional to N_h * S_h. The variance comes from EXACT integer
+# moments (BIGINT sums of n_chars and its square), so both engines
+# derive bit-identical doubles — stddev_samp's float summation order
+# would not be cross-engine stable. Selection inside each stratum is
+# the deterministic md5-rank sample (the R-series convention), so
+# the chosen rows — not just their counts — are engine-identical,
+# proven by hashing the sampled char mass.
+_Q205_BUDGET = 600
+
+_Q205_H = "CAST(('0x' || substr(md5('ney#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+_Q205_ORACLE = f"""
+    WITH stats AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(n_chars) AS BIGINT) AS sx,
+             CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS sx2
+      FROM documents GROUP BY source
+    ), wgt AS (
+      SELECT source, n_h,
+             n_h * sqrt((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_h)
+                        / (n_h - 1)) AS w
+      FROM stats
+    ), alloc AS (
+      SELECT source, n_h, w,
+             least(CAST(floor({_Q205_BUDGET} * w / SUM(w) OVER ()
+                              + 0.5 + 1e-9) AS BIGINT), n_h) AS k
+      FROM wgt
+    ), ranked AS (
+      SELECT d.source, d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+                                ORDER BY {_Q205_H}, d.doc_id) AS rk
+      FROM documents d
+    )
+    SELECT a.source, a.n_h, a.k AS alloc,
+           CAST(COUNT(r.doc_id) AS BIGINT) AS n_sampled,
+           CAST(SUM(r.n_chars) AS BIGINT) AS sampled_chars
+    FROM alloc a LEFT JOIN ranked r
+      ON r.source = a.source AND r.rk <= a.k
+    GROUP BY a.source, a.n_h, a.k
+    ORDER BY a.source
+"""
+
+
+@register(
+    "q205_neyman_sampling",
+    _Q205_ORACLE,
+    doc="Neyman-allocation stratified sampling: budget split across "
+    "strata proportional to N_h*S_h with S from exact integer "
+    "moments (cross-engine-stable doubles), then the deterministic "
+    "md5-rank sample inside each stratum. Per-stratum allocation, "
+    "realized sample size, and sampled char mass (pins the exact "
+    "row selection, not just counts).",
+)
+def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from model_presto_spark.functions.text import h60
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("n_chars").cast("bigint").alias("sx"),
+        F.sum(F.col("n_chars").cast("bigint") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("sx2"),
+    )
+    w = (
+        F.col("n_h")
+        * F.sqrt(
+            (
+                F.col("sx2").cast("double")
+                - F.col("sx").cast("double") * F.col("sx") / F.col("n_h")
+            )
+            / (F.col("n_h") - 1)
+        )
+    ).alias("w")
+    wgt = stats.select("source", "n_h", w)
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    alloc = wgt.select(
+        "source",
+        "n_h",
+        F.least(
+            F.floor(
+                F.lit(_Q205_BUDGET) * F.col("w") / F.sum("w").over(tot)
+                + F.lit(0.5)
+                + F.lit(1e-9)
+            ).cast("bigint"),
+            F.col("n_h"),
+        ).alias("k"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            h60(F.concat(F.lit("ney#"), F.col("doc_id").cast("string"))),
+            F.col("doc_id"),
+        )
+    )
+    ranked = docs.select("source", "doc_id", "n_chars", rk.alias("rk"))
+    return (
+        alloc.join(
+            ranked,
+            (ranked["source"] == alloc["source"])
+            & (F.col("rk") <= F.col("k")),
+            "left",
+        )
+        .groupBy(alloc["source"].alias("source"), "n_h", F.col("k").alias("alloc"))
+        .agg(
+            F.count("doc_id").cast("bigint").alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+        )
+        .orderBy("source")
+    )
