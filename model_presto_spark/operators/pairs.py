@@ -39,10 +39,13 @@ def negative_pairs(
     index cyclically (never silently dropped, so every anchor gets
     exactly k negatives). ``anchor_filter`` optionally restricts
     which rows act as anchors — all rows remain candidates."""
+    # referenced 3x (anchor set, size scalar, negative resolution) —
+    # Spark has no cross-branch subplan reuse, so materialize the
+    # (id, idx) relation once instead of re-sorting per reference
     indexed = df.select(
         F.col(id_col),
         F.row_number().over(Window.orderBy(F.col(id_col))).alias("__idx"),
-    )
+    ).localCheckpoint(eager=False)
     total = indexed.agg(F.count(F.lit(1)).alias("__n"))
     anchors = indexed if anchor_filter is None else indexed.where(anchor_filter)
     cands = anchors.crossJoin(F.broadcast(total)).select(
