@@ -1099,13 +1099,13 @@ from model_presto_spark.plans import queries_ops6 as _queries_ops6  # noqa: E402
 #   session START, since driver snapshots have been observed
 #   mid-round (CORRECTNESS_r02 reflects a mid-round-2 state).
 # - Round-6 session (driver round 3 continued; CORRECTNESS_r03 never
-#   appeared during the session) added q160-q205. They are NOT in
+#   appeared during the session) added q160-q208. They are NOT in
 #   this tail list, so they sit in the head portion at positions
-#   51-96 — past the adjudication cap, waiting. The head-50 is STILL
+#   51-99 — past the adjudication cap, waiting. The head-50 is STILL
 #   untouched (the same 50 oldest never-adjudicated queries as the
 #   round-5 note above). Rotation queue when r03 lands:
-#   r04 head := q110-q159 (50); r05 head := q160-q205 (46) + 4
-#   oldest re-verifications. The local gate covers all 205 at both
+#   r04 head := q110-q159 (50); r05 head := q160-q208 (49) + 1
+#   oldest re-verification. The local gate covers all 208 at both
 #   sf0.01 and sf0.1 regardless.
 #
 # Every query (head and tail) still runs in bench.py and in the local

@@ -610,3 +610,240 @@ def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q206 — time travel: as-of snapshot reconstruction from SCD2 intervals
+# ---------------------------------------------------------------------------
+# The read side of the q115 SCD2 build: reconstruct "what did the
+# dimension look like on date T" for three instants at once. A
+# version is in force at T iff it is the user's latest valid_from
+# <= T — one banded join against the (tiny, bounded) instants list
+# and one max_by per (user, instant); never a per-instant rescan.
+_Q206_INSTANTS = ("2024-01-05", "2024-01-15", "2024-01-25")
+
+_Q206_VALUES = ", ".join(f"DATE '{d}'" for d in _Q206_INSTANTS)
+
+_Q206_ORACLE = f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    ), st AS (
+      SELECT user_id, d, event_type AS state FROM daily
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id, d ORDER BY cnt DESC, event_type ASC) = 1
+    ), mk AS (
+      SELECT user_id, d, state,
+             CASE WHEN lag(state) OVER w IS NULL
+                       OR lag(state) OVER w <> state
+                  THEN 1 ELSE 0 END AS chg
+      FROM st WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    ), isl AS (
+      SELECT user_id, d, state,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM mk
+    ), versions AS (
+      SELECT user_id, state, MIN(d) AS valid_from
+      FROM isl GROUP BY user_id, state, island
+    ), instants AS (
+      SELECT UNNEST([{_Q206_VALUES}]) AS as_of
+    ), inforce AS (
+      SELECT i.as_of, v.user_id, v.state,
+             ROW_NUMBER() OVER (PARTITION BY i.as_of, v.user_id
+                                ORDER BY v.valid_from DESC) AS rk
+      FROM versions v JOIN instants i ON v.valid_from <= i.as_of
+    )
+    SELECT strftime(as_of, '%Y-%m-%d') AS as_of, state,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM inforce WHERE rk = 1
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register(
+    "q206_time_travel",
+    _Q206_ORACLE,
+    doc="As-of snapshot reconstruction over the q115 SCD2 intervals: "
+    "per instant, each user's version in force is their latest "
+    "valid_from <= T — one banded join against the bounded instants "
+    "list + one max_by, so N instants never mean N rescans of the "
+    "history. State census per instant.",
+)
+def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.temporal import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    st = daily.groupBy("user_id", "d").agg(
+        F.min_by(
+            "event_type", F.struct(-F.col("cnt"), F.col("event_type"))
+        ).alias("state")
+    )
+    versions = scd2_intervals(st, "user_id", "d", "state").select(
+        "user_id", "state", "valid_from"
+    )
+    instants = F.explode(
+        F.array(*[F.lit(d).cast("date") for d in _Q206_INSTANTS])
+    ).alias("as_of")
+    crossed = versions.select("user_id", "state", "valid_from", instants)
+    inforce = (
+        crossed.where(F.col("valid_from") <= F.col("as_of"))
+        .groupBy("as_of", "user_id")
+        .agg(F.max_by("state", "valid_from").alias("state"))
+    )
+    return (
+        inforce.groupBy(
+            F.date_format("as_of", "yyyy-MM-dd").alias("as_of"), "state"
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("as_of", "state")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q207 — leave-one-out target encoding (ML feature op)
+# ---------------------------------------------------------------------------
+# Mean target encoding leaks the row's own label; the standard fix
+# is leave-one-out: enc_i = (sum_y(cat) - y_i) / (n(cat) - 1). One
+# category aggregation + one broadcast join back — no window over
+# the fact table. The query pins per-category LOO extremes and the
+# (distinct-value) cardinality, which fully determine the per-row
+# encodings for a binary target.
+_Q207_ORACLE = """
+    WITH y AS (
+      SELECT p.p_brand AS cat,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), agg AS (
+      SELECT cat, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sum_y
+      FROM y GROUP BY cat
+    ), loo AS (
+      SELECT y.cat, y.y,
+             CAST(a.sum_y - y.y AS DOUBLE) / (a.n - 1) AS enc
+      FROM y JOIN agg a ON a.cat = y.cat
+    )
+    SELECT cat, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(enc) + 5e-12, 6) AS enc_min,
+           ROUND(MAX(enc) + 5e-12, 6) AS enc_max,
+           ROUND(AVG(enc) + 5e-12, 6) AS enc_mean,
+           CAST(COUNT(DISTINCT enc) AS BIGINT) AS n_distinct
+    FROM loo GROUP BY cat ORDER BY cat
+"""
+
+
+@register(
+    "q207_target_encoding",
+    _Q207_ORACLE,
+    doc="Leave-one-out target encoding of p_brand against the "
+    "return flag: category sums once, LOO formula "
+    "(sum_y - y_i)/(n-1) per row via one broadcast join — no "
+    "window over the fact table, no leakage. Per-category encoding "
+    "extremes, mean, and cardinality pin the full encoding.",
+)
+def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_returnflag")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            F.col("p_brand").alias("cat"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        )
+    )
+    agg = li.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+    )
+    loo = li.join(F.broadcast(agg), "cat").select(
+        "cat",
+        "n",
+        (
+            (F.col("sum_y") - F.col("y")).cast("double")
+            / (F.col("n") - 1)
+        ).alias("enc"),
+    )
+    return (
+        loo.groupBy("cat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            r6(F.min("enc")).alias("enc_min"),
+            r6(F.max("enc")).alias("enc_max"),
+            r6(F.avg("enc")).alias("enc_mean"),
+            F.count_distinct(F.col("enc")).alias("n_distinct"),
+        )
+        .orderBy("cat")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q208 — Merkle-style table checksums (replication / migration audit)
+# ---------------------------------------------------------------------------
+# Verifying that two copies of a 100 TB table agree cannot ship rows
+# — it ships per-bucket ORDER-INDEPENDENT digests: xor (and a
+# truncated modular sum) of a per-row hash over canonicalized
+# columns. Digests compose (xor of bucket digests = table digest),
+# so mismatched buckets localize the diff — the Merkle/anti-entropy
+# pattern every replicated store uses. One map-side-combined
+# aggregation; nothing but 16 digest rows ever moves.
+_Q208_ROW = (
+    "md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+    " || '|' || o_orderstatus || '|' || o_orderpriority || '|' ||"
+    " strftime(o_orderdate, '%Y-%m-%d'))"
+)
+
+_Q208_ORACLE = f"""
+    WITH h AS (
+      SELECT o_orderkey % 16 AS bucket,
+             CAST(('0x' || substr({_Q208_ROW}, 1, 15)) AS BIGINT) AS rh
+      FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(rh) AS BIGINT) AS xor_digest,
+           CAST(SUM(rh % 1099511627776) AS BIGINT) AS sum_digest
+    FROM h GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register(
+    "q208_table_checksums",
+    _Q208_ORACLE,
+    doc="Anti-entropy table checksums: per-bucket order-independent "
+    "xor + truncated-sum digests of canonicalized order rows (md5 "
+    "row hash). Digests are mergeable (xor composes), so replica "
+    "comparison ships 16 rows, never data; mismatches localize to "
+    "buckets. One map-side-combined aggregation.",
+)
+def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    rh = F.conv(F.substring(F.md5(F.encode(row_str, "UTF-8")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        o.select(
+            (F.col("o_orderkey") % 16).cast("bigint").alias("bucket"),
+            rh.alias("rh"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(rh)").cast("bigint").alias("xor_digest"),
+            F.sum(F.col("rh") % F.lit(1099511627776))
+            .cast("bigint")
+            .alias("sum_digest"),
+        )
+        .orderBy("bucket")
+    )
