@@ -88,6 +88,10 @@ def decode_pixels(blob: bytes, h: int, w: int, c: int) -> np.ndarray:
         )
     if blob[:2] in (b"P6", b"P5"):
         return _decode_ppm(blob)
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        from model_presto_spark.sources.png import decode_png
+
+        return decode_png(blob).astype(np.float64)
     if HAVE_PIL:  # pragma: no cover - PIL absent in this container
         import io
 
