@@ -1068,6 +1068,7 @@ from model_presto_spark.plans import queries_sql3 as _queries_sql3  # noqa: E402
 from model_presto_spark.plans import queries_ops4 as _queries_ops4  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops5 as _queries_ops5  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops6 as _queries_ops6  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops7 as _queries_ops7  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
@@ -1099,13 +1100,13 @@ from model_presto_spark.plans import queries_ops6 as _queries_ops6  # noqa: E402
 #   session START, since driver snapshots have been observed
 #   mid-round (CORRECTNESS_r02 reflects a mid-round-2 state).
 # - Round-6 session (driver round 3 continued; CORRECTNESS_r03 never
-#   appeared during the session) added q160-q208. They are NOT in
+#   appeared during the session) added q160-q210. They are NOT in
 #   this tail list, so they sit in the head portion at positions
-#   51-99 — past the adjudication cap, waiting. The head-50 is STILL
+#   51-101 — past the adjudication cap, waiting. The head-50 is STILL
 #   untouched (the same 50 oldest never-adjudicated queries as the
 #   round-5 note above). Rotation queue when r03 lands:
-#   r04 head := q110-q159 (50); r05 head := q160-q208 (49) + 1
-#   oldest re-verification. The local gate covers all 208 at both
+#   r04 head := q110-q159 (50); r05 head := q160-q209 (50); r06 head := q210+ + oldest
+#   re-verifications. The local gate covers all 210 at both
 #   sf0.01 and sf0.1 regardless.
 #
 # Every query (head and tail) still runs in bench.py and in the local
