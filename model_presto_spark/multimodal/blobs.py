@@ -88,15 +88,22 @@ def decode_pixels(blob: bytes, h: int, w: int, c: int) -> np.ndarray:
         )
     if blob[:2] in (b"P6", b"P5"):
         return _decode_ppm(blob)
-    if blob[:8] == b"\x89PNG\r\n\x1a\n":
-        from model_presto_spark.sources.png import decode_png
-
-        return decode_png(blob).astype(np.float64)
     if HAVE_PIL:  # pragma: no cover - PIL absent in this container
+        # PIL first for PNG/JPEG when installed: the native codecs
+        # below are real but their filter/Huffman inner loops are
+        # Python — PIL is the C-speed production path.
         import io
 
         arr = np.asarray(Image.open(io.BytesIO(blob)))
         return arr.reshape(arr.shape[0], arr.shape[1], -1).astype(np.float64)
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        from model_presto_spark.sources.png import decode_png
+
+        return decode_png(blob).astype(np.float64)
+    if blob[:2] == b"\xff\xd8":
+        from model_presto_spark.sources.jpeg import decode_jpeg
+
+        return decode_jpeg(blob).astype(np.float64)
     return _fake_pixels(blob, h, w, c)
 
 
