@@ -54,6 +54,25 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
+def bigrams(ts: Column) -> Column:
+    """Adjacent word-bigram array from a MATERIALIZED token array.
+
+    ``ts`` must be an already-projected column (same inlining caveat
+    as :func:`char_shingles`): the per-position lambda indexes it
+    twice per bigram.  Returns an empty array for <2 tokens.
+    """
+    idx = F.sequence(F.lit(1), F.size(ts) - 1)
+    return F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(ts, i), F.element_at(ts, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def char_shingles(lowered: Column, k: int = 5, distinct: bool = True) -> Column:
     """Character k-gram shingle set.
 

@@ -220,3 +220,251 @@ def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q211 — Hill tail-index estimator (heavy-tail diagnostics)
+# ---------------------------------------------------------------------------
+# How heavy is the user-activity tail? Hill over the top-k order
+# statistics: alpha = k / sum(ln(x_(i) / x_(k+1))). One aggregation
+# to per-user counts (the 100 TB part), then a top-(k+1) on the
+# already-small distinct-user relation, scalar algebra after. The
+# estimator that decides whether mean-based capacity planning is
+# even meaningful for a workload.
+_Q211_K = 50
+
+_Q211_EXPR = f"{_Q211_K} / (sum_ln - {_Q211_K} * ln(x_ref))"
+
+_Q211_ORACLE = f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC, user_id) AS rk
+      FROM per_user
+    ), topk AS (
+      SELECT MAX(CASE WHEN rk = {_Q211_K + 1} THEN x END) AS x_ref,
+             SUM(CASE WHEN rk <= {_Q211_K} THEN ln(x) END) AS sum_ln,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM ranked
+    )
+    SELECT n_users,
+           {_R6.format(x=_Q211_EXPR)} AS hill_alpha,
+           {_R6.format(x='x_ref')} AS x_kplus1
+    FROM topk
+"""
+
+
+@register(
+    "q211_hill_tail",
+    _Q211_ORACLE,
+    doc="Hill tail-index over per-user activity counts: "
+    "k / sum(ln(x_i/x_(k+1))) on the top-50 order statistics. One "
+    "distributed aggregation + one window on the tiny per-user "
+    "relation; alpha < 2 means infinite-variance planning territory.",
+)
+def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    ranked = per_user.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy(F.col("x").desc(), F.col("user_id")))
+        .alias("rk"),
+    )
+    topk = ranked.agg(
+        F.max(F.when(F.col("rk") == _Q211_K + 1, F.col("x"))).alias("x_ref"),
+        F.sum(F.when(F.col("rk") <= _Q211_K, F.log(F.col("x")))).alias(
+            "sum_ln"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    return topk.select(
+        "n_users",
+        r6(
+            F.lit(float(_Q211_K))
+            / (F.col("sum_ln") - _Q211_K * F.log(F.col("x_ref")))
+        ).alias("hill_alpha"),
+        r6(F.col("x_ref")).alias("x_kplus1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q212 — Good-Turing count-of-counts smoothing (LM mass estimation)
+# ---------------------------------------------------------------------------
+# The count-of-counts table N_r and the classic Good-Turing
+# quantities: unseen-mass estimate N_1/N and the adjusted count
+# r* = (r+1) N_{r+1} / N_r for small r. Two aggregations over the
+# bigram stream (bigram counts, then frequency-of-frequency) — both
+# map-side combined; the table itself is tiny at any corpus size.
+# Word BIGRAMS, not unigrams: the synthetic corpus has only ~31
+# distinct words (min count 26), so a unigram spectrum at r<=10 is
+# empty — bigrams populate the small-r rows the estimator is about.
+_Q212_ORACLE = """
+    WITH tok AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ), big AS (
+      SELECT ts[i] || ' ' || ts[i + 1] AS t
+      FROM tok, UNNEST(range(1, len(ts))) AS u(i)
+    ), tc AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS r FROM big GROUP BY t
+    ), coc AS (
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tc GROUP BY r
+    ), tot AS (
+      SELECT SUM(r * n_r) AS n_tokens FROM coc
+    )
+    SELECT c.r, c.n_r,
+           ROUND((c.r + 1) * CAST(nxt.n_r AS DOUBLE) / c.n_r + 5e-12, 6)
+             AS r_star,
+           ROUND(c.r * c.n_r / CAST(t.n_tokens AS DOUBLE) + 5e-12, 6)
+             AS mass_share
+    FROM coc c
+    LEFT JOIN coc nxt ON nxt.r = c.r + 1
+    CROSS JOIN tot t
+    WHERE c.r <= 10
+    ORDER BY c.r
+"""
+
+
+@register(
+    "q212_good_turing",
+    _Q212_ORACLE,
+    doc="Good-Turing count-of-counts: bigram-frequency spectrum N_r, "
+    "adjusted counts r* = (r+1)N_{r+1}/N_r, and per-r probability "
+    "mass share (r=1 row IS the unseen-mass estimate). Two map-side "
+    "combined aggregations; the spectrum is O(max count) rows at "
+    "any corpus size.",
+)
+def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.functions.text import bigrams, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tc = (
+        docs.select(tokens(F.col("text")).alias("ts"))
+        .select(F.explode_outer(bigrams(F.col("ts"))).alias("t"))
+        .where(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    coc = tc.groupBy("r").agg(F.count(F.lit(1)).alias("n_r")).localCheckpoint(
+        eager=False
+    )  # referenced 3x: rows, shifted self-join, total
+    tot = coc.agg(F.sum(F.col("r") * F.col("n_r")).alias("n_tokens"))
+    nxt = coc.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next")
+    )
+    return (
+        coc.where(F.col("r") <= 10)
+        .join(F.broadcast(nxt), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").cast("bigint").alias("r"),
+            F.col("n_r").cast("bigint").alias("n_r"),
+            F.round(
+                (F.col("r") + 1)
+                * F.col("n_r_next").cast("double")
+                / F.col("n_r")
+                + F.lit(5e-12),
+                6,
+            ).alias("r_star"),
+            F.round(
+                F.col("r") * F.col("n_r") / F.col("n_tokens").cast("double")
+                + F.lit(5e-12),
+                6,
+            ).alias("mass_share"),
+        )
+        .orderBy("r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q213 — Chao1 vocabulary-richness estimator
+# ---------------------------------------------------------------------------
+# How many distinct tokens does the corpus REALLY have, including
+# the ones not yet seen? Chao1: S_obs + f1^2 / (2 f2), with the
+# bias-corrected form when f2 = 0. Per source — the scale shape is
+# one (source, bigram) distinct aggregation, then tiny per-source
+# algebra. The coverage estimate (1 - f1/n) is Good-Turing's.
+# Bigrams for the same reason as q212: the unigram vocabulary is
+# saturated (f1 = f2 = 0 everywhere), which makes Chao1 vacuous.
+_Q213_ORACLE = """
+    WITH tok AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ), big AS (
+      SELECT source, ts[i] || ' ' || ts[i + 1] AS t
+      FROM tok, UNNEST(range(1, len(ts))) AS u(i)
+    ), tc AS (
+      SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM big GROUP BY source, t
+    ), stats AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS s_obs,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS f1,
+             CAST(COUNT(CASE WHEN c = 2 THEN 1 END) AS BIGINT) AS f2
+      FROM tc GROUP BY source
+    )
+    SELECT source, s_obs, f1, f2,
+           ROUND(s_obs + CASE WHEN f2 > 0
+                              THEN CAST(f1 AS DOUBLE) * f1 / (2.0 * f2)
+                              ELSE CAST(f1 AS DOUBLE) * (f1 - 1) / 2.0 END
+                 + 5e-12, 6) AS chao1,
+           ROUND(1.0 - CAST(f1 AS DOUBLE) / n_tokens + 5e-12, 6)
+             AS coverage
+    FROM stats ORDER BY source
+"""
+
+
+@register(
+    "q213_chao1_richness",
+    _Q213_ORACLE,
+    doc="Chao1 bigram-vocabulary richness and Good-Turing coverage "
+    "per source: S_obs + f1^2/(2 f2) (bias-corrected when f2=0) from "
+    "singleton/doubleton counts. One (source, bigram) aggregation — "
+    "the estimator that says how much vocabulary a crawl has NOT "
+    "seen yet.",
+)
+def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.functions.text import bigrams, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", tokens(F.col("text")).alias("ts"))
+        .select(
+            "source", F.explode_outer(bigrams(F.col("ts"))).alias("t")
+        )
+        .where(F.col("t").isNotNull())
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = tc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_obs"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.when(F.col("c") == 1, 1)).cast("bigint").alias("f1"),
+        F.count(F.when(F.col("c") == 2, 1)).cast("bigint").alias("f2"),
+    )
+    chao_extra = F.when(
+        F.col("f2") > 0,
+        F.col("f1").cast("double") * F.col("f1") / (2.0 * F.col("f2")),
+    ).otherwise(F.col("f1").cast("double") * (F.col("f1") - 1) / 2.0)
+    return stats.select(
+        "source",
+        "s_obs",
+        "f1",
+        "f2",
+        F.round(F.col("s_obs") + chao_extra + F.lit(5e-12), 6).alias("chao1"),
+        F.round(
+            1.0 - F.col("f1").cast("double") / F.col("n_tokens")
+            + F.lit(5e-12),
+            6,
+        ).alias("coverage"),
+    ).orderBy("source")
