@@ -1071,6 +1071,7 @@ from model_presto_spark.plans import queries_ops6 as _queries_ops6  # noqa: E402
 from model_presto_spark.plans import queries_ops7 as _queries_ops7  # noqa: E402,F401
 from model_presto_spark.plans import queries_tpch3 as _queries_tpch3  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops8 as _queries_ops8  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops9 as _queries_ops9  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
