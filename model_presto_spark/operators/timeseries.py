@@ -426,3 +426,74 @@ def seasonal_decompose(
             ),
         )
     )
+
+
+def holt_winters(
+    ys: Column,
+    period: int,
+    alpha: float,
+    beta: float,
+    gamma: float,
+) -> Column:
+    """Additive Holt-Winters fold over an ordered series array.
+
+    ``ys`` must be an array<double> of at least ``2 * period + 1``
+    points, already reduced to an exact grid (e.g. cent-rounded) so
+    the sequential fold is bit-identical across engines.  Classic
+    deterministic initialization: level = mean of the first season,
+    trend = (mean of season 2 - mean of season 1) / period, seasonal
+    indices = first-season deviations from the level.  The fold then
+    replays t = period+1..n with the one-step-ahead SSE accumulated
+    pre-update.
+
+    Returns a struct column ``(l, b, s: array<double>, sse)`` where
+    ``s`` is rotated so ``s[1]`` is always the NEXT time step's
+    seasonal index (so the one-step forecast is ``l + b + s[1]``).
+
+    Scale shape: the recurrence is sequential in t by nature, but t
+    is the bounded calendar axis — the distributed work is the
+    upstream aggregation that produced ``ys``; this fold is O(n)
+    per series inside one projection (no shuffle, no UDF).
+    """
+    p = period
+    a, g, d = F.lit(float(alpha)), F.lit(float(beta)), F.lit(float(gamma))
+
+    def _mean_of(sl: Column) -> Column:
+        return (
+            F.aggregate(sl, F.lit(0.0), lambda acc, x: acc + x) / float(p)
+        )
+
+    m1 = _mean_of(F.slice(ys, 1, p))
+    m2 = _mean_of(F.slice(ys, p + 1, p))
+    l0 = m1
+    b0 = (m2 - m1) / float(p)
+    s0 = F.transform(F.slice(ys, 1, p), lambda y: y - m1)
+    init = F.struct(
+        l0.alias("l"), b0.alias("b"), s0.alias("s"), F.lit(0.0).alias("sse")
+    )
+
+    def _merge(acc: Column, y: Column) -> Column:
+        s_old = F.element_at(acc["s"], 1)
+        lb = acc["l"] + acc["b"]
+        l_new = a * (y - s_old) + (F.lit(1.0) - a) * lb
+        b_new = (
+            g * ((a * (y - s_old) + (F.lit(1.0) - a) * lb) - acc["l"])
+            + (F.lit(1.0) - g) * acc["b"]
+        )
+        s_new = (
+            d * (y - (a * (y - s_old) + (F.lit(1.0) - a) * lb))
+            + (F.lit(1.0) - d) * s_old
+        )
+        err = y - (lb + s_old)
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(
+                F.slice(acc["s"], 2, p - 1), F.array(s_new)
+            ).alias("s"),
+            (acc["sse"] + err * err).alias("sse"),
+        )
+
+    return F.aggregate(
+        F.slice(ys, p + 1, F.size(ys) - p), init, _merge
+    )

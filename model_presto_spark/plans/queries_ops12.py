@@ -394,3 +394,117 @@ def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("in_degree").desc(), "vec_id")
         .limit(_Q244_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q245 — Holt-Winters additive seasonal smoothing (period 7)
+# ---------------------------------------------------------------------------
+# Triple exponential smoothing of daily revenue per event type:
+# distributed daily aggregation (cent-rounded — the 100 TB part),
+# then the operators/timeseries.holt_winters fold over the bounded
+# day axis.  Oracle replays the identical recurrence WITH RECURSIVE,
+# carrying the rotating 7-element seasonal list as a LIST column.
+_Q245_A = 0.4   # level
+_Q245_B = 0.2   # trend
+_Q245_D = 0.3   # seasonal
+_Q245_P = 7
+
+_Q245_LNEW = (
+    f"{_Q245_A} * (p.y - s.s[1]) + (1 - {_Q245_A}) * (s.l + s.b)"
+)
+
+_Q245_ORACLE = f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(SUM(value), 2) AS y
+      FROM events GROUP BY event_type, day
+    ), ser AS (
+      SELECT event_type, list(y ORDER BY day) AS ys
+      FROM daily GROUP BY event_type
+    ), ini AS (
+      SELECT event_type, ys, len(ys) AS tmax,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         ys[1:{_Q245_P}]), (a, x) -> a + x)
+               / {_Q245_P}.0 AS m1,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         ys[{_Q245_P + 1}:{2 * _Q245_P}]), (a, x) -> a + x)
+               / {_Q245_P}.0 AS m2
+      FROM ser
+    ), state AS (
+      SELECT event_type, ys, tmax, {_Q245_P} AS t,
+             m1 AS l,
+             (m2 - m1) / {_Q245_P}.0 AS b,
+             list_transform(ys[1:{_Q245_P}], y -> y - m1) AS s,
+             CAST(0.0 AS DOUBLE) AS sse
+      FROM ini
+      UNION ALL
+      SELECT s.event_type, s.ys, s.tmax, s.t + 1,
+             {_Q245_LNEW} AS l,
+             {_Q245_B} * (({_Q245_LNEW}) - s.l)
+               + (1 - {_Q245_B}) * s.b AS b,
+             list_append(s.s[2:{_Q245_P}],
+                         {_Q245_D} * (p.y - ({_Q245_LNEW}))
+                         + (1 - {_Q245_D}) * s.s[1]) AS s,
+             s.sse + (p.y - (s.l + s.b + s.s[1]))
+                   * (p.y - (s.l + s.b + s.s[1])) AS sse
+      FROM state s
+      JOIN LATERAL (SELECT s.ys[s.t + 1] AS y) p ON TRUE
+      WHERE s.t < s.tmax
+    )
+    SELECT event_type, CAST(tmax AS BIGINT) AS n_days,
+           ROUND(l + 5e-12, 6) AS level,
+           ROUND(b + 5e-12, 6) AS trend,
+           ROUND(l + b + s[1] + 5e-12, 6) AS forecast_next,
+           ROUND(SQRT(sse / (tmax - {_Q245_P})) + 5e-12, 6) AS rmse
+    FROM state WHERE t = tmax
+    ORDER BY event_type
+"""
+
+
+@register(
+    "q245_holt_winters",
+    _Q245_ORACLE,
+    doc="Additive Holt-Winters (period 7) on daily revenue per "
+    "event type: cent-rounded daily aggregation, then the "
+    "operators/timeseries.holt_winters struct fold over the "
+    "bounded day axis — level/trend/rotating seasonal array in one "
+    "projection, no shuffle beyond the daily rollup.  Final level, "
+    "trend, one-step forecast, one-step-ahead RMSE.",
+)
+def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.timeseries import holt_winters
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("y")
+    )
+    ser = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("pts")
+    )
+    ys = F.transform(F.col("pts"), lambda s: s["y"])
+    st = holt_winters(ys, _Q245_P, _Q245_A, _Q245_B, _Q245_D)
+    return (
+        ser.select(
+            "event_type",
+            F.size("pts").cast("bigint").alias("n_days"),
+            st.alias("st"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            r6(F.col("st.l")).alias("level"),
+            r6(F.col("st.b")).alias("trend"),
+            r6(
+                F.col("st.l")
+                + F.col("st.b")
+                + F.element_at(F.col("st.s"), 1)
+            ).alias("forecast_next"),
+            r6(
+                F.sqrt(
+                    F.col("st.sse")
+                    / (F.col("n_days") - _Q245_P).cast("double")
+                )
+            ).alias("rmse"),
+        )
+        .orderBy("event_type")
+    )
