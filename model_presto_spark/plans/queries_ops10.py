@@ -628,7 +628,9 @@ def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = deg.select(F.col("node").alias("ka"), F.col("d").alias("du"))
     db = deg.select(F.col("node").alias("kb"), F.col("d").alias("dv"))
     ed = (
-        e.join(da, e.a == da.ka).join(db, e.b == db.kb).select("du", "dv")
+        e.join(F.broadcast(da), e.a == da.ka)
+        .join(F.broadcast(db), e.b == db.kb)
+        .select("du", "dv")
     )
     ks = F.explode(F.sequence(F.lit(1), F.lit(_Q236_KMAX))).alias("k")
     ek = (

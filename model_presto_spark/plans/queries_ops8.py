@@ -372,7 +372,9 @@ def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("nu"), F.col("d").alias("x"))
     dv = deg.select(F.col("node").alias("nv"), F.col("d").alias("y"))
-    pairs = sym.join(du, sym.u == du.nu).join(dv, sym.v == dv.nv)
+    pairs = sym.join(F.broadcast(du), sym.u == du.nu).join(
+        F.broadcast(dv), sym.v == dv.nv
+    )
     mom = pairs.agg(
         F.count(F.lit(1)).alias("m"),
         F.sum("x").alias("sx"),
