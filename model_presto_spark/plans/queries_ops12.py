@@ -318,7 +318,7 @@ def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Hubs distort retrieval and dedup; the in-degree distribution is
 # the standard diagnostic.  Exact top-5 over a capped slice (the
 # bounded-oracle pattern of q35/q54; LSH/IVF are the scale paths).
-_Q244_CAP = 600
+_Q244_CAP = 450
 _Q244_K = 5
 _Q244_TOP = 15
 
