@@ -1086,6 +1086,7 @@ from model_presto_spark.plans import queries_ops20 as _queries_ops20  # noqa: E4
 from model_presto_spark.plans import queries_ops21 as _queries_ops21  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops22 as _queries_ops22  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops23 as _queries_ops23  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops24 as _queries_ops24  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
