@@ -1087,6 +1087,7 @@ from model_presto_spark.plans import queries_ops21 as _queries_ops21  # noqa: E4
 from model_presto_spark.plans import queries_ops22 as _queries_ops22  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops23 as _queries_ops23  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops24 as _queries_ops24  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops25 as _queries_ops25  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.

@@ -345,16 +345,28 @@ _Q254_ORACLE = """
     )
     SELECT p.a_band, p.a_sign, p.n_pairs, p.n_match,
            ROUND((CASE WHEN p.a_band = 1
-                  THEN ln((CAST(f.band_m AS DOUBLE) / f.n_m)
-                          / (CAST(f.band_u AS DOUBLE) / f.n_u))
-                  ELSE ln((1.0 - CAST(f.band_m AS DOUBLE) / f.n_m)
-                          / (1.0 - CAST(f.band_u AS DOUBLE) / f.n_u))
+                  THEN ln(LEAST(GREATEST(CAST(f.band_m AS DOUBLE) / f.n_m,
+                                         1e-6), 1.0 - 1e-6)
+                          / LEAST(GREATEST(CAST(f.band_u AS DOUBLE) / f.n_u,
+                                           1e-6), 1.0 - 1e-6))
+                  ELSE ln((1.0 - LEAST(GREATEST(
+                             CAST(f.band_m AS DOUBLE) / f.n_m,
+                             1e-6), 1.0 - 1e-6))
+                          / (1.0 - LEAST(GREATEST(
+                               CAST(f.band_u AS DOUBLE) / f.n_u,
+                               1e-6), 1.0 - 1e-6)))
                   END
                 + CASE WHEN p.a_sign = 1
-                  THEN ln((CAST(f.sign_m AS DOUBLE) / f.n_m)
-                          / (CAST(f.sign_u AS DOUBLE) / f.n_u))
-                  ELSE ln((1.0 - CAST(f.sign_m AS DOUBLE) / f.n_m)
-                          / (1.0 - CAST(f.sign_u AS DOUBLE) / f.n_u))
+                  THEN ln(LEAST(GREATEST(CAST(f.sign_m AS DOUBLE) / f.n_m,
+                                         1e-6), 1.0 - 1e-6)
+                          / LEAST(GREATEST(CAST(f.sign_u AS DOUBLE) / f.n_u,
+                                           1e-6), 1.0 - 1e-6))
+                  ELSE ln((1.0 - LEAST(GREATEST(
+                             CAST(f.sign_m AS DOUBLE) / f.n_m,
+                             1e-6), 1.0 - 1e-6))
+                          / (1.0 - LEAST(GREATEST(
+                               CAST(f.sign_u AS DOUBLE) / f.n_u,
+                               1e-6), 1.0 - 1e-6)))
                   END) / ln(2.0) + 5e-12, 6) AS fs_weight
     FROM pat p CROSS JOIN field f
     ORDER BY p.a_band, p.a_sign
@@ -407,9 +419,15 @@ def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lbl").alias("n_match"),
     )
 
+    def _clamp(x):
+        # degenerate tiny-sample probabilities (0 or 1) would make
+        # the log weights infinite — clamp like production linkage
+        # engines do (and keep both engines' arithmetic identical)
+        return F.least(F.greatest(x, F.lit(1e-6)), F.lit(1.0 - 1e-6))
+
     def _w(agree_col: str, m_col: str, u_col: str):
-        m = F.col(m_col).cast("double") / F.col("n_m")
-        u = F.col(u_col).cast("double") / F.col("n_u")
+        m = _clamp(F.col(m_col).cast("double") / F.col("n_m"))
+        u = _clamp(F.col(u_col).cast("double") / F.col("n_u"))
         return F.when(F.col(agree_col) == 1, F.log(m / u)).otherwise(
             F.log((1.0 - m) / (1.0 - u))
         )
