@@ -170,6 +170,7 @@ from model_presto_spark.operators.temporal import (
 from model_presto_spark.operators.timeseries import (
     cusum,
     ewma,
+    holt_winters,
     mad_outliers,
     rolling_zscore,
     seasonal_decompose,
@@ -213,6 +214,7 @@ __all__ = [
     "embedding_dup_pairs",
     "equi_depth_histogram",
     "ewma",
+    "holt_winters",
     "exact_dedup",
     "frequent_itemsets",
     "group_split",
