@@ -1092,6 +1092,7 @@ from model_presto_spark.plans import queries_ops26 as _queries_ops26  # noqa: E4
 from model_presto_spark.plans import queries_ops27 as _queries_ops27  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops28 as _queries_ops28  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops29 as _queries_ops29  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops30 as _queries_ops30  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
