@@ -1093,6 +1093,7 @@ from model_presto_spark.plans import queries_ops27 as _queries_ops27  # noqa: E4
 from model_presto_spark.plans import queries_ops28 as _queries_ops28  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops29 as _queries_ops29  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops30 as _queries_ops30  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops31 as _queries_ops31  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
