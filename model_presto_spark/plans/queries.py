@@ -1130,9 +1130,15 @@ from model_presto_spark.plans import queries_ops31 as _queries_ops31  # noqa: E4
 #   51-101 — past the adjudication cap, waiting. The head-50 is STILL
 #   untouched (the same 50 oldest never-adjudicated queries as the
 #   round-5 note above). Rotation queue when r03 lands:
-#   r04 head := q110-q159 (50); r05 head := q160-q209 (50); r06 head := q210+ + oldest
-#   re-verifications. The local gate covers all 210 at both
-#   sf0.01 and sf0.1 regardless.
+#   r04 head := q110-q159 (50); r05 head := q160-q209 (50);
+#   r06 head := q210-q259 (50); r07 head := q260-q309 (50);
+#   r08 head := q310-q334 + oldest re-verifications.
+# - Round-7 session #2 (driver round 3 continued; CORRECTNESS_r03
+#   still absent at session start — CORRECTNESS_r02 latest) added
+#   q211-q334. All sit past position 50 (head untouched all
+#   session); every one gated locally at BOTH sf0.01 and sf0.1
+#   before its commit, so rotation is purely about driver
+#   adjudication visibility, not correctness risk.
 #
 # Every query (head and tail) still runs in bench.py and in the local
 # gate (tools/check_correctness.py at sf0.01 AND sf0.1), which has no
