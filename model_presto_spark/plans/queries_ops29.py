@@ -131,9 +131,10 @@ _Q325_ORACLE = """
     "{CHI}",
     R6_SQL.format(
         x=(
-            "(ABS(CAST(b AS DOUBLE) - c) - 1.0)"
+            "CASE WHEN b + c > 0 THEN"
+            " (ABS(CAST(b AS DOUBLE) - c) - 1.0)"
             " * (ABS(CAST(b AS DOUBLE) - c) - 1.0)"
-            " / (CAST(b AS DOUBLE) + c)"
+            " / (CAST(b AS DOUBLE) + c) END"
         )
     ),
 )
@@ -168,7 +169,11 @@ def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((1 - F.col("w1")) * (1 - F.col("w4"))).alias("neither"),
     )
     diff = F.abs(F.col("b").cast("double") - F.col("c")) - 1.0
-    chi = diff * diff / (F.col("b").cast("double") + F.col("c"))
+    # no discordant pairs at tiny scale: NULL, not a divide-by-zero
+    chi = F.when(
+        F.col("b") + F.col("c") > 0,
+        diff * diff / (F.col("b").cast("double") + F.col("c")),
+    )
     return tab.select(
         F.col("b").alias("on_to_off"),
         F.col("c").alias("off_to_on"),
