@@ -428,6 +428,59 @@ def bfs_levels(
     return dist
 
 
+def weighted_sssp(
+    edges: DataFrame,
+    sources: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    n_rounds: int = 4,
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths by bounded
+    Bellman-Ford relaxation (the weighted sibling of
+    :func:`bfs_levels`).
+
+    Each round relaxes every edge once: dist'(v) = min(dist(v),
+    min over edges (u,v) of dist(u) + w(u,v)) — one edges-by-node
+    join + one min-groupBy per round, both hash-partitioned on their
+    key, map-side combined. After k rounds every shortest path using
+    <= k edges is exact (full Bellman-Ford would run |V|-1 rounds or
+    until a fixpoint; the bounded form keeps the computation
+    restatable as unrolled SQL, the same contract as
+    pagerank/bfs_levels/kcore). Eager localCheckpoint per round
+    truncates lineage. Edges are treated as DIRECTED; symmetrize
+    before calling for undirected graphs. Parallel edges collapse to
+    their MIN weight so the relation is a function of (u, v).
+
+    Integer weights keep distances exact across engines. Returns
+    (node, dist) for nodes reachable within ``n_rounds`` edges.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+        )
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in sources], "node bigint, dist bigint"
+    )
+    for _ in range(n_rounds):
+        relaxed = e.join(dist.withColumnRenamed("node", "u"), "u").select(
+            F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

@@ -377,3 +377,30 @@ def test_triangle_stats_huge_node_ids(spark):
         spark.createDataFrame(edges, "src bigint, dst bigint")
     ).first()
     assert r.n_triangles == 4 and r.n_wedges == 12
+
+
+def test_weighted_sssp_golden(spark):
+    from model_presto_spark.operators.graph import weighted_sssp
+
+    # Directed weighted graph where the cheapest path is NOT the
+    # fewest-hop path: 0->2 direct costs 10, 0->1->2 costs 3.
+    edges = [
+        (0, 2, 10),
+        (0, 1, 1),
+        (1, 2, 2),
+        (2, 3, 1),
+        (3, 4, 1),
+        (0, 9, 7),
+        (0, 9, 5),  # parallel edge collapses to MIN
+    ]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+    got = {r.node: r.dist for r in weighted_sssp(e, [0], n_rounds=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 3, 3: 4, 4: 5, 9: 5}
+    # bounded rounds: with 2 rounds node 4 (needs 4 edges) is absent,
+    # and node 3 is exact (3 edges > 2 rounds would miss it, but the
+    # 0->2 direct edge reaches it in 2: 10 + 1 = 11)
+    got2 = {r.node: r.dist for r in weighted_sssp(e, [0], n_rounds=2).collect()}
+    assert got2[2] == 3 and got2[3] == 11 and 4 not in got2
+    # multi-source takes the cheaper origin
+    got3 = {r.node: r.dist for r in weighted_sssp(e, [0, 3], n_rounds=2).collect()}
+    assert got3[4] == 1 and got3[2] == 3
