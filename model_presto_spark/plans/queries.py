@@ -1099,6 +1099,7 @@ from model_presto_spark.plans import queries_sql4 as _queries_sql4  # noqa: E402
 from model_presto_spark.plans import queries_ops32 as _queries_ops32  # noqa: E402,F401
 from model_presto_spark.plans import queries_llm7 as _queries_llm7  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops33 as _queries_ops33  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops34 as _queries_ops34  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
