@@ -76,9 +76,9 @@ _Q335_ORACLE = """
     doc="TPC-H Q2: minimum-cost EUROPE supplier per filtered part. "
     "Supply relation derived from lineitem (one groupBy on the "
     "composite key, map-side combined); the correlated MIN "
-    "decorrelates to a per-part aggregate equi-joined back on the "
-    "ROUNDED cost; dimensions broadcast.  At 100 TB only the two "
-    "lineitem aggregations shuffle, both on (partkey[, suppkey]).",
+    "decorrelates to a whole-partition window argmin on the "
+    "ROUNDED cost (one partkey shuffle — the aggregate+join-back "
+    "form would scan lineitem twice); dimensions broadcast.",
 )
 def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -101,15 +101,14 @@ def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = supply.join(
         F.broadcast(euro_supp), supply.l_suppkey == F.col("s_suppkey")
     )
-    mincost = eligible.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
-        F.min("cost").alias("min_cost")
-    )
+    # Argmin as a whole-partition window MIN: one shuffle on partkey
+    # instead of aggregate + join-back (which would re-scan lineitem
+    # — Catalyst does not share the subtree and plan-time exchange
+    # reuse does not apply across the two consumers).
+    w_part = Window.partitionBy("l_partkey")
     return (
-        eligible.join(
-            mincost,
-            (eligible.l_partkey == F.col("m_partkey"))
-            & (F.col("cost") == F.col("min_cost")),
-        )
+        eligible.withColumn("min_cost", F.min("cost").over(w_part))
+        .filter(F.col("cost") == F.col("min_cost"))
         .join(F.broadcast(p), eligible.l_partkey == p.p_partkey)
         .select(
             F.round(F.col("s_acctbal") + 5e-10, 2).alias("s_acctbal"),
