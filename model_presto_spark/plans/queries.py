@@ -1100,6 +1100,7 @@ from model_presto_spark.plans import queries_ops32 as _queries_ops32  # noqa: E4
 from model_presto_spark.plans import queries_llm7 as _queries_llm7  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops33 as _queries_ops33  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops34 as _queries_ops34  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops35 as _queries_ops35  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
