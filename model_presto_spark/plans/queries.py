@@ -1101,6 +1101,7 @@ from model_presto_spark.plans import queries_llm7 as _queries_llm7  # noqa: E402
 from model_presto_spark.plans import queries_ops33 as _queries_ops33  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops34 as _queries_ops34  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops35 as _queries_ops35  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops36 as _queries_ops36  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
