@@ -1105,6 +1105,7 @@ from model_presto_spark.plans import queries_ops36 as _queries_ops36  # noqa: E4
 from model_presto_spark.plans import queries_ops37 as _queries_ops37  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops38 as _queries_ops38  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops39 as _queries_ops39  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops40 as _queries_ops40  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
