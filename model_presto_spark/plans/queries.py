@@ -1106,6 +1106,7 @@ from model_presto_spark.plans import queries_ops37 as _queries_ops37  # noqa: E4
 from model_presto_spark.plans import queries_ops38 as _queries_ops38  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops39 as _queries_ops39  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops40 as _queries_ops40  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops41 as _queries_ops41  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
@@ -1151,6 +1152,11 @@ from model_presto_spark.plans import queries_ops40 as _queries_ops40  # noqa: E4
 #   session); every one gated locally at BOTH sf0.01 and sf0.1
 #   before its commit, so rotation is purely about driver
 #   adjudication visibility, not correctness risk.
+# - Round-8 session (driver round 3 continued; CORRECTNESS_r03 STILL
+#   absent at session start) added q335-q398 (TPC-H completion,
+#   cost-basis algebra, causal/testing, retrieval, semantics pins).
+#   Same discipline: head untouched, every query gated at both SFs
+#   before commit; all new names queue behind q334 for rotation.
 #
 # Every query (head and tail) still runs in bench.py and in the local
 # gate (tools/check_correctness.py at sf0.01 AND sf0.1), which has no
