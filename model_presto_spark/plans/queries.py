@@ -1115,6 +1115,7 @@ from model_presto_spark.plans import queries_ops46 as _queries_ops46  # noqa: E4
 from model_presto_spark.plans import queries_ops47 as _queries_ops47  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops48 as _queries_ops48  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops49 as _queries_ops49  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops50 as _queries_ops50  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
