@@ -344,7 +344,7 @@ def q418(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "y"
         ),
-    )
+    ).coalesce(1)
     nwin = Window.partitionBy()
     rk = daily.select(
         (
@@ -358,28 +358,30 @@ def q418(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(nwin)
         ).alias("v"),
     )
-    grid = spark.createDataFrame([(0.25,), (0.5,), (0.75,)], "gu double")
-    g2 = grid.select(F.col("gu").alias("gv"))
-    n = rk.agg(F.count(F.lit(1)).alias("n"))
-    cop = (
-        grid.crossJoin(g2)
-        .crossJoin(rk)
-        .groupBy(F.col("gu").alias("pu"), F.col("gv").alias("pv"))
-        .agg(
+    gs = (0.25, 0.5, 0.75)
+    cells = rk.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
             F.sum(
-                F.when(
-                    (F.col("u") <= F.col("gu")) & (F.col("v") <= F.col("gv")),
-                    1.0,
-                ).otherwise(0.0)
-            ).alias("cnt")
-        )
-        .crossJoin(F.broadcast(n))
+                F.when((F.col("u") <= a) & (F.col("v") <= b), 1).otherwise(0)
+            ).alias(f"c_{i}_{j}")
+            for i, a in enumerate(gs)
+            for j, b in enumerate(gs)
+        ],
+    )
+    stack = ", ".join(
+        f"{a!r}D, {b!r}D, c_{i}_{j}"
+        for i, a in enumerate(gs)
+        for j, b in enumerate(gs)
+    )
+    cop = cells.select(
+        F.expr(f"stack(9, {stack}) AS (pu, pv, cnt)"), F.col("n")
     )
     return cop.select(
         "pu",
         "pv",
-        r6(F.col("cnt") / F.col("n")).alias("copula"),
-        r6(F.col("cnt") / F.col("n") - F.col("pu") * F.col("pv")).alias(
+        r6(F.col("cnt") * 1.0 / F.col("n")).alias("copula"),
+        r6(F.col("cnt") * 1.0 / F.col("n") - F.col("pu") * F.col("pv")).alias(
             "dependence_gap"
         ),
     ).orderBy("pu", "pv")
