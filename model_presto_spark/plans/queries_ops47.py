@@ -462,7 +462,8 @@ _Q433_CDF = """
 _Q433_ORACLE = f"""
     WITH base AS (
       SELECT o_totalprice / 1000.0 AS s, m.mny
-      FROM orders, (VALUES (0.9), (1.0), (1.1)) m(mny)
+      FROM orders, (VALUES (CAST(0.9 AS DOUBLE)), (CAST(1.0 AS DOUBLE)),
+                    (CAST(1.1 AS DOUBLE))) m(mny)
     ), d AS (
       SELECT s, mny, s * mny AS k,
              (LN(1.0 / mny) + (0.05 + 0.045) * 0.5)
