@@ -267,7 +267,8 @@ _Q436_ORACLE = """
     ), est AS (
       SELECT p.p, p.idx,
              (SELECT MIN(bin) FROM cum WHERE cc >= p.p * mm.n) AS b
-      FROM (VALUES (0.5, 1), (0.9, 2), (0.99, 3)) p(p, idx), mm
+      FROM (VALUES (CAST(0.5 AS DOUBLE), 1), (CAST(0.9 AS DOUBLE), 2),
+                   (CAST(0.99 AS DOUBLE), 3)) p(p, idx), mm
     ), interp AS (
       SELECT est.p, est.idx,
              mm.lo + (mm.hi - mm.lo) / 128.0

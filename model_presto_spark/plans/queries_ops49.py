@@ -42,14 +42,14 @@ _Q439_ORACLE = f"""
                list_prepend(
                  list_prepend(CAST(0 AS BIGINT),
                    list_transform(sb, x -> CAST({_Q439_SENT} AS BIGINT))),
-                 sa),
+                 list_transform(sa, x -> [x])),
                (prev, ai) -> list_reduce(
-                 list_prepend(list_prepend(CAST({_Q439_SENT} AS BIGINT),
-                                           prev), sb),
+                 list_prepend([CAST({_Q439_SENT} AS BIGINT)],
+                              list_transform(sb, x -> [x])),
                  (row, bj) -> list_append(row,
-                   ABS(ai - bj) + LEAST(prev[len(row)],
-                                        prev[len(row) + 1],
-                                        row[len(row)]))
+                   ABS(ai[1] - bj[1]) + LEAST(prev[len(row)],
+                                              prev[len(row) + 1],
+                                              row[len(row)]))
                )
              ) AS final_row
       FROM ser

@@ -489,7 +489,7 @@ _Q453_ORACLE = """
              SUM(d) OVER (PARTITION BY w_hr ORDER BY tt) AS conc,
              LEAD(tt) OVER (PARTITION BY w_hr ORDER BY tt) - tt AS dt
       FROM stp
-    ), glob AS (
+    ), gstate AS (
       SELECT w_hr, MAX(conc) AS max_rows,
              SUM(conc * dt) * 1.0 / SUM(dt) AS avg_rows
       FROM sw WHERE dt IS NOT NULL GROUP BY w_hr
@@ -506,7 +506,7 @@ _Q453_ORACLE = """
            CAST(g.max_rows AS BIGINT) AS max_state_rows,
            ROUND(g.avg_rows + 5e-10, 4) AS avg_state_rows,
            CAST(h.max_key_rows AS BIGINT) AS max_key_rows
-    FROM glob g JOIN hot h ON h.w_hr = g.w_hr
+    FROM gstate g JOIN hot h ON h.w_hr = g.w_hr
     ORDER BY watermark_hr
 """
 
