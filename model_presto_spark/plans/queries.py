@@ -1138,6 +1138,7 @@ from model_presto_spark.plans import queries_ops69 as _queries_ops69  # noqa: E4
 from model_presto_spark.plans import queries_ops70 as _queries_ops70  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops71 as _queries_ops71  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops72 as _queries_ops72  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops73 as _queries_ops73  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
