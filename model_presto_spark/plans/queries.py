@@ -1143,6 +1143,7 @@ from model_presto_spark.plans import queries_ops74 as _queries_ops74  # noqa: E4
 from model_presto_spark.plans import queries_ops75 as _queries_ops75  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops76 as _queries_ops76  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops77 as _queries_ops77  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops78 as _queries_ops78  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
