@@ -1145,6 +1145,7 @@ from model_presto_spark.plans import queries_ops76 as _queries_ops76  # noqa: E4
 from model_presto_spark.plans import queries_ops77 as _queries_ops77  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops78 as _queries_ops78  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops79 as _queries_ops79  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops80 as _queries_ops80  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
