@@ -1146,6 +1146,7 @@ from model_presto_spark.plans import queries_ops77 as _queries_ops77  # noqa: E4
 from model_presto_spark.plans import queries_ops78 as _queries_ops78  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops79 as _queries_ops79  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops80 as _queries_ops80  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops81 as _queries_ops81  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
