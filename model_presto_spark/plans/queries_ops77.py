@@ -517,7 +517,7 @@ _Q583_ORACLE = """
            ROUND(x5.x + 5e-12, 6) AS katz,
            CAST(COALESCE(deg.k, 0) AS BIGINT) AS degree
     FROM x5 LEFT JOIN deg ON deg.nd = x5.nd
-    ORDER BY x5.x DESC, x5.nd LIMIT 5
+    ORDER BY ROUND(x5.x + 5e-12, 6) DESC, x5.nd LIMIT 5
 """
 
 
