@@ -1155,6 +1155,7 @@ from model_presto_spark.plans import queries_ops86 as _queries_ops86  # noqa: E4
 from model_presto_spark.plans import queries_ops87 as _queries_ops87  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops88 as _queries_ops88  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops89 as _queries_ops89  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops90 as _queries_ops90  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
