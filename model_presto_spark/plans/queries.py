@@ -1158,6 +1158,7 @@ from model_presto_spark.plans import queries_ops89 as _queries_ops89  # noqa: E4
 from model_presto_spark.plans import queries_ops90 as _queries_ops90  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops91 as _queries_ops91  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops92 as _queries_ops92  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops93 as _queries_ops93  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
