@@ -1159,6 +1159,7 @@ from model_presto_spark.plans import queries_ops90 as _queries_ops90  # noqa: E4
 from model_presto_spark.plans import queries_ops91 as _queries_ops91  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops92 as _queries_ops92  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops93 as _queries_ops93  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops94 as _queries_ops94  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
