@@ -212,9 +212,10 @@ _Q675_ORACLE = """
            ROUND(pab + 5e-12, 6) AS p_joint,
            ROUND(GREATEST(0, pa + pb - 1) + 5e-12, 6) AS frechet_lower,
            ROUND(LEAST(pa, pb) + 5e-12, 6) AS frechet_upper,
-           ROUND((pab - GREATEST(0, pa + pb - 1))
-                 / (LEAST(pa, pb) - GREATEST(0, pa + pb - 1))
-                 + 5e-12, 6) AS dependence_position
+           ROUND(CASE WHEN LEAST(pa, pb) > GREATEST(0, pa + pb - 1)
+                      THEN (pab - GREATEST(0, pa + pb - 1))
+                           / (LEAST(pa, pb) - GREATEST(0, pa + pb - 1))
+                 END + 5e-12, 6) AS dependence_position
     FROM pairs
     ORDER BY pair_id
 """
@@ -274,7 +275,9 @@ def q675(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("pab")).alias("p_joint"),
         r6(lo).alias("frechet_lower"),
         r6(hi).alias("frechet_upper"),
-        r6((F.col("pab") - lo) / (hi - lo)).alias("dependence_position"),
+        r6(
+            F.when(hi > lo, (F.col("pab") - lo) / (hi - lo))
+        ).alias("dependence_position"),
     ).orderBy("pair_id")
 
 
