@@ -1165,6 +1165,7 @@ from model_presto_spark.plans import queries_ops96 as _queries_ops96  # noqa: E4
 from model_presto_spark.plans import queries_ops97 as _queries_ops97  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops98 as _queries_ops98  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops99 as _queries_ops99  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops100 as _queries_ops100  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
