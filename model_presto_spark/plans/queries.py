@@ -1169,6 +1169,7 @@ from model_presto_spark.plans import queries_ops100 as _queries_ops100  # noqa: 
 from model_presto_spark.plans import queries_ops101 as _queries_ops101  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops102 as _queries_ops102  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops103 as _queries_ops103  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops104 as _queries_ops104  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
