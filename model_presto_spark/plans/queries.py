@@ -1170,6 +1170,7 @@ from model_presto_spark.plans import queries_ops101 as _queries_ops101  # noqa: 
 from model_presto_spark.plans import queries_ops102 as _queries_ops102  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops103 as _queries_ops103  # noqa: E402,F401
 from model_presto_spark.plans import queries_ops104 as _queries_ops104  # noqa: E402,F401
+from model_presto_spark.plans import queries_ops105 as _queries_ops105  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Adjudication-order curation.
