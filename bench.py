@@ -1,7 +1,15 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"queries": {...}, "metric": "...", "value": N, "unit": "sec", "sf": ...}
+
+Only the curated HEADLINE set is benched (the 62 queries BENCH_r02
+scored, so totals stay round-over-round comparable). Benching all 723
+registered queries made the r03 JSON line overflow the driver's tail
+capture and the round's perf signal was lost — do NOT widen this set
+without keeping the output line well under ~4 KB. As extra insurance
+the summary fields (metric/value/sf) are printed AFTER the queries map
+so a tail-truncated capture still contains the headline total.
 
 Each query is executed twice after a session warmup; the best time is
 reported (steady-state throughput, not JVM startup).
@@ -20,6 +28,31 @@ from model_presto_spark.plans.queries import QUERIES  # noqa: E402
 from model_presto_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The exact 62-query set scored in BENCH_r02 (r02 total: 40.1 s at
+# sf0.1) — keep membership and order fixed so per-query and total
+# times are directly comparable across rounds.
+HEADLINE = [
+    "q01_scan_project", "q03_filter_sum", "q04_null_counts",
+    "q05_string_filter", "q06_bitmask", "q07_case_relabel",
+    "q08_join_agg", "q09_left_join_coalesce", "q10_outer_join_streams",
+    "q11_semi_anti", "q12_dict_join", "q13_asof_join", "q15_mode",
+    "q16_tpch_q1", "q17_quantiles", "q18_histogram",
+    "q19_threeway_stats", "q21_topn_per_group", "q24_union_explode",
+    "q25_dates", "q26_strings", "q28_mod_split", "q29_confusion",
+    "q30_series_pad", "q31_exact_dedup", "q32_minhash_lsh",
+    "q33_simhash", "q34_ngram_jaccard", "q36_lang_id", "q37_quality",
+    "q38_token_stats", "q39_fingerprint_stats", "q40_ann_lsh",
+    "q54_embedding_dups", "q55_dedup_clusters", "q47_terrain",
+    "q48_geodesic", "q56_utm", "q45_knn_classify", "q46_mask_budget",
+    "q41_spectral", "q42_capped_split", "q43_monthly_composite",
+    "q57_grid_pipeline", "q58_zip_pages", "q59_spatial_join",
+    "q60_contamination", "q61_repetition", "q62_token_budget",
+    "q50_json", "q51_rollup", "q52_setops", "q53_running_window",
+    "q02_derived_expr", "q22_topk_order", "q27_math",
+    "q49_asof_forward", "q44_multiclass_f1", "q35_cosine_topk",
+    "q23_knn", "q14_median", "q20_tumbling_day",
+]
 
 
 def run_once(spark, spec, sf_dir: str) -> float:
@@ -41,7 +74,8 @@ def main() -> None:
         df.count()
 
     times: dict[str, float] = {}
-    for name, spec in QUERIES.items():
+    for name in HEADLINE:
+        spec = QUERIES[name]
         best = None
         try:
             for _ in range(2):
@@ -56,10 +90,10 @@ def main() -> None:
     print(
         json.dumps(
             {
+                "queries": times,
                 "metric": "total_query_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -46,7 +46,18 @@ def ordered_funnel(
     """
     if len(steps) < 2:
         raise ValueError("funnel needs >= 2 steps")
-    per = events.where(F.col(step_col).isin(steps)).groupBy(entity_col).agg(
+    # Materialize the step-filtered stream ONCE: the anchor
+    # aggregation plus every per-step conditional join reference it,
+    # and an un-materialized plan re-expands the source scan per
+    # branch (plan audit on q118: 42 scans / 66 exchanges -> the
+    # checkpointed form scans the base a single time; same fix as
+    # q152's bipartite edge list).
+    events = (
+        events.where(F.col(step_col).isin(steps))
+        .select(entity_col, ts_col, step_col)
+        .localCheckpoint(eager=False)
+    )
+    per = events.groupBy(entity_col).agg(
         *[
             F.min(
                 F.when(F.col(step_col) == s, F.col(ts_col))
@@ -93,6 +104,10 @@ def ordered_funnel(
                 for i in range(1, len(steps))
             ],
         )
+    # The final per-step union selects from `counts` k times; truncate
+    # the chained lineage so those k branches share one materialized
+    # subtree instead of re-running every per-step join.
+    chained = chained.localCheckpoint(eager=False)
     counts = chained.agg(
         *[
             F.count(F.col(f"__c{i}")).alias(f"n{i}")

@@ -268,7 +268,10 @@ def pagerank(
 
 
 def triangle_stats(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_out_deg: int | None = None,
 ) -> DataFrame:
     """Exact triangle count + global clustering coefficient for the
     undirected graph (self-loops dropped, edges deduplicated).
@@ -279,6 +282,16 @@ def triangle_stats(
     explodes on hubs — the standard distributed-triangle trick.
     Wedges close against the directed edge list via one equi-join;
     every triangle is produced exactly once.
+
+    ``max_out_deg`` is the hot-key guard for graphs whose degree
+    ordering is defeated by near-uniform hub cliques: the directed
+    out-adjacency of any node is SAMPLED down to ``max_out_deg``
+    rows (deterministic, see ``skew.cap_key_multiplicity``) before
+    the wedge self-join, bounding per-node pair cost at
+    O(max_out_deg^2). With the cap above the true max out-degree the
+    count stays exact; when it fires, the triangle count becomes a
+    per-hub subsample (undercount ~ (cap/d)^2 on capped hubs) and
+    the drop is logged. Default None = exact.
 
     One row: (n_nodes, n_edges, n_wedges, n_triangles,
     global_clustering = 3*triangles/wedges).
@@ -311,6 +324,12 @@ def triangle_stats(
         F.least("ka", "kb").alias("ku"),
         F.greatest("ka", "kb").alias("kv"),
     ).localCheckpoint(eager=True)
+    if max_out_deg is not None:
+        from model_presto_spark.operators.skew import cap_key_multiplicity
+
+        d = cap_key_multiplicity(
+            d, "u", max_out_deg, mode="sample", log_label="triangle_stats.u"
+        ).localCheckpoint(eager=True)
     d1 = d.select(F.col("u"), F.col("v").alias("v1"), F.col("kv").alias("kv1"))
     d2 = d.select(F.col("u"), F.col("v").alias("v2"), F.col("kv").alias("kv2"))
     wedges = d1.join(d2, "u").where(F.col("kv1") < F.col("kv2"))
@@ -343,6 +362,7 @@ def adamic_adar(
     src: str = "src",
     dst: str = "dst",
     min_common: int = 1,
+    max_neighbor_deg: int | None = None,
 ) -> DataFrame:
     """Link-prediction scores for non-adjacent node pairs:
     ``AA(u,v) = sum over common neighbors w of 1/ln(deg(w))``
@@ -353,8 +373,13 @@ def adamic_adar(
     pairs of its adjacency list (u < v), weighted by 1/ln(deg(w));
     one groupBy sums the evidence, one anti-join removes pairs that
     are already edges. Hub neighbors dominate cost exactly like
-    stop-grams; degree-cap them upstream if the graph is scale-free
-    (the 1/ln(deg) weight already discounts their signal).
+    stop-grams — a neighbor of degree d emits O(d^2) wedge pairs —
+    so ``max_neighbor_deg`` DROPS wedge generation through neighbors
+    above that degree (the stop-gram cut; the 1/ln(deg) weight
+    already discounts their signal to near-noise). With the cap
+    above the true max degree the scores are exact; when it fires
+    the drop is logged (see ``skew.cap_key_multiplicity`` drop
+    semantics). Default None = exact.
 
     Output: (u, v, common_neighbors, aa_score) for pairs with at
     least ``min_common`` shared neighbors, excluding existing edges.
@@ -372,6 +397,18 @@ def adamic_adar(
     ).select(F.col("a").alias("w"), F.col("b").alias("n"))
     deg = sym.groupBy("w").agg(F.count("*").alias("deg"))
     adj = sym.join(deg, "w")
+    if max_neighbor_deg is not None:
+        import logging
+
+        n_hubs = deg.where(F.col("deg") > max_neighbor_deg).count()
+        if n_hubs:
+            logging.getLogger(__name__).info(
+                "adamic_adar: dropping wedges through %d hub neighbor(s) "
+                "with deg > %d",
+                n_hubs,
+                max_neighbor_deg,
+            )
+        adj = adj.where(F.col("deg") <= max_neighbor_deg)
     n1 = adj.select("w", F.col("n").alias("u"), "deg")
     n2 = adj.select("w", F.col("n").alias("v"))
     wedges = n1.join(n2, "w").where(F.col("u") < F.col("v"))

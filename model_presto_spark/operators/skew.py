@@ -91,3 +91,88 @@ def skew_stats(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
         (F.col("__max_n") / F.col("n_rows")).alias("max_share"),
         "top_keys",
     )
+
+
+def cap_key_multiplicity(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    mode: str = "sample",
+    log_label: str | None = None,
+) -> DataFrame:
+    """Hot-key guard for pair-generation operators.
+
+    Any operator that self-joins within per-key groups (bipartite
+    projection, wedge/triangle expansion, inverted-index dedup) pays
+    O(d_k^2) on the hottest key k; one pathological key (the empty
+    URL, the test-card frame, a hub node) can dominate the whole
+    stage at 100 TB. This guard bounds d_k at ``cap`` BEFORE the
+    expansion:
+
+    - ``mode="sample"``: keep a deterministic pseudo-random ``cap``-
+      subset per hot key (row_number over xxhash64 of the full row —
+      stable across retries/speculation), so hot keys still
+      contribute bounded evidence. Recall impact: pairs inside a hot
+      key are sampled at roughly (cap/d_k)^2; cross-key pairs are
+      unaffected.
+    - ``mode="drop"``: remove hot keys entirely (the
+      multimodal ``video_dup_pairs``/``max_frame_freq`` semantics —
+      right when the hot key is noise, e.g. black frames).
+
+    When ``log_label`` is set, the number of affected keys and
+    dropped rows is computed (one small aggregate over the key
+    histogram) and logged at INFO — the telemetry that tells an
+    operator owner the cap actually fired. Leave it None in
+    latency-critical paths to avoid the extra job.
+
+    Only keys above the cap are touched: with ``cap`` chosen above
+    the corpus's honest maximum multiplicity the output is
+    bit-identical to the unguarded plan, so oracle-parity queries
+    keep exactness while staying protected against skew regressions.
+    """
+    if mode not in ("sample", "drop"):
+        raise ValueError("mode must be 'sample' or 'drop'")
+    if log_label is not None:
+        import logging
+
+        counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
+        hot = counts.where(F.col("__n") > cap).agg(
+            F.count(F.lit(1)).alias("keys"),
+            F.coalesce(
+                F.sum(
+                    F.col("__n") - (F.lit(cap) if mode == "sample" else F.lit(0))
+                ),
+                F.lit(0),
+            ).alias("rows_dropped"),
+        ).collect()[0]
+        if hot["keys"]:
+            logging.getLogger(__name__).info(
+                "cap_key_multiplicity[%s]: %d hot key(s) over cap=%d, "
+                "%d row(s) %s",
+                log_label,
+                hot["keys"],
+                cap,
+                hot["rows_dropped"],
+                "sampled away" if mode == "sample" else "dropped",
+            )
+    if mode == "drop":
+        # anti-join against the HOT key set — small by definition
+        # (few keys exceed the cap), so it broadcasts; never
+        # broadcast the keep-set, whose size is the whole key space.
+        counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
+        hot_keys = counts.where(F.col("__n") > cap).select(key_col)
+        return df.join(F.broadcast(hot_keys), key_col, "left_anti")
+    from pyspark.sql import Window
+
+    # One sort of d_k rows per key (linear) buys freedom from the
+    # d_k^2 pair expansion downstream — the trade this guard exists
+    # to make. The hottest key's rows do land in one window task;
+    # that task is O(d_k log d_k), not O(d_k^2).
+    w = Window.partitionBy(key_col).orderBy(
+        F.xxhash64(*[F.col(c) for c in df.columns])
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -493,6 +493,21 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact interpolated median (monthly-composite analog).",
 )
 def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median — ORACLE-PARITY path only.
+
+    ``percentile(col, 0.5)`` buffers every value of a group in one
+    reducer, which is a scale-killer when a group holds billions of
+    rows (100 TB, 3 return-flag groups).  The PRODUCTION path at scale
+    is ``approx_percentile(col, 0.5, accuracy)`` — a mergeable
+    KLL/GK-style sketch with map-side partial aggregation and a
+    bounded-error contract, which q72_sketches grades explicitly
+    (observed error vs the exact oracle).  This query keeps the exact
+    form because the DuckDB oracle compares interpolated medians
+    bit-for-bit; callers at scale should use
+    ``operators/...approx`` via q72's pattern instead.
+
+    Reference anchor: median composite `src/optimization.py:90,137`.
+    """
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("med_qty"),
@@ -1278,62 +1293,67 @@ _ADJUDICATION_TAIL = [
     "q55_dedup_clusters",
     "q60_contamination",
     # q109/q110 push the never-adjudicated count to 51: q16 (r01/r02
-    # green) parks too, and q110 — locally oracle-checked at sf0.01 +
-    # sf0.1 and pytest-covered — waits one round for a driver slot.
-    # q111/q112 (added after the head filled) wait alongside it.
+    # green) parks too.
     "q16_tpch_q1",
-    "q110_semantic_dedup",
-    "q111_winnowing",
-    "q112_bigram_lm",
-    "q113_gopher_rules",
-    "q114_c4_rules",
-    "q115_scd2",
-    "q116_streaks",
-    "q117_sequences",
-    "q118_ordered_funnel",
-    "q119_rfm",
-    "q120_attribution",
-    "q121_benford",
-    "q122_grouped_ols",
-    "q123_covariance",
-    "q124_seasonal",
-    "q125_zipf",
-    "q126_kcore",
-    "q127_pareto",
-    "q128_association_rules",
-    "q129_lead_lag",
-    # ---- Round-5 additions: parked on arrival (never displace the
-    # current head) — promoted next session together with q110-q129 ----
-    "q130_charclass_profile",
-    "q131_readability",
-    "q132_source_overlap",
-    "q133_weighted_median",
-    "q134_ewma",
-    "q135_concurrency",
-    "q136_geohash_grid",
-    "q137_hits",
-    "q138_label_noise",
-    "q139_vwap",
-    "q140_clamped_balance",
-    "q141_hopping_window",
-    "q142_grid_dbscan",
-    "q143_entropy_gini",
-    "q144_bollinger",
-    "q145_theil_sen",
-    "q146_moments",
-    "q147_ks_test",
-    "q148_gini",
-    "q149_autocorr",
-    "q150_funnel_latency",
-    "q151_mutual_info",
-    "q152_bipartite_projection",
-    "q153_rolling_median",
-    "q154_mom_growth",
-    "q155_chi_square",
-    "q156_burstiness",
-    "q157_tfidf_cosine",
-    "q158_interval_coverage",
-    "q159_sojourn",
+    # ---- Round-4 (driver round 4) START rotation -----------------------
+    # CORRECTNESS_r03 landed: 50/50 green on the exact r03 head
+    # (q51-q53, q63-q109 window). Per the queue plan, those 50 park
+    # here and q110-q159 (previously waiting in this tail) are
+    # REMOVED from the tail, making them the new head-50 — they are
+    # the flagship LLM-pipeline queries (semantic dedup q110,
+    # winnowing q111, bigram-LM q112, Gopher q113, C4 q114, ...)
+    # that have only local-oracle rows so far. Rotation queue ahead:
+    # r05 head := q160-q209; r06 := q210-q259; and so on.
+    "q51_rollup",
+    "q52_setops",
+    "q53_running_window",
+    "q63_sessionize",
+    "q64_range_join",
+    "q65_hash_sample",
+    "q66_chunking",
+    "q67_ingest_funnel",
+    "q68_session_conversion",
+    "q69_tpch_q3",
+    "q70_domain_mix",
+    "q71_perplexity",
+    "q72_sketches",
+    "q73_tfidf",
+    "q74_seq_packing",
+    "q75_auc",
+    "q76_pivot",
+    "q77_cube",
+    "q78_weighted_sample",
+    "q79_gap_fill",
+    "q80_profile",
+    "q81_constraints",
+    "q82_mix_epochs",
+    "q83_ranking_metrics",
+    "q84_embedding_qc",
+    "q85_span_dedup",
+    "q86_fuzzy_linkage",
+    "q87_pagerank",
+    "q88_rolling_anomaly",
+    "q89_k_anonymity",
+    "q90_snapshot_diff",
+    "q91_bm25",
+    "q92_calibration",
+    "q93_cohort_retention",
+    "q94_ab_test",
+    "q95_cooccurrence_pmi",
+    "q96_mad_outliers",
+    "q97_cusum_drift",
+    "q98_triangles",
+    "q99_link_prediction",
+    "q100_markov_transitions",
+    "q101_bfs_levels",
+    "q102_frequent_itemsets",
+    "q103_line_boilerplate",
+    "q104_containment",
+    "q105_dsir",
+    "q106_corpus_kl",
+    "q107_label_prop",
+    "q108_survival",
+    "q109_rrf_fusion",
     # ---- Parked in earlier rounds (r01/r02-green or redundantly
     # covered; per-query rationales in the git history) ------------------
     "q25_dates",

