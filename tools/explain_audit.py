@@ -61,17 +61,35 @@ def main() -> None:
         f"{'query':28s} {'scans':>5s} {'cols':>10s} {'pushed':>6s} "
         f"{'BHJ':>3s} {'SMJ':>3s} {'BNLJ':>4s} {'cg':>3s} {'py':>3s} {'exch':>4s}"
     )
+    results: list[dict] = []
+    errors: list[str] = []
     for name in names:
         try:
             df = QUERIES[name].fn(spark, sf_dir)
             a = audit_one(name, plan_text(df))
+            results.append(a)
             print(
                 f"{a['query']:28s} {a['scans']:5d} {str(a['scan_cols']):>10s} "
                 f"{a['pushed_filters']:6d} {a['bhj']:3d} {a['smj']:3d} "
                 f"{a['bnlj']:4d} {a['codegen']:3d} {a['python']:3d} {a['exchanges']:4d}"
             )
         except Exception as e:  # pragma: no cover
+            errors.append(name)
             print(f"{name:28s} ERROR {type(e).__name__}: {e}")
+    # ---- gate summary: the plan-hygiene bar the audit enforces ----------
+    # scans > 10 means a CTE/branch is being re-expanded per reference
+    # (fix: localCheckpoint the shared base, as q118/q152 do). BNLJ is
+    # acceptable ONLY when one side is a scalar/tiny aggregate being
+    # broadcast (kNN thresholds, normalization constants) — every hit
+    # is listed so new non-scalar ones stand out in round-over-round
+    # diffs.
+    fat = [a for a in results if a["scans"] > 10]
+    bnlj = [a for a in results if a["bnlj"] > 0]
+    print(f"\n== gate: {len(results)} audited, {len(errors)} errors ==")
+    print(f"scans>10 ({len(fat)}): " + ", ".join(f"{a['query']}={a['scans']}" for a in fat))
+    print(f"bnlj>0 ({len(bnlj)}): " + ", ".join(f"{a['query']}={a['bnlj']}" for a in bnlj))
+    if errors:
+        print("errors: " + ", ".join(errors))
 
 
 if __name__ == "__main__":

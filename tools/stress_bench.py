@@ -490,6 +490,7 @@ def main() -> int:
         "minhash_lsh_fast",
         "ngram_jaccard_fast",
         "ann_lsh",
+        "dsir",
         "cc_clusters",
         "seq_packing",
         "perplexity",
