@@ -70,6 +70,9 @@ def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("c_custkey", "n_name", "r_name")
         .agg(F.sum("o_totalprice").alias("rev"))
+        # lineage cut: cust feeds nation/region/total rollups plus the
+        # final join (plan audit: 32 scans un-materialized)
+        .localCheckpoint(eager=False)
     )
     nat = cust.groupBy(F.col("n_name").alias("nn")).agg(F.sum("rev").alias("nrev"))
     reg = cust.groupBy(F.col("r_name").alias("rr")).agg(F.sum("rev").alias("rrev"))

@@ -280,6 +280,9 @@ def q381(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", F.col("o_orderdate").cast("date").alias("d"))
         .agg(F.count(F.lit(1)).alias("y"))
+        # lineage cut: daily feeds target/bottom-up/top-down/history
+        # branches (plan audit: 48 scans un-materialized)
+        .localCheckpoint(eager=False)
     )
     target = daily.filter(
         (F.col("d") >= "2001-07-09") & (F.col("d") < "2001-07-16")

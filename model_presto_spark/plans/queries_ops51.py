@@ -70,6 +70,10 @@ def q449(spark: SparkSession, sf_dir: str) -> DataFrame:
             o.join(c, o.o_custkey == c.c_custkey)
             .agg(F.count(F.lit(1)).alias("oc"))
         )
+        # one row of five statistics, referenced by three plan branches
+        # + the best-cost aggregate: cut lineage so the branches don't
+        # re-run the two count-joins each (plan audit: 84 scans)
+        .localCheckpoint(eager=True)
     )
     plans = (
         szs.select(

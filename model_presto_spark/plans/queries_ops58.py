@@ -194,7 +194,10 @@ def q485(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c_acctbal") * 100).alias("x"),
             "y",
         )
-        .persist()
+        # lineage cut: every farthest-first round cross-joins pts with
+        # ALL previous seeds, so persist() lineage re-nests per round
+        # (plan audit: 68 scans)
+        .localCheckpoint(eager=False)
     )
 
     def d2(sx, sy):
@@ -209,19 +212,19 @@ def q485(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y").alias(f"y{tag}"),
         )
 
-    s1 = seed_cols(pts.orderBy("id").limit(1), "1")
+    s1 = seed_cols(pts.orderBy("id").limit(1), "1").localCheckpoint(eager=True)
     p2 = pts.crossJoin(F.broadcast(s1))
     s2 = seed_cols(
         p2.orderBy(F.desc(d2("x1", "y1")), "id").limit(1).select("id", "x", "y"),
         "2",
-    )
+    ).localCheckpoint(eager=True)
     p3 = pts.crossJoin(F.broadcast(s1)).crossJoin(F.broadcast(s2))
     s3 = seed_cols(
         p3.orderBy(F.desc(F.least(d2("x1", "y1"), d2("x2", "y2"))), "id")
         .limit(1)
         .select("id", "x", "y"),
         "3",
-    )
+    ).localCheckpoint(eager=True)
     p4 = (
         pts.crossJoin(F.broadcast(s1))
         .crossJoin(F.broadcast(s2))
@@ -234,7 +237,7 @@ def q485(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select("id", "x", "y"),
         "4",
-    )
+    ).localCheckpoint(eager=True)
     full = (
         pts.crossJoin(F.broadcast(s1))
         .crossJoin(F.broadcast(s2))
@@ -567,12 +570,12 @@ def q487(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("ra") / F.col("ta")).alias("r"),
         (F.col("cb") / F.col("tb")).alias("c"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     ni = norm.select(F.col("n").alias("i"), F.col("r"))
     nj = norm.select(F.col("n").alias("j"), F.col("c"))
     kmat = ni.crossJoin(F.broadcast(nj)).select(
         "i", "j", F.exp(-F.abs(F.col("i") - F.col("j")) / 0.5).alias("k")
-    ).persist()
+    ).localCheckpoint(eager=False)
     v = norm.select(F.col("n").alias("j"), F.lit(1.0).alias("v"))
     for _ in range(3):
         u = (
@@ -581,6 +584,10 @@ def q487(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("k") * F.col("v")).alias("kv"))
             .join(F.broadcast(ni), "i")
             .select("i", (F.col("r") / F.col("kv")).alias("u"))
+            # eager per Sinkhorn round: u/v reference each other across
+            # rounds, so lineage doubles per iteration without a cut
+            # (plan audit: 152 scans)
+            .localCheckpoint(eager=True)
         )
         v = (
             kmat.join(F.broadcast(u), "i")
@@ -588,6 +595,7 @@ def q487(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("k") * F.col("u")).alias("ku"))
             .join(F.broadcast(nj), "j")
             .select("j", (F.col("c") / F.col("ku")).alias("v"))
+            .localCheckpoint(eager=True)
         )
     plan = (
         kmat.join(F.broadcast(u), "i")

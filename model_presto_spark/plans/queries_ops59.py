@@ -496,7 +496,7 @@ def q492(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("nrm"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     comp = e.filter(F.col("label") == 0).select(
         F.posexplode("v").alias("d0", "x")
@@ -538,7 +538,7 @@ def q492(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy(F.desc("r"), "vec_id")).alias("rk"),
         )
         .filter(F.col("rk") <= 20)
-        .persist()
+        .localCheckpoint(eager=False)
     )
     s_a = c20.select(
         F.col("vec_id").alias("i"), F.col("v").alias("va"), F.col("nrm").alias("na")
@@ -560,7 +560,7 @@ def q492(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("na") * F.col("nb"))
             ).alias("s"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     picks = []
     pool = c20.select("vec_id", "r")
@@ -586,7 +586,12 @@ def q492(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .limit(1)
                 .select("vec_id", "r")
             )
-        picks.append(best.select("vec_id", "r"))
+        # eager checkpoint per greedy round: pick k+1's plan references
+        # EVERY earlier pick (chosen-set anti-join + max-sim), so an
+        # un-truncated lineage re-nests the whole candidate pipeline per
+        # round (plan audit: 403 scans). Each pick is one row — the
+        # checkpoint job is trivial and the final plan is 5 RDD scans.
+        picks.append(best.select("vec_id", "r").localCheckpoint(eager=True))
     out = None
     for rnk, pdf in enumerate(picks, 1):
         row = pdf.select(

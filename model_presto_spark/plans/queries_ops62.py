@@ -358,7 +358,11 @@ def q505(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("f4"),
         F.when(F.col("o_totalprice") > 250000, "hi").otherwise("lo").alias("y"),
-    ).persist()
+        # lineage-truncating materialization: ten bucket aggregations +
+        # the MI join tree all reference this relation; persist() keeps
+        # the full logical plan and the greedy steps re-nest it per
+        # reference (plan audit: 441 scans)
+    ).localCheckpoint(eager=False)
     feats = ["f1", "f2", "f3", "f4"]
     pairs = None
     for a, b in [(f, "y") for f in feats] + [
@@ -371,7 +375,7 @@ def q505(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(b if b != "y" else "y").alias("vb"),
         ).agg(F.count(F.lit(1)).alias("cnt"))
         pairs = p if pairs is None else pairs.unionAll(p)
-    pairs = pairs.persist()
+    pairs = pairs.localCheckpoint(eager=False)
     tot = pairs.agg((F.sum("cnt") / 10).alias("n"))
     ma = pairs.groupBy("a", "b", "va").agg(F.sum("cnt").alias("sa"))
     mb = pairs.groupBy("a", "b", "vb").agg(F.sum("cnt").alias("sb"))
@@ -397,7 +401,7 @@ def q505(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = rel.orderBy(F.desc("mi"), "f").limit(1).select(
         F.lit(1).alias("step"), "f", F.col("mi").alias("score")
-    )
+    ).localCheckpoint(eager=True)
     s1f = s1.select(F.col("f").alias("sel1"))
     r2_ = (
         rel.crossJoin(F.broadcast(s1f))
@@ -411,7 +415,7 @@ def q505(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = r2_.orderBy(F.desc("score"), "f").limit(1).select(
         F.lit(2).alias("step"), "f", "score"
-    )
+    ).localCheckpoint(eager=True)
     s2f = s2.select(F.col("f").alias("sel2"))
     r3_ = (
         rel.crossJoin(F.broadcast(s1f))

@@ -190,7 +190,9 @@ def q520(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .alias("pref"),
         )
-        .persist()
+        # lineage cut: every IRV round's tally + every elimination pick
+        # re-references the ballots (plan audit: 90 scans with persist)
+        .localCheckpoint(eager=False)
     )
 
     def tally(excluded, rnd):
@@ -206,11 +208,11 @@ def q520(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(rnd).alias("round"), "brand", "votes"
         )
 
-    r1 = tally([], 1).persist()
+    r1 = tally([], 1).localCheckpoint(eager=True)
     e1 = r1.orderBy("votes", F.desc("brand")).limit(1).select("brand")
-    r2 = tally([e1], 2).persist()
+    r2 = tally([e1], 2).localCheckpoint(eager=True)
     e2 = r2.orderBy("votes", F.desc("brand")).limit(1).select("brand")
-    r3 = tally([e1, e2], 3).persist()
+    r3 = tally([e1, e2], 3).localCheckpoint(eager=True)
     e3 = r3.orderBy("votes", F.desc("brand")).limit(1).select("brand")
 
     def mark(r, e):

@@ -75,7 +75,7 @@ def q534(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     lp = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).join(
         o, li.l_orderkey == o.o_orderkey
-    ).persist()
+    ).localCheckpoint(eager=False)
     items = (
         lp.groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -92,7 +92,7 @@ def q534(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("p_brand") == F.col("brand"), 1).otherwise(0)
             ).alias("x")
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     person = resp.groupBy("person").agg(F.sum("x").alias("r")).filter(
         (F.col("r") > 0) & (F.col("r") < 8)

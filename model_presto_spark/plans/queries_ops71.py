@@ -196,7 +196,10 @@ def q550(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("id"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("p"),
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("d"),
-    ).persist()
+        # lineage cut: each skyline layer peels the previous layer off,
+        # so persist() lineage re-nests the base per layer (plan audit:
+        # 65 scans)
+    ).localCheckpoint(eager=False)
 
     def skyline(df):
         b = df.select(
@@ -211,10 +214,10 @@ def q550(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return df.join(dominated.select("id"), "id", "left_anti")
 
-    l1 = skyline(pts).persist()
-    r1 = pts.join(l1.select("id"), "id", "left_anti").persist()
-    l2 = skyline(r1).persist()
-    r2 = r1.join(l2.select("id"), "id", "left_anti").persist()
+    l1 = skyline(pts).localCheckpoint(eager=True)
+    r1 = pts.join(l1.select("id"), "id", "left_anti").localCheckpoint(eager=True)
+    l2 = skyline(r1).localCheckpoint(eager=True)
+    r2 = r1.join(l2.select("id"), "id", "left_anti").localCheckpoint(eager=True)
     l3 = skyline(r2)
     ns = pts.agg(F.count(F.lit(1)).alias("n_sample"))
 

@@ -381,7 +381,9 @@ def q587(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("b"),
         (F.count(F.lit(1)) / 120.0).alias("cc"),
-    )
+        # one-row LP parameter frame referenced by 8 vertex branches:
+        # cut lineage (plan audit: 32 scans un-materialized)
+    ).localCheckpoint(eager=True)
     verts = None
     defs = [
         ("origin", F.lit(0.0), F.lit(0.0)),

@@ -86,9 +86,12 @@ def q599(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select(F.col("o_custkey").alias("u"), F.col("p_brand").alias("i"))
         .distinct()
-        .persist()
+        # lineage cut: the basket feeds popularity, owned-set anti-join,
+        # and the co-occurrence self-join (plan audit: 60 scans with
+        # persist-only lineage)
+        .localCheckpoint(eager=False)
     )
-    pop = basket.groupBy("i").agg(F.count(F.lit(1)).alias("n")).persist()
+    pop = basket.groupBy("i").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
     npop = pop.agg(F.sum("n").alias("t"))
     su = basket.filter(F.col("u") % 500 == 1).select("u").distinct()
     owned = basket.select(F.col("u").alias("ou"), F.col("i").alias("oi"))
@@ -108,7 +111,7 @@ def q599(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rk"),
         )
         .filter(F.col("rk") <= 3)
-        .persist()
+        .localCheckpoint(eager=False)
     )
     nb = pop.agg(F.count(F.lit(1)).alias("n_brands"))
     cov = recs.agg(F.count_distinct("i").alias("nd")).crossJoin(

@@ -398,7 +398,10 @@ def q632(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum(F.round(F.col("value") * 100)) / 1000.0).alias("rev")
         )
-        .persist()
+        # lineage cut: treated/donor splits + two donor selections all
+        # re-reference this (plan audit: 30 scans with persist-only
+        # lineage)
+        .localCheckpoint(eager=False)
     )
     tr = nd.filter(F.col("bloc") == 0).select("d", F.col("rev").alias("t"))
     don = nd.filter(F.col("bloc") > 0).select(
@@ -422,7 +425,7 @@ def q632(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = don.crossJoin(F.broadcast(d2)).filter(
         F.col("bloc") == F.col("b2")
     ).select("d", F.col("s").alias("s2"), "b2")
-    wide = tr.join(s1, "d").join(s2, "d").persist()
+    wide = tr.join(s1, "d").join(s2, "d").localCheckpoint(eager=False)
     fit = wide.filter(F.col("d") <= 15).agg(
         F.least(
             F.lit(1.0),

@@ -395,7 +395,9 @@ def q646(spark: SparkSession, sf_dir: str) -> DataFrame:
         lp.join(F.broadcast(top8), "p_brand")
         .select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("b"))
         .distinct()
-        .persist()
+        # lineage cut: TURF greedy rounds re-reference the basket per
+        # pick (plan audit: 39 scans with persist-only lineage)
+        .localCheckpoint(eager=False)
     )
     tot = cb.agg(F.countDistinct("ck").alias("nc"))
     r1 = (
@@ -404,6 +406,7 @@ def q646(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("reach1"), "b")
         .limit(1)
         .select(F.col("b").alias("b1"), "reach1")
+        .localCheckpoint(eager=True)
     )
     covered1 = cb.crossJoin(F.broadcast(r1)).filter(
         F.col("b") == F.col("b1")

@@ -112,7 +112,9 @@ def q674(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bi"
             ),
         )
-        .persist()
+        # lineage cut: top4 feeds the count join + four rank decodes
+        # (plan audit: 36 scans with persist-only lineage)
+        .localCheckpoint(eager=False)
     )
     cnt = (
         lp.join(F.broadcast(top4), lp.p_brand == top4.b)
@@ -136,7 +138,7 @@ def q674(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(0)
             ).alias("w")
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     perms = spark.createDataFrame(_PERMS4, ["p1", "p2", "p3", "p4"])
     pos = lambda col: (  # noqa: E731

@@ -683,7 +683,8 @@ def q683(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("pos"),
         )
-        .persist()
+        # lineage cut (plan audit: 30 scans with persist-only lineage)
+        .localCheckpoint(eager=False)
     )
     tot = scored.agg(
         F.sum("pos").alias("np"), F.sum(1 - F.col("pos")).alias("nn")
@@ -716,7 +717,7 @@ def q683(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fpr"),
         )
         .select(F.col("v").alias("thr"), "tpr", "fpr")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     a = roc.select(
         F.col("fpr").alias("afpr"), F.col("tpr").alias("atpr")
