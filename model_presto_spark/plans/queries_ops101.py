@@ -297,7 +297,9 @@ def q702(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sp",
             F.col("c_custkey").alias("ck"),
         )
-        .persist()
+        # lineage cut: u feeds both decile marginals (plan audit: 22
+        # scans with persist-only lineage)
+        .localCheckpoint(eager=False)
     )
     xd = (
         u.select(
@@ -319,7 +321,7 @@ def q702(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         "y",
         (F.col("x") * F.col("y") + 0.5 * F.col("x") * F.col("x")).alias("f"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     tot = grid.agg(
         F.avg("f").alias("mf"),
         (F.avg(F.col("f") * F.col("f")) - F.avg("f") * F.avg("f")).alias("vf"),

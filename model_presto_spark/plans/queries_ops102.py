@@ -453,7 +453,9 @@ def q709(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(2, 4, "bd"),
         pick(3, 0, "ct"),
         pick(4, 0, "dt"),
-    )
+        # one-row capacity frame feeding every cut branch (plan audit:
+        # 24 scans un-materialized)
+    ).localCheckpoint(eager=True)
     masks = spark.range(0, 16).select(F.col("id").alias("m"))
     cuts = masks.select(
         "m",
@@ -474,7 +476,7 @@ def q709(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("inc_") * F.col("ct")
             + F.col("ind_") * F.col("dt")
         ).alias("cutcap"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     best = scored.orderBy("cutcap", "m").limit(1)
     second = (
         best.select(F.col("m").alias("bm"))

@@ -268,7 +268,9 @@ def q718(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.expr("regexp_extract_all(lower(text), '[a-z]{3,}', 0)")
         ).alias("i", "tok"),
-    ).persist()
+        # lineage cut: tokens feed the vocab top-30 plus both sides of
+        # the bigram self-join (plan audit: 27 scans persist-only)
+    ).localCheckpoint(eager=False)
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -280,7 +282,7 @@ def q718(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vid"
             ),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     a = toks.select("doc_id", F.col("i").alias("ia"), F.col("tok").alias("ta"))
     b = toks.select(
@@ -308,7 +310,7 @@ def q718(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("u", "v")
         .agg(F.sum("w").alias("w"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     deg = edges.groupBy(F.col("u").alias("nd")).agg(F.sum("w").alias("dg"))
     s = vocab.select(F.col("vid").alias("nd"), F.lit(1.0).alias("s"))

@@ -460,7 +460,9 @@ def q408(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cont = clustered.groupBy("cluster", "family").agg(
         F.count(F.lit(1)).alias("n_ct")
-    )
+        # lineage cut: contingency feeds cluster/family/total rollups +
+        # the final join (plan audit: 24 scans un-materialized)
+    ).localCheckpoint(eager=False)
     cs = cont.groupBy(F.col("cluster").alias("c_cl")).agg(
         F.sum("n_ct").alias("n_c")
     )

@@ -289,8 +289,10 @@ def q461(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.filter(F.col("f"), lambda v: F.col("c_acctbal") > v)
             )
         ).alias("d"),
-    )
-    gq = dec.groupBy("nat", "seg", "d").agg(F.count(F.lit(1)).alias("c"))
+        # lineage cut: dec feeds the per-group and global decile
+        # histograms (plan audit: 20 scans un-materialized)
+    ).localCheckpoint(eager=False)
+    gq = dec.groupBy("nat", "seg", "d").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=False)
     gt = gq.groupBy("nat", "seg").agg(F.sum("c").alias("n"))
     glob = dec.groupBy("d").agg(F.count(F.lit(1)).alias("gc"))
     gn = glob.agg(F.sum("gc").alias("gn"))
@@ -429,10 +431,14 @@ def q462(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c0") - F.coalesce("cr", F.lit(0))).alias("c"),
             (F.col("s0") - F.coalesce("sr", F.lit(0))).alias("s"),
         )
+        # lineage cut: the incremental view feeds live/zeroed/match
+        # branches (plan audit: 22 scans un-materialized)
+        .localCheckpoint(eager=False)
     )
     direct = agg(
         ev.filter(~((F.dayofmonth("ts") <= 28) & (F.col("event_id") % 97 == 0)))
     )
+    direct = direct.localCheckpoint(eager=False)
     n_direct = direct.agg(F.count(F.lit(1)).alias("n_direct"))
     n_live = inc.filter(F.col("c") > 0).agg(F.count(F.lit(1)).alias("n_inc_live"))
     n_zero = inc.filter(F.col("c") == 0).agg(F.count(F.lit(1)).alias("n_zeroed"))

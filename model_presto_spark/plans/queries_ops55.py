@@ -79,7 +79,10 @@ def q469(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select(F.col("o_custkey").alias("u"), F.col("p_brand").alias("i"))
         .distinct()
-        .persist()
+        # lineage cut: basket feeds popularity, both co-occurrence
+        # sides, the seed users, and the owned anti-join (plan audit:
+        # 21 scans with persist-only lineage)
+        .localCheckpoint(eager=False)
     )
     pop = basket.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
     a = basket.select(F.col("u"), F.col("i").alias("i1"))
@@ -444,6 +447,9 @@ def q472(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count_distinct("c_custkey")
             ).alias("spend"),
         )
+        # lineage cut: nat feeds both cross sides; rate feeds three
+        # triangle legs (plan audit: 24 scans un-materialized)
+        .localCheckpoint(eager=True)
     )
     a = nat.select(
         F.col("n").alias("i"), F.col("bal").alias("ba"), F.col("spend").alias("sa")
@@ -464,6 +470,7 @@ def q472(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * 0.998
             ).alias("r"),
         )
+        .localCheckpoint(eager=True)
     )
     r1 = rate.select(F.col("i"), F.col("j"), F.col("r").alias("ra"))
     r2 = rate.select(

@@ -112,9 +112,12 @@ def q494(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("id"),
             hash_array(char_shingles(F.lower(F.col("text")), 5)).alias("hs"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # lineage cut: the shingle relation feeds the signature plus
+        # both verify sides across three band configs (plan audit: 25
+        # scans with persist-only lineage)
+        .localCheckpoint(eager=False)
     )
-    sig = sh.select("id", minhash_signature(F.col("hs"), 16).alias("sig")).persist()
+    sig = sh.select("id", minhash_signature(F.col("hs"), 16).alias("sig")).localCheckpoint(eager=False)
     hs_a = sh.select(F.col("id").alias("id_a"), F.col("hs").alias("ha"))
     hs_b = sh.select(F.col("id").alias("id_b"), F.col("hs").alias("hb"))
     stats = []
@@ -139,7 +142,7 @@ def q494(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand.join(hs_a, "id_a").join(hs_b, "id_b").select(
                 "id_a", "id_b", jac.alias("j")
             )
-        ).persist()
+        ).localCheckpoint(eager=False)
         stats.append(
             pairs.agg(
                 F.lit(b).alias("bands"),

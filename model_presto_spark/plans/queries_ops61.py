@@ -288,12 +288,14 @@ def q501(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    # lineage cut: bids/asks feed the quantile grid, demand, and
+    # supply branches (plan audit: 28 scans with persist-only lineage)
     bids = j.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
         F.col("o_totalprice").alias("p")
-    ).persist()
+    ).localCheckpoint(eager=False)
     asks = j.filter(F.col("c_mktsegment") == "BUILDING").select(
         F.col("o_totalprice").alias("p")
-    ).persist()
+    ).localCheckpoint(eager=False)
     both = bids.unionAll(asks)
     qarr = both.agg(
         F.percentile(

@@ -101,7 +101,9 @@ def q544(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x2") * F.col("x2")).alias("s22"),
         F.sum(F.col("x2") * F.col("y")).alias("s2y"),
         F.sum(F.col("x1") * F.col("x2")).alias("s12"),
-    )
+        # one-row moment frame feeding three nested-model branches:
+        # cut lineage (plan audit: 24 scans un-materialized)
+    ).localCheckpoint(eager=True)
     n = F.col("n")
     c0 = m.select(
         "n",

@@ -77,7 +77,9 @@ def q564(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("period"),
             F.col("value").alias("wtp"),
         )
-        .persist()
+        # lineage cut: ev feeds the quantile grid + the demand
+        # cross-join (plan audit: 21 scans with persist-only lineage)
+        .localCheckpoint(eager=False)
     )
     qarr = ev.agg(
         F.percentile(
@@ -113,7 +115,7 @@ def q564(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(0)
             ).alias("d_off"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     cap = dem.agg((0.6 * F.max("d_peak")).cast("bigint").alias("k"))
     rev = dem.crossJoin(F.broadcast(cap)).select(

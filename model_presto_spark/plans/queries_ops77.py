@@ -175,11 +175,13 @@ def q580(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     daily = ev.groupBy(F.dayofmonth("ts").cast("bigint").alias("d")).agg(
         F.sum(F.round(F.col("value") * 100)).cast("double").alias("v")
-    ).persist()
+        # lineage cut: daily feeds threshold/spike/post/base branches
+        # (plan audit: 22 scans with persist-only lineage)
+    ).localCheckpoint(eager=False)
     thr = daily.agg(F.percentile("v", F.lit(0.9)).alias("q90"))
     spikes = daily.crossJoin(F.broadcast(thr)).filter(
         F.col("v") >= F.col("q90")
-    ).select("d").persist()
+    ).select("d").localCheckpoint(eager=False)
     sp2 = spikes.select(F.col("d").alias("sd"))
     post = (
         sp2.crossJoin(daily.select(F.col("d").alias("dd")))
@@ -187,7 +189,7 @@ def q580(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("dd").alias("d"))
         .distinct()
         .join(spikes, "d", "left_anti")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     base = daily.join(spikes, "d", "left_anti").join(post, "d", "left_anti")
     post_avg = daily.join(post, "d").agg(F.avg("v").alias("pa"))

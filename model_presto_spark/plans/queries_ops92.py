@@ -196,7 +196,10 @@ def q655(spark: SparkSession, sf_dir: str) -> DataFrame:
         lp.join(F.broadcast(top5), lp.p_brand == top5.b)
         .join(o, lp.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("ck"), "b", "rk")
-        .persist()
+        # lineage cut: lij feeds the buyer set + the conditional and
+        # restricted share branches (plan audit: 20 scans with
+        # persist-only lineage)
+        .localCheckpoint(eager=False)
     )
     b1 = lij.filter(F.col("rk") == 1).select("ck").distinct()
     wall = Window.partitionBy()
