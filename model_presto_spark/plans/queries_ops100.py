@@ -77,7 +77,7 @@ def q695(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("k"),
         )
         .filter(F.col("k") == 5)
-        .persist()
+        .localCheckpoint(eager=False)
     )
     lim = sub.agg(F.avg("xbar").alias("gx"), F.avg("r").alias("gr"))
     flags = sub.crossJoin(F.broadcast(lim)).select(
@@ -175,7 +175,7 @@ def q696(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.col("c_acctbal") * 100) / 1e5).alias("x1"),
             (F.col("no") * 1.0).alias("x2"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     mu = u.groupBy("t").agg(
         F.avg("x1").alias("m1"), F.avg("x2").alias("m2")
@@ -307,7 +307,7 @@ def q697(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("fp"), F.lit(31)).alias("t"),
             F.when(F.col("fp").isNotNull(), 1).otherwise(0).alias("ev"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     a = pop.select(
         F.col("u").alias("ua"),
@@ -457,7 +457,7 @@ def q699(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.floor(F.round("o_totalprice") / 10).cast("bigint") % 10
         ).alias("d2"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     n_tot = digits.agg(F.count(F.lit(1)).alias("n"))
     chi_of = lambda col: (  # noqa: E731
         digits.groupBy(F.col(col).alias("dig"))

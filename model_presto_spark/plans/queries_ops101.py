@@ -118,7 +118,7 @@ def q700(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("b1") > 0, F.col("b2") * 1.0 / F.col("b1") - 1
         ).alias("rb_s"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     bench = weighted.agg(
         F.sum(F.col("wb") * F.col("rb_s")).alias("rb")
     )
@@ -204,7 +204,7 @@ def q701(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(s, i, 1)").alias("ch"),
             F.expr("substr(s, i + 1, 1)").alias("nxt"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     n_tok = chars.agg(F.count(F.lit(1)).alias("n"))
     pairs = (
@@ -415,8 +415,8 @@ def q703(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.round("o_totalprice").alias(nm))
         )
 
-    xs = sample("1-URGENT", "xv").persist()
-    ys = sample("5-LOW", "yv").persist()
+    xs = sample("1-URGENT", "xv").localCheckpoint(eager=False)
+    ys = sample("5-LOW", "yv").localCheckpoint(eager=False)
     axy = xs.crossJoin(ys).agg(
         F.avg(F.abs(F.col("xv") - F.col("yv")) * 1.0).alias("axy")
     )
@@ -550,7 +550,7 @@ def q705(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(-1.0)
             .alias("y"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     mom = raw.agg(
         F.avg("xa").alias("ma"),
@@ -567,7 +567,7 @@ def q705(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("xa") - F.col("ma")) / F.col("sa")).alias("x1"),
         ((F.col("xb") - F.col("mb")) / F.col("sb")).alias("x2"),
         "y",
-    ).persist()
+    ).localCheckpoint(eager=False)
     arr = std.agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("ck", "x1", "x2", "y"))),

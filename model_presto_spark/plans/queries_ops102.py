@@ -79,7 +79,7 @@ def q706(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s",
         ((10 - F.col("s") % 10) % 10).alias("cd"),
         ((F.col("s") + (10 - F.col("s") % 10) % 10) % 10).alias("residual"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     modal = (
         withcheck.groupBy("cd")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -165,7 +165,7 @@ def q707(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
     ).select(
         "t", "x", F.when(F.col("t") <= 15, 0).otherwise(1).alias("h")
-    ).persist()
+    ).localCheckpoint(eager=False)
     n = F.count(F.lit(1))
     seg = daily.groupBy("h").agg(
         (F.sum(F.col("t") * F.col("x")) - n * F.avg("t") * F.avg("x")).alias(
@@ -288,7 +288,7 @@ def q708(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.col("c_acctbal") * 100) / 1e5).alias("x1"),
             "x2",
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     mu = u.groupBy("t").agg(
         F.avg("x1").alias("m1"),

@@ -107,7 +107,7 @@ def q711(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = arr.select(
         "mu", "vr", F.expr(_pb_fold("spark")).alias("d")
-    ).persist()
+    ).localCheckpoint(eager=False)
     grid = spark.range(0, 26).select(F.col("id").cast("int").alias("k"))
     modal = (
         dist.crossJoin(F.broadcast(grid))
@@ -367,7 +367,7 @@ def q714(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100)).alias("x")
     ).select(
         F.row_number().over(Window.orderBy("d")).alias("t"), "x", "d"
-    ).persist()
+    ).localCheckpoint(eager=False)
     wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     rec = daily.select(
         "t",

@@ -456,7 +456,7 @@ def q719(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = studies.filter(F.col("se") > 0).select(
         (F.col("d") / F.col("se")).alias("z"),
         (1 / F.col("se")).alias("prec"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     n = F.count(F.lit(1))
     fit = reg.agg(
         n.alias("n"),

@@ -76,7 +76,7 @@ def q721(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_brand").alias("b"),
             F.round(F.col("l_extendedprice") * 100).alias("rev"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     wall = Window.partitionBy()
     shares = (
@@ -188,7 +188,7 @@ def q722(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 2).cast("double").alias("x2"),
         F.element_at("embedding", 3).cast("double").alias("y1"),
         F.element_at("embedding", 4).cast("double").alias("y2"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     m = pts.agg(
         F.avg("x1").alias("mx1"),
         F.avg("x2").alias("mx2"),
@@ -473,7 +473,7 @@ def q725(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     demand = e.groupBy(
         F.dayofmonth("ts").cast("bigint").alias("d")
-    ).agg(F.count(F.lit(1)).alias("q")).persist()
+    ).agg(F.count(F.lit(1)).alias("q")).localCheckpoint(eager=False)
     staged = demand.select(
         "d",
         "q",

@@ -100,7 +100,7 @@ def q434(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mu.select(F.col("i").alias("i"), F.col("m").alias("ma")), "i")
         .join(mu.select(F.col("i").alias("j"), F.col("m").alias("mb")), "j")
         .select("i", "j", (F.col("sxy") - F.col("ma") * F.col("mb")).alias("cov"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     v = spark.range(1, 65).select(F.col("id").alias("i"), F.lit(0.125).alias("v"))
     # Normalize via an unpartitioned window over the 64-row vector so

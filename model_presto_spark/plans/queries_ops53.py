@@ -97,7 +97,7 @@ def q459(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s1") + F.col("s2")) / 2).alias("s"),
         F.row_number().over(Window.orderBy(F.desc("s1"), "k")).alias("r1"),
         F.row_number().over(Window.orderBy(F.desc("s2"), "k")).alias("r2"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     topk = scored.orderBy(F.desc("s"), "k").limit(10)
     kth = topk.agg(F.min("s").alias("tk"))
     seen = topk.agg(F.max(F.least("r1", "r2")).alias("d_seen"))
@@ -536,7 +536,7 @@ def q463(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y")
         )
         .select(F.round(F.col("c_acctbal") * 100).alias("x"), "y")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     m = pts.agg(F.avg("x").alias("mx"), F.avg("y").alias("my"))
     m0 = m

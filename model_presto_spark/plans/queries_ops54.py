@@ -268,7 +268,7 @@ def q466(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
     e2 = e.select(F.col("u").alias("bu"), F.col("v").alias("bv"))
@@ -498,7 +498,7 @@ def q468(spark: SparkSession, sf_dir: str) -> DataFrame:
         "j",
         "d2",
         F.row_number().over(Window.partitionBy("i").orderBy("d2", "j")).alias("rk"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     kdist = knn.filter(F.col("rk") == 5).select("i", F.col("d2").alias("kd"))
     kb = kdist.select(F.col("i").alias("j"), F.col("kd").alias("kd_j"))
     lrd = (

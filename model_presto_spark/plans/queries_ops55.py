@@ -319,7 +319,7 @@ def q471(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c_acctbal") * 100).alias("x"),
             "y",
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     bb = pts.agg(
         F.min("x").alias("x0"),

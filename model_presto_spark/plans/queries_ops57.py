@@ -372,7 +372,7 @@ def q482(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             ).otherwise(0)
         ).alias("k_s"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     nn_val = uni.select("nn").first()["nn"]
     lf = (
         spark.range(1, nn_val + 1)
@@ -381,7 +381,7 @@ def q482(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lf0 = lf.unionAll(
         spark.range(0, 1).select(F.col("id").alias("k"), F.lit(0.0).alias("lfact"))
-    ).persist()
+    ).localCheckpoint(eager=False)
     xs = spark.range(0, nn_val + 1).select(F.col("id").alias("x"))
     grid = (
         xs.crossJoin(F.broadcast(uni))

@@ -725,7 +725,7 @@ def q488(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("r_supp"),
-    ).persist()
+    ).localCheckpoint(eager=False)
 
     def runs(order_col, label):
         w = Window.orderBy(order_col)

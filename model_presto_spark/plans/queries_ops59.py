@@ -205,7 +205,7 @@ _Q490_ORACLE = """
 )
 def q490(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    x = o.select(F.col("o_totalprice").alias("v")).persist()
+    x = o.select(F.col("o_totalprice").alias("v")).localCheckpoint(eager=False)
     init = x.agg(
         F.percentile("v", F.lit(0.25)).alias("mu1"),
         F.percentile("v", F.lit(0.75)).alias("mu2"),
@@ -320,7 +320,7 @@ def q491(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % 5 == 0)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     sign = lambda d, j: F.when(  # noqa: E731
         ((d - 1) * 8 + j) * 2654435761 % 4294967296 < 2147483648, 1.0
@@ -658,7 +658,7 @@ def q493(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     comp = emb.select(
         F.explode(F.col("embedding").cast("array<double>")).alias("x")
-    ).persist()
+    ).localCheckpoint(eager=False)
     mm = comp.agg(
         F.min("x").alias("lo"),
         F.max("x").alias("hi"),

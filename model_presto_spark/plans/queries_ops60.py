@@ -228,7 +228,7 @@ def q495(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = docs.select(
         "source", F.row_number().over(Window.orderBy("doc_id")).alias("pos")
     )
-    firsts = seq.groupBy("source").agg(F.min("pos").alias("first_pos")).persist()
+    firsts = seq.groupBy("source").agg(F.min("pos").alias("first_pos")).localCheckpoint(eager=False)
     th = firsts.agg(F.count(F.lit(1)).alias("n"))
     harm = th.select(
         "n",
@@ -332,7 +332,7 @@ def q496(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("rk"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     top2 = (
         bids.filter(F.col("rk") <= 2)
         .groupBy("auction")
@@ -509,7 +509,7 @@ _Q498_ORACLE = """
 )
 def q498(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    x = o.select(F.col("o_totalprice").alias("v")).persist()
+    x = o.select(F.col("o_totalprice").alias("v")).localCheckpoint(eager=False)
     qs = x.agg(
         F.percentile(
             "v", F.array(*[F.lit(0.5 + i * 0.05) for i in range(9)])

@@ -422,7 +422,7 @@ def q502(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy("pos", "id")).alias("ipos"),
         )
         .filter(F.col("ipos") <= 20)
-        .persist()
+        .localCheckpoint(eager=False)
     )
     med = top.agg(F.percentile("price", F.lit(0.5)).alias("m"))
     clicks = (
@@ -524,7 +524,7 @@ def q503(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    e = e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().persist()
+    e = e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().localCheckpoint(eager=False)
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("k"))
     allw = Window.partitionBy()
     # four normalize rounds produce v4; w5 = A v4; lambda1 = v4 . w5

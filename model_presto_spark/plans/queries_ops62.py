@@ -123,7 +123,7 @@ def q504(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.round(F.col("o_totalprice") * 100)).cast("bigint").alias("rev"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     mp = cell.select(
         "m",
         "w",
@@ -133,7 +133,7 @@ def q504(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             - 1
         ).alias("k"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     wr = cell.select(
         "w",
         "m",
@@ -143,7 +143,7 @@ def q504(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             - 1
         ).alias("rk"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     mpref = mp.agg(
         F.transform(
             F.sort_array(
@@ -218,7 +218,7 @@ def q504(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = gs.crossJoin(F.broadcast(g)).select(
         F.col("wi").cast("bigint").alias("w"),
         F.element_at("fin", F.col("wi") + 9).alias("m"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     # blocking pair (m, w): m strictly prefers w to his match AND w
     # strictly prefers m to hers
     mm2 = matched.select(
@@ -393,7 +393,7 @@ def q505(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("mi")
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     rel = mi.filter(F.col("b") == "y").select(F.col("a").alias("f"), "mi")
     red = mi.filter(F.col("b") != "y").select(
@@ -724,7 +724,7 @@ def q508(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "spend",
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     thr = u.agg(F.percentile("spend", F.lit(0.75)).alias("q75"))
     y = u.crossJoin(F.broadcast(thr)).select(

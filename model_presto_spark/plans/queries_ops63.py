@@ -351,7 +351,7 @@ def q511(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = u.crossJoin(F.broadcast(thr)).select(
         "score",
         F.when(F.col("spend") > F.col("q75"), 1).otherwise(0).alias("y"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     pts = spark.range(1, 11).select((F.col("id") * 0.05).alias("pt"))
     nb = (
         pts.crossJoin(lab)
@@ -456,7 +456,7 @@ def q512(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
         .alias("pos"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     cw = Window.partitionBy("user_id").orderBy("pos")
     cum = steps.select("user_id", "pos", F.sum("s").over(cw).alias("c"))
     hits = cum.groupBy("user_id").agg(

@@ -92,7 +92,7 @@ def q514(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_acctbal")
         .agg((F.count("o_orderkey") * 1.0).alias("y"))
         .select("y", F.log(F.col("c_acctbal") + 10000.0).alias("x"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     params = u.agg(F.log(F.avg("y")).alias("b0")).select(
         "b0", F.lit(0.0).alias("b1")
@@ -442,7 +442,7 @@ _Q517_ORACLE = """
 )
 def q517(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    x = o.select(F.col("o_totalprice").alias("p")).persist()
+    x = o.select(F.col("o_totalprice").alias("p")).localCheckpoint(eager=False)
     qarr = x.agg(
         F.percentile(
             "p", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
@@ -580,10 +580,10 @@ def q518(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a = o.filter(F.month("o_orderdate") <= 6).select(
         F.col("o_custkey").alias("k")
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=False)
     b = o.filter(F.month("o_orderdate") > 6).select(
         F.col("o_custkey").alias("k")
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=False)
     ra = regs(a)
     rb = regs(b)
     ru = (

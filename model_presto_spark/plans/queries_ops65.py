@@ -323,7 +323,7 @@ def q521(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = e0.unionAll(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=False)
     g1 = spark.range(0, 30).select(F.col("id").alias("au"))
     g2 = spark.range(0, 30).select(F.col("id").alias("av"))
     cells = (
@@ -403,7 +403,7 @@ def q521(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array().cast("array<bigint>"),
             step,
         ).alias("cols"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d")).agg(
         F.max("d").alias("maxdeg")
     )

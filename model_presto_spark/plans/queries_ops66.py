@@ -81,7 +81,7 @@ def q524(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.month("o_orderdate") > 6, cents).otherwise(0)
             ).alias("h2"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     segr = cell.groupBy("seg").agg(
         (F.sum("h2") * 1.0 / F.sum("h1") - 1).alias("g_s")
@@ -287,7 +287,7 @@ _Q526_ORACLE = """
 )
 def q526(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ns")).persist()
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ns")).localCheckpoint(eager=False)
     n_val = docs.count()
     lf = (
         spark.range(1, n_val + 1)
@@ -296,7 +296,7 @@ def q526(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lf0 = lf.unionAll(
         spark.range(0, 1).select(F.col("id").alias("k"), F.lit(0.0).alias("lfact"))
-    ).persist()
+    ).localCheckpoint(eager=False)
     grid = spark.createDataFrame(
         [(n_val * i // 4,) for i in (1, 2, 3)], "nn long"
     ).coalesce(1)
@@ -591,7 +591,7 @@ def q528(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rec = seq.filter(
         (F.col("event_type") == "error") & F.col("next_ok").isNotNull()
-    ).select(((F.col("next_ok") - F.col("t")) / 1e6).alias("gap_s")).persist()
+    ).select(((F.col("next_ok") - F.col("t")) / 1e6).alias("gap_s")).localCheckpoint(eager=False)
     sched = spark.createDataFrame(
         [
             ("exponential", 1, 60.0), ("exponential", 2, 180.0),

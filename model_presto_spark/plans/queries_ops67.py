@@ -208,7 +208,7 @@ def q530(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.col("c_acctbal") * 100) * 1.0).alias("x"),
             "y",
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     m = u.agg(
         F.count(F.lit(1)).alias("n"),
@@ -230,7 +230,7 @@ def q530(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("y") - F.col("my")) - F.col("b1") * (F.col("x") - F.col("mx"))).alias(
             "e"
         ),
-    ).persist()
+    ).localCheckpoint(eager=False)
     naive = resid.agg(F.sum(F.col("e") * F.col("e")).alias("sse"))
     clus = (
         resid.groupBy("g")
@@ -420,7 +420,7 @@ def q532(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "h2"
             ),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     sel_a = br.orderBy(F.desc("h2"), "brand").limit(5).select("brand")
     sel_h = br.orderBy(F.desc("h1"), "brand").limit(5).select("brand")

@@ -378,7 +378,7 @@ def q537(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.col("c_acctbal") + 10000.0).alias("x1"),
             "x2",
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     n = F.count(F.lit(1))
     m = u.agg(

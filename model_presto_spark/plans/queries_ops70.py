@@ -218,7 +218,7 @@ def q545(spark: SparkSession, sf_dir: str) -> DataFrame:
     hv = ((F.col("k") * 2654435761) % 4294967296)
     h = ks.select(
         (hv % 1048576).alias("h20"), (hv % 16777216).alias("h24")
-    ).persist()
+    ).localCheckpoint(eager=False)
     n = ks.agg(F.count(F.lit(1)).alias("n"))
     c20 = (
         h.groupBy("h20")
@@ -396,7 +396,7 @@ def q547(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dem = ev.groupBy(F.dayofmonth("ts").cast("bigint").alias("d")).agg(
         F.count(F.lit(1)).alias("q")
-    ).persist()
+    ).localCheckpoint(eager=False)
     scen = spark.createDataFrame(
         [
             ("baseline", 1.0, 1.0, 1.0), ("price_up", 1.2, 1.0, 1.0),
@@ -523,7 +523,7 @@ def q548(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.round(F.col("value") * 100).cast("bigint") * 500 / 1e6).alias("s_sec"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     span = base.agg(((F.max("t") - F.min("t")) / 1e6).alias("t_sec"))
     cls = base.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -536,7 +536,7 @@ def q548(spark: SparkSession, sf_dir: str) -> DataFrame:
         "es",
         "es2",
         (F.col("n") / F.col("t_sec") * F.col("es")).alias("rho"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     r = rates.agg((F.sum(F.col("lam") * F.col("es2")) / 2).alias("resid"))
     hi = rates.filter(F.col("event_type") == "purchase").select(
         F.col("rho").alias("rho_hi")

@@ -77,7 +77,7 @@ def q549(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("o"))
     prim = t.select(
         "r", "s", "o", F.when(F.col("o") < 5, 1).otherwise(0).alias("sup")
-    ).persist()
+    ).localCheckpoint(eager=False)
     rowrisk = prim.groupBy("r").agg(F.sum("sup").alias("ns")).filter(
         F.col("ns") == 1
     ).select("r")
@@ -375,7 +375,7 @@ def q552(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = val.agg(F.avg("v").alias("mu"))
     z = val.crossJoin(F.broadcast(mu)).select(
         "nd", (F.col("v") - F.col("mu")).alias("z")
-    ).persist()
+    ).localCheckpoint(eager=False)
     e0 = (
         o.select(
             (F.col("o_custkey") % 25).cast("bigint").alias("u"),
@@ -389,7 +389,7 @@ def q552(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     za = z.select(F.col("nd").alias("u"), F.col("z").alias("zu"))
     zb = z.select(F.col("nd").alias("w"), F.col("z").alias("zw"))
-    ej = e.join(F.broadcast(za), "u").join(F.broadcast(zb), "w").persist()
+    ej = e.join(F.broadcast(za), "u").join(F.broadcast(zb), "w").localCheckpoint(eager=False)
     ct = ej.agg(
         F.sum(F.col("zu") * F.col("zw")).alias("num"),
         F.count(F.lit(1)).alias("wsum"),
@@ -508,7 +508,7 @@ def q553(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = u.filter(F.col("s2") != F.col("s1")).select(
         F.when(F.col("s2") > F.col("s1"), 1).otherwise(0).alias("plus")
     )
-    cnt = d.agg(F.count(F.lit(1)).alias("n"), F.sum("plus").alias("np")).persist()
+    cnt = d.agg(F.count(F.lit(1)).alias("n"), F.sum("plus").alias("np")).localCheckpoint(eager=False)
     n_val = cnt.first()["n"]
     lf = (
         spark.range(1, n_val + 1)
@@ -517,7 +517,7 @@ def q553(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lf0 = lf.unionAll(
         spark.range(0, 1).select(F.col("id").alias("k"), F.lit(0.0).alias("lfact"))
-    ).persist()
+    ).localCheckpoint(eager=False)
     kmin = cnt.select(
         "n", "np", F.least(F.col("np"), F.col("n") - F.col("np")).alias("km")
     )

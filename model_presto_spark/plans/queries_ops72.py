@@ -69,7 +69,7 @@ def q554(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("u") / F.min("u")).alias("rng"),
         )
         .filter(F.col("n") >= 3)
-        .persist()
+        .localCheckpoint(eager=False)
     )
     summ = per.agg(
         F.avg(F.col("sd") / F.col("mu")).alias("mean_cv"),
@@ -174,7 +174,7 @@ def q555(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("w"),
         )
         .filter(F.col("s") < F.col("e"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     ordered = spans.select(
         "s",
@@ -183,7 +183,7 @@ def q555(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.orderBy("e", "s", "user_id", "dy"))
         .alias("i"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     ends = ordered.select(F.col("e").alias("be"))
     pred = (
         ordered.join(F.broadcast(ends), F.col("be") <= F.col("s"), "left")
@@ -348,7 +348,7 @@ def q556(spark: SparkSession, sf_dir: str) -> DataFrame:
         e_dir.select("thr", "u", "v")
         .unionAll(e_dir.select("thr", F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     nodes = spark.range(0, 25).select(F.col("id").alias("nd"))
     lbl = nodes.crossJoin(F.broadcast(th)).select(
@@ -460,7 +460,7 @@ def q557(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("nat").orderBy("d")
     rr = nd.select(
         F.log(F.col("rev") * 1.0 / F.lag("rev").over(w)).alias("r")
-    ).filter(F.col("r").isNotNull()).persist()
+    ).filter(F.col("r").isNotNull()).localCheckpoint(eager=False)
     q = rr.agg(
         F.percentile("r", F.array(F.lit(0.05), F.lit(0.01))).alias("qs"),
         F.count(F.lit(1)).alias("n"),

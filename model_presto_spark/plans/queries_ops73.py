@@ -165,7 +165,7 @@ def q560(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             * 1.0
         ).alias("s2"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     m = u.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("s1").alias("m1"),
@@ -611,7 +611,7 @@ def q563(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag("v").over(w)
             + (F.lag("v").over(w) - F.first("v").over(w)) / (F.col("d") - 2),
         ).alias("f_drift"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     train = feat.filter(F.col("d").between(9, 18)).agg(
         F.avg((F.col("v") - F.col("f_naive")) * (F.col("v") - F.col("f_naive"))).alias(
             "m1"

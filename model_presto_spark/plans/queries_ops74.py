@@ -216,7 +216,7 @@ def q565(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("d")
     rr = daily.select(
         (F.col("v") / F.lag("v").over(w) - 1).alias("r")
-    ).filter(F.col("r").isNotNull()).persist()
+    ).filter(F.col("r").isNotNull()).localCheckpoint(eager=False)
     par = rr.agg(
         F.avg(F.when(F.col("r") > 0, 1.0).otherwise(0.0)).alias("p"),
         (
@@ -573,7 +573,7 @@ def q568(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("hpos"),
-    ).persist()
+    ).localCheckpoint(eager=False)
 
     def cond(order_col):
         w = Window.partitionBy("user_id").orderBy(order_col)

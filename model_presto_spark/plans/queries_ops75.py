@@ -93,7 +93,7 @@ def q569(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d0 = ev.groupBy(F.dayofmonth("ts").cast("bigint").alias("i")).agg(
         F.sum(F.round(F.col("value") * 100)).cast("double").alias("v")
-    ).persist()
+    ).localCheckpoint(eager=False)
 
     def level(df, vcol):
         odd = F.sum(F.when(F.col("i") % 2 == 1, F.col(vcol)).otherwise(0.0))
@@ -102,8 +102,8 @@ def q569(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.col("i") / 2.0).cast("bigint").alias("i")
         ).agg((odd + even).alias("a"), (odd - even).alias("d"))
 
-    l1 = level(d0, "v").persist()
-    l2 = level(l1.select("i", F.col("a")), "a").persist()
+    l1 = level(d0, "v").localCheckpoint(eager=False)
+    l2 = level(l1.select("i", F.col("a")), "a").localCheckpoint(eager=False)
     lam = l1.agg(
         (
             F.percentile(F.abs("d"), F.lit(0.5))
@@ -121,8 +121,8 @@ def q569(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d"),
         )
 
-    s1 = shrink(l1).persist()
-    s2 = shrink(l2).persist()
+    s1 = shrink(l1).localCheckpoint(eager=False)
+    s2 = shrink(l2).localCheckpoint(eager=False)
     r1 = s2.select(
         (2 * F.col("i") - 1).alias("i"), ((F.col("a") + F.col("d")) / 2).alias("a")
     ).unionAll(
@@ -357,7 +357,7 @@ def q571(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     panel = spine.join(clicks, ["user_id", "d"], "left").select(
         "e", F.coalesce("c", F.lit(0)).alias("clicks")
-    ).persist()
+    ).localCheckpoint(eager=False)
     base = panel.filter(F.col("e") == -1).agg(
         F.avg(F.col("clicks") * 1.0).alias("b")
     )
@@ -430,11 +430,11 @@ def q572(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     pop = c.groupBy(F.col("c_nationkey").alias("g")).agg(
         F.count(F.lit(1)).alias("np"), F.avg("c_acctbal").alias("true_mu")
-    ).persist()
+    ).localCheckpoint(eager=False)
     samp = c.filter(
         (F.col("c_custkey") % 7 == 0)
         | ((F.col("c_nationkey") < 5) & (F.col("c_custkey") % 3 == 0))
-    ).select(F.col("c_nationkey").alias("g"), F.col("c_acctbal").alias("y")).persist()
+    ).select(F.col("c_nationkey").alias("g"), F.col("c_acctbal").alias("y")).localCheckpoint(eager=False)
     scount = samp.groupBy("g").agg(F.count(F.lit(1)).alias("ns"))
     ptot = pop.agg(F.sum("np").alias("tp"))
     stot = scount.agg(F.sum("ns").alias("ts"))

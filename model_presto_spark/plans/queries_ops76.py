@@ -76,7 +76,7 @@ def q574(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     buckets = dev.select(
         "device", "user_id", F.floor(F.col("t") / 120).alias("b")
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=False)
     a = buckets.select(
         F.col("device").alias("d1"), F.col("user_id").alias("u1"), "b"
     )
@@ -187,7 +187,7 @@ def q575(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("i") != F.col("j"))
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("f"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     mass = (
         flow.select(F.col("i").alias("n"), "f")
@@ -324,7 +324,7 @@ def q576(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
             + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
         ).alias("d"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     d0 = dist.filter(F.col("i") == 0).select(
         F.col("j").alias("node"), F.col("d").alias("d0")
     )
@@ -337,7 +337,7 @@ def q576(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "i", "j", (F.col("d0i") + F.col("d0j") - F.col("d")).alias("s")
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     ordered = sav.agg(
         F.transform(

@@ -278,7 +278,7 @@ def q581(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b")
         )
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     tot = h.agg(
         F.sum("c").alias("n"), F.sum(F.col("c") * (F.col("b") + 0.5)).alias("tm")
@@ -301,7 +301,7 @@ def q581(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bc = cum.filter(F.col("cw") < F.col("n")).select(
         "b", bcv.alias("bcv")
-    ).persist()
+    ).localCheckpoint(eager=False)
     mx = bc.agg(F.max("bcv").alias("max_bcv"))
     r4 = lambda cexpr: F.round(cexpr + F.lit(5e-10), 4)  # noqa: E731
     return (
@@ -417,7 +417,7 @@ def q582(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(tag).alias("g"), "u", "v")
         )
 
-    g = sym(e1, "g1").unionAll(sym(e2, "g2")).persist()
+    g = sym(e1, "g1").unionAll(sym(e2, "g2")).localCheckpoint(eager=False)
     gids = spark.createDataFrame([("g1",), ("g2",)], "g string").coalesce(1)
     nodes = spark.range(0, 20).select(F.col("id").alias("nd"))
     col = gids.crossJoin(F.broadcast(nodes)).select(
@@ -544,7 +544,7 @@ def q583(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = e0.unionAll(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=False)
     x = spark.range(0, 30).select(F.col("id").alias("nd"), F.lit(1.0).alias("x"))
     for _ in range(5):
         nb = (

@@ -209,7 +209,7 @@ def q585(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = e0.unionAll(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=False)
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("k")).select(
         F.col("u").alias("nd"), "k"
     )

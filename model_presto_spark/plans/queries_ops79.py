@@ -292,7 +292,7 @@ def q591(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = e0.unionAll(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=False)
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("k")).select(
         F.col("u").alias("nd"), "k"
     )
@@ -326,7 +326,7 @@ def q591(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=False)
     part = x.select(
         "nd", F.when(F.col("x") >= 0, 1).otherwise(0).alias("side")
-    ).persist()
+    ).localCheckpoint(eager=False)
     pa = part.select(F.col("nd").alias("u"), F.col("side").alias("sa"))
     pb = part.select(F.col("nd").alias("v"), F.col("side").alias("sb"))
     cut = (

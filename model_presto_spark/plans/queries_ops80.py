@@ -78,7 +78,7 @@ def q594(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("c_nationkey") < 12, "a").otherwise("b").alias("blk"),
             "y",
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     mm = u.agg(F.min("y").alias("lo"), F.max("y").alias("hi"))
     grid = (
@@ -182,7 +182,7 @@ def q595(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_nationkey").alias("airline"))
         .agg(F.max(F.round(F.col("o_totalprice") * 100)).alias("runway"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     w = Window.orderBy("runway", "airline")
     ranked = need.select(
@@ -203,7 +203,7 @@ def q595(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.col("runway") - F.col("prev")) * 1.0 / (F.col("n") - F.col("rk") + 1)
         ).alias("inc"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     total = seg.agg(F.sum("inc").alias("tot"))
     longest = need.agg(F.max("runway").alias("lr"))
     r2 = lambda cexpr: F.round(cexpr + F.lit(5e-8), 2)  # noqa: E731
@@ -293,7 +293,7 @@ def q596(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y")
         )
         .select(F.col("c_nationkey").alias("g"), "y")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     stats = u.groupBy("g").agg(
         F.avg("y").alias("mu"), F.stddev_pop("y").alias("sd")
@@ -308,7 +308,7 @@ def q596(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.crossJoin(F.broadcast(grid))
         .groupBy("g", "q")
         .agg(F.max(F.when(F.col("pr") <= F.col("q"), F.col("y"))).alias("qv"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     a = qs.select(F.col("g").alias("g1"), "q", F.col("qv").alias("qa"))
     b = qs.select(F.col("g").alias("g2"), "q", F.col("qv").alias("qb"))
@@ -421,7 +421,7 @@ def q597(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.unix_micros(F.col("ts").cast("timestamp"))) / 1000000
         ).alias("r"),
         F.count(F.lit(1)).cast("bigint").alias("svc"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     zero = F.lit(0).cast("bigint")
 
     def run(order_cols):
@@ -531,7 +531,7 @@ def q598(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y")
         )
         .select(F.col("c_custkey").alias("id"), "y")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     buckets = u.groupBy(
         ((F.col("id") * 2654435761) % 4294967296 % 16).alias("b")

@@ -315,20 +315,20 @@ def q601(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0)
         .alias("iw"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     wins = (
         m.select(F.col("i").alias("p"), F.col("iw").alias("w"))
         .unionAll(m.select(F.col("j").alias("p"), (1 - F.col("iw")).alias("w")))
         .groupBy("p")
         .agg(F.sum("w").alias("w"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     games = m.groupBy(
         F.least("i", "j").alias("a"), F.greatest("i", "j").alias("b")
     ).agg(F.count(F.lit(1)).alias("n"))
     gm = games.select(F.col("a").alias("p"), F.col("b").alias("q"), "n").unionAll(
         games.select(F.col("b").alias("p"), F.col("a").alias("q"), "n")
-    ).persist()
+    ).localCheckpoint(eager=False)
     g = wins.select("p", F.lit(1.0).alias("gam"))
     for _ in range(2):
         gq = g.select(F.col("p").alias("q"), F.col("gam").alias("gamq"))
@@ -510,7 +510,7 @@ def q603(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.max(F.unix_micros(F.col("l_shipdate").cast("timestamp"))) / 1e12
         ).alias("rec"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     norms = sup.agg(
         F.sqrt(F.sum(F.col("rev") * F.col("rev"))).alias("nr"),
         F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("nc"),
@@ -521,7 +521,7 @@ def q603(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev") / F.col("nr")).alias("r1"),
         (F.col("cnt") / F.col("nc")).alias("r2"),
         (F.col("rec") / F.col("nrec")).alias("r3"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     ideal = nm.agg(
         F.max("r1").alias("i1"),
         F.max("r2").alias("i2"),

@@ -157,7 +157,7 @@ def q605(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "y",
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     e0 = (
         o.select(
@@ -333,7 +333,7 @@ def q607(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
-    x = o.select((F.col("o_totalprice") / 1000.0).alias("v")).persist()
+    x = o.select((F.col("o_totalprice") / 1000.0).alias("v")).localCheckpoint(eager=False)
     par = x.agg(
         F.count(F.lit(1)).alias("n"),
         F.stddev_samp("v").alias("sd"),
@@ -437,7 +437,7 @@ def q608(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1).otherwise(0).alias("g"),
         F.dayofmonth("ts").cast("bigint").alias("d"),
         F.round(F.col("value") * 100).alias("v"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     cuts = spark.createDataFrame(
         [
             ("true_day15", 15), ("placebo_day8", 8),

@@ -174,7 +174,7 @@ def q610(spark: SparkSession, sf_dir: str) -> DataFrame:
         (30 - F.col("d") < 7)
         | ((F.col("d") % 7 == 0) & (30 - F.col("d") < 28))
         | (F.col("d") == 1)
-    ).persist()
+    ).localCheckpoint(eager=False)
     ages = spark.range(1, 30).select(F.col("id").alias("a"))
     rpo = (
         ages.crossJoin(F.broadcast(kept))
@@ -276,14 +276,14 @@ def q611(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (F.count("o_orderkey") * 1.0).alias("x2"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     thr = spend.agg(F.percentile("spend", F.lit(0.75)).alias("q75"))
     u = spend.crossJoin(F.broadcast(thr)).select(
         (F.round(F.col("c_acctbal") * 100) * 1.0).alias("x1"),
         "x2",
         F.when(F.col("spend") > F.col("q75"), 1).otherwise(0).alias("y"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     pcts = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
     qs = u.agg(
         F.percentile("x1", pcts).alias("q1"), F.percentile("x2", pcts).alias("q2")
@@ -394,7 +394,7 @@ def q612(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_nationkey") % 8).alias("box"),
             (F.col("o_totalprice") / 100.0).alias("prize"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     grid = px.agg(
         F.percentile(
@@ -480,7 +480,7 @@ def q613(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("nat"), F.dayofmonth("ts").alias("d")
         )
         .agg((F.count(F.lit(1)) * 1.0).alias("dem"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     per = nd.groupBy("nat").agg(F.stddev_pop("dem").alias("sd"))
     pooled = (

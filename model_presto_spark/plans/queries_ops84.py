@@ -181,7 +181,7 @@ def q615(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = e0.unionAll(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=False)
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("k")).select(
         F.col("u").alias("nd"), "k"
     )
@@ -207,7 +207,7 @@ def q615(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("k") * (F.col("k") - 1))
             ).alias("c"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     lk = F.log(F.col("k") * 1.0)
     lc = F.log(F.greatest(F.col("c"), F.lit(0.001)))
@@ -291,7 +291,7 @@ def q616(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy("o_totalprice", "o_orderkey")).alias(
             "rk"
         ),
-    ).persist()
+    ).localCheckpoint(eager=False)
     n = x.agg(F.count(F.lit(1)).alias("n"))
     par = n.select(
         "n",
@@ -392,7 +392,7 @@ def q617(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y"),
         )
         .select(F.col("c_nationkey").alias("g"), "x", "y")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     tot = u.agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy")
@@ -528,7 +528,7 @@ def q618(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h1",
         "h2",
         F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     n = ranked.agg(F.count(F.lit(1)).alias("n"))
 
     def grams(col, tag):
@@ -545,11 +545,11 @@ def q618(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    g1 = grams("h1", "a").persist()
-    g2 = grams("h2", "b").persist()
+    g1 = grams("h1", "a").localCheckpoint(eager=False)
+    g2 = grams("h2", "b").localCheckpoint(eager=False)
     s1 = g1.groupBy("rn").agg(F.count(F.lit(1)).alias("c1"))
     s2 = g2.groupBy("rn").agg(F.count(F.lit(1)).alias("c2"))
-    sizes = s1.join(s2, "rn").persist()
+    sizes = s1.join(s2, "rn").localCheckpoint(eager=False)
     self_i = (
         g1.join(g2, ["rn", "gram"])
         .groupBy("rn")

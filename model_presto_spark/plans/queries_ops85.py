@@ -279,7 +279,7 @@ def q621(spark: SparkSession, sf_dir: str) -> DataFrame:
     bids = o.select(
         (F.col("o_custkey") % 300).alias("auction"),
         F.col("o_totalprice").alias("bid"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     per = (
         bids.groupBy("auction")
         .agg(
@@ -459,7 +459,7 @@ def q623(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     lp = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).join(
         o, li.l_orderkey == o.o_orderkey
-    ).persist()
+    ).localCheckpoint(eager=False)
     items = (
         lp.groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -476,7 +476,7 @@ def q623(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("p_brand") == F.col("brand"), 1).otherwise(0)
             ).alias("x")
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     tot = resp.groupBy("person").agg(F.sum("x").alias("score"))
     joined = resp.join(tot, "person").select(

@@ -69,7 +69,7 @@ def q624(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y")
         )
         .select((F.round(F.col("c_acctbal") * 100) / 1e5).alias("x"), "y")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     n = F.count(F.lit(1))
     fit = u.agg(
@@ -188,14 +188,14 @@ def q625(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     lp = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).join(
         o, li.l_orderkey == o.o_orderkey
-    ).persist()
+    ).localCheckpoint(eager=False)
     items = (
         lp.groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "p_brand")
         .limit(8)
         .select(F.col("p_brand").alias("brand"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     focal = items.orderBy("brand").limit(1).select(
         F.col("brand").alias("fb")
@@ -327,7 +327,7 @@ def q626(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a",
         "d",
         (F.col("rev") * 1.0 / F.lag("rev").over(w) - 1).alias("r"),
-    ).filter(F.col("r").isNotNull()).persist()
+    ).filter(F.col("r").isNotNull()).localCheckpoint(eager=False)
     x = rr.select(F.col("a").alias("i"), "d", F.col("r").alias("ri"))
     y = rr.select(F.col("a").alias("j"), "d", F.col("r").alias("rj"))
     pairs = (
@@ -498,7 +498,7 @@ def q628(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y")
         )
         .select(F.col("c_nationkey").alias("g"), "y")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     tot = u.agg(
         F.avg("y").alias("mu"),
@@ -528,7 +528,7 @@ def q628(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         F.row_number().over(Window.orderBy("p", "g")).alias("rk"),
         F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     bh = ranked.agg(
         F.max(
             F.when(

@@ -172,7 +172,7 @@ def q630(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") % 12).cast("double").alias("xv"),
         )
         .filter(F.col("rn") <= 400)
-        .persist()
+        .localCheckpoint(eager=False)
     )
     folded = stream.agg(
         F.count(F.lit(1)).alias("n"),
@@ -266,7 +266,7 @@ _Q631_ORACLE = """
 )
 def q631(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
-    en = d.select("source", F.lower("text").alias("txt")).persist()
+    en = d.select("source", F.lower("text").alias("txt")).localCheckpoint(eager=False)
     top_src = (
         en.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -145,7 +145,7 @@ def q635(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = e.select(
         F.col("user_id").alias("u"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     hz = ev.agg(F.max("us").alias("hend"))
     eligible = ev.groupBy("u").agg(F.count(F.lit(1)).alias("n")).filter(
         F.col("n") >= 5
@@ -272,7 +272,7 @@ def q636(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wall).alias("n"),
         F.sum("x").over(wall).alias("sx"),
         F.sum(F.col("x") * F.col("x")).over(wall).alias("sx2"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     sse0 = F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n")
     sse_l = F.col("cx2") - F.col("cx") * F.col("cx") / F.col("rn")
     sse_r = (F.col("sx2") - F.col("cx2")) - (F.col("sx") - F.col("cx")) * (
@@ -522,7 +522,7 @@ def q638(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(
             (1 + F.col("ck") % 3) / 100.0, (1 + F.col("ck") % 4) / 100.0
         ).alias("dom"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     water = dem.agg(
         F.least(
             100.0 / F.sum(F.col("cpu") / F.col("dom")),

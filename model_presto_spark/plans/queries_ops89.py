@@ -398,7 +398,7 @@ def q642(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("o_orderpriority", 1, 1).cast("bigint").alias("trt"),
         )
         .agg(F.avg(F.round(F.col("o_totalprice") * 100)).alias("v"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     full_blocks = (
         cells.groupBy("blk").agg(F.count(F.lit(1)).alias("nc"))
@@ -495,7 +495,7 @@ def q643(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nk",
         (F.col("rev") * 1.0 / F.max("rev").over(wall)).alias("x"),
         (F.col("ncust") * 1.0 / F.max("ncust").over(wall)).alias("y"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     dom = norm.select(
         F.col("x").alias("dx"), F.col("y").alias("dy")
     )
@@ -505,7 +505,7 @@ def q643(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("dy") >= F.col("y"))
         & ((F.col("dx") > F.col("x")) | (F.col("dy") > F.col("y"))),
         "left_anti",
-    ).persist()
+    ).localCheckpoint(eager=False)
     strips = front.select(
         "x",
         "y",

@@ -118,7 +118,7 @@ def q644(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ck")
         .limit(200)
-        .persist()
+        .localCheckpoint(eager=False)
     )
     n = F.count(F.lit(1))
     mom = raw.agg(
@@ -144,7 +144,7 @@ def q644(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n")
             )
         ).alias("v"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     folded = std.agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("ck", "u", "v"))),
@@ -264,7 +264,7 @@ def q645(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = base.select(
         F.row_number().over(Window.orderBy("d")).cast("double").alias("t"),
         "x",
-    ).persist()
+    ).localCheckpoint(eager=False)
     n = F.count(F.lit(1))
     fit = daily.agg(
         n.alias("n"),
@@ -292,7 +292,7 @@ def q645(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("e").over(wo).alias("el"),
         F.lag("x").over(wo).alias("xl"),
         F.lag("t").over(wo).alias("tl"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     rho = lagd.filter(F.col("el").isNotNull()).agg(
         (F.sum(F.col("e") * F.col("el")) / F.sum(F.col("el") * F.col("el"))).alias(
             "r"
@@ -505,7 +505,7 @@ def q647(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("x") * 1.0 / F.lag("x").over(Window.orderBy("t")) - 1
         ).alias("r"),
-    ).filter(F.col("r").isNotNull()).persist()
+    ).filter(F.col("r").isNotNull()).localCheckpoint(eager=False)
     var_est = rets.filter(F.col("t") <= 21).agg(
         F.expr("percentile(r, CAST(0.05 AS DOUBLE))").alias("var5")
     )

@@ -80,7 +80,7 @@ def q649(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = base_rows.select(
         F.row_number().over(Window.orderBy("d")).cast("bigint").alias("t"),
         "x",
-    ).persist()
+    ).localCheckpoint(eager=False)
     base = daily.filter(F.col("t") <= 15).agg(
         F.avg("x").alias("mu"),
         F.sqrt(
@@ -199,7 +199,7 @@ def q650(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n"),
         (F.avg(F.round(F.col("o_totalprice") * 100)) / 1e5).alias("m"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     gm = cells.agg(
         (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm")
     )

@@ -76,7 +76,7 @@ def q654(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = daily.select(
         "x", F.lag("x").over(Window.orderBy("t")).alias("xl")
-    ).filter(F.col("xl").isNotNull()).persist()
+    ).filter(F.col("xl").isNotNull()).localCheckpoint(eager=False)
     n = F.count(F.lit(1))
     fit = p.agg(
         (
@@ -384,7 +384,7 @@ def q657(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.col("c_acctbal") * 100) / 1e5).alias("x"),
             "y",
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     gm = u.groupBy("g").agg(
         F.avg("x").alias("gx"), F.avg("y").alias("gy")
@@ -509,7 +509,7 @@ def q658(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(Window.orderBy("h1", "ck")).alias("q1"),
         F.ntile(5).over(Window.orderBy("h2", "ck")).alias("q2"),
     )
-    cell = q.groupBy("q1", "q2").agg(F.count(F.lit(1)).alias("n")).persist()
+    cell = q.groupBy("q1", "q2").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
     rows_t = cell.groupBy("q1").agg(F.sum("n").alias("rn"))
     norm = cell.join(rows_t, "q1").select(
         "q1", "q2", (F.col("n") * 1.0 / F.col("rn")).alias("p")

@@ -83,7 +83,7 @@ def q659(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_nationkey") % 5).cast("double").alias("x2"),
             "y",
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     m = u.agg(
         F.avg("x1").alias("mx1"), F.avg("x2").alias("mx2"), F.avg("y").alias("my")
@@ -411,7 +411,7 @@ def q661(spark: SparkSession, sf_dir: str) -> DataFrame:
     tape = o.select(
         F.row_number().over(Window.orderBy("o_orderkey")).alias("rn"),
         F.round("o_totalprice").cast("double").alias("p"),
-    ).filter(F.col("rn") <= 500).persist()
+    ).filter(F.col("rn") <= 500).localCheckpoint(eager=False)
     d = tape.select(
         "rn", (F.col("p") - F.lag("p").over(Window.orderBy("rn"))).alias("dp")
     ).filter(F.col("dp").isNotNull())
@@ -557,7 +557,7 @@ def q662(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("yg"),
     )
-    cells = binned.distinct().persist()
+    cells = binned.distinct().localCheckpoint(eager=False)
     zbits = (
         F.floor(F.col("xg") / 8) % 2 * 128
         + F.floor(F.col("yg") / 8) % 2 * 64
@@ -570,7 +570,7 @@ def q662(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = cells.select(
         "xg", "yg", F.expr(_hilbert_expr("spark")).alias("h"), zbits.alias("z")
-    ).persist()
+    ).localCheckpoint(eager=False)
     b = keyed.select(
         F.col("xg").alias("bx"),
         F.col("yg").alias("by"),
@@ -685,7 +685,7 @@ def q663(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 3.6e9
         ).alias("th"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     horizons = spark.createDataFrame([(6,), (12,), (24,), (48,), (96,)], ["h"])
     n_all = typed.agg(F.count(F.lit(1)).alias("n"))
     return (

@@ -80,7 +80,7 @@ def q664(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dec"),
             "y",
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     strata = u.groupBy("dec").agg(
         F.avg(F.col("t") * 1.0).alias("e"),
@@ -152,7 +152,7 @@ def q665(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     cells = c.groupBy(
         F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg")
-    ).agg(F.count(F.lit(1)).alias("n")).persist()
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
     tot = cells.agg(F.sum("n").alias("nn"))
     wn = Window.partitionBy("nk")
     ws = Window.partitionBy("seg")
@@ -316,7 +316,7 @@ def q667(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_nationkey") % 5).cast("double").alias("x2"),
             "y",
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     m = u.agg(
         F.avg("x1").alias("mx1"), F.avg("x2").alias("mx2"), F.avg("y").alias("my")

@@ -106,7 +106,7 @@ def q669(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .over(Window.orderBy("id"))
         .alias("lfac"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     sp = samp.crossJoin(F.broadcast(pop))
     lfn = lf.select(F.col("j").alias("jn"), F.col("lfac").alias("lfn"))
     grid = (
@@ -218,7 +218,7 @@ def q670(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy(F.dayofmonth("ts").cast("bigint").alias("d")).agg(
         F.round(F.sum(F.round(F.col("value") * 100)) / 1000.0).alias("x")
-    ).persist()
+    ).localCheckpoint(eager=False)
     mu = daily.agg(F.avg("x").alias("m"))
     folded = (
         daily.crossJoin(F.broadcast(mu))
@@ -462,7 +462,7 @@ def q673(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(h % 2 == 0, 2)
         .otherwise(1)
         .alias("lvl"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     tot = lev.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("lvl").alias("ptrs"),

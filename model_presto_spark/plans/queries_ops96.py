@@ -256,7 +256,7 @@ def q675(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("a3"),
             F.when(F.col("sp") > 10000000, 1).otherwise(0).alias("b3"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
     def pair(i: int):
@@ -501,7 +501,7 @@ def q677(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date"), F.col("l_linenumber")
         ).alias("plan_d"),
         F.col("l_shipdate").cast("date").alias("ship_d"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     cutoff = (
         tasks.select(
             "ship_d",

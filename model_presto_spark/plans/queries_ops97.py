@@ -115,7 +115,7 @@ def q679(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0.0)
         .alias("tr"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     means = cells.groupBy("g").agg(
         F.avg(F.when(F.col("d") <= 10, F.col("y"))).alias("w1"),
         F.avg(F.when(F.col("d").between(11, 20), F.col("y"))).alias("w2"),
@@ -571,7 +571,7 @@ def q682(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lam",
         ((a22 * F.col("s1y") - F.col("s12") * F.col("s2y")) / det).alias("b1"),
         ((a11 * F.col("s2y") - F.col("s12") * F.col("s1y")) / det).alias("b2"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     base = path.filter(F.col("lam") == 0).select(
         F.sqrt(F.col("b1") * F.col("b1") + F.col("b2") * F.col("b2")).alias(
             "norm0"

@@ -116,7 +116,7 @@ def q684(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("u"),
         F.col("event_type").alias("et"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     hours = ev.agg(((F.max("us") - F.min("us")) / 3.6e9).alias("h"))
     firsts = ev.groupBy("u").agg(F.min_by("et", "us").alias("et"))
     gamma = (
@@ -304,7 +304,7 @@ def q685(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("nxt").isin(*_JK_TYPES), st(F.col("nxt"))
         ).alias("j"),
-    ).agg(F.count(F.lit(1)).alias("c")).persist()
+    ).agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=False)
     tots = counted.groupBy("i").agg(F.sum("c").alias("n"))
     cj = counted.join(tots, "i")
     wide = cj.agg(
@@ -671,7 +671,7 @@ def q688(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("tfam"),
         F.ntile(4).over(Window.orderBy("p_size", "p_partkey")).alias("szq"),
         (F.round(F.col("p_retailprice") * 100) / 100).alias("price"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     gm = parts.agg(F.avg("price").alias("g"))
 
     def lv(attr: str, col):
@@ -686,7 +686,7 @@ def q688(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pw = levels.crossJoin(F.broadcast(gm)).select(
         "attr", "lvl", "n", (F.col("m") - F.col("g")).alias("partworth")
-    ).persist()
+    ).localCheckpoint(eager=False)
     ranges = pw.groupBy("attr").agg(
         (F.max("partworth") - F.min("partworth")).alias("rng")
     )

@@ -81,7 +81,7 @@ def q689(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x") * 1.0 / F.lag("x").over(Window.orderBy("t")) - 1).alias(
             "r"
         ),
-    ).filter(F.col("r").isNotNull()).persist()
+    ).filter(F.col("r").isNotNull()).localCheckpoint(eager=False)
     vb = rets.agg(
         (F.avg(F.col("r") * F.col("r")) - F.avg("r") * F.avg("r")).alias("v"),
         F.count(F.lit(1)).alias("n"),
@@ -329,7 +329,7 @@ def q691(spark: SparkSession, sf_dir: str) -> DataFrame:
         letters.crossJoin(F.broadcast(key_k))
         .groupBy(((F.col("li") + F.col("k0")) % 26).alias("ci"))
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     nn = cnt.agg(F.sum("c").alias("n"))
     freq = spark.createDataFrame(
@@ -355,7 +355,7 @@ def q691(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("ef") * F.col("n"))
             ).alias("chi2")
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     best = chi.orderBy(
         F.round(F.col("chi2") + F.lit(5e-10), 4), "sh"
@@ -474,7 +474,7 @@ def q693(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a",
         "d",
         (F.col("rev") * 1.0 / F.lag("rev").over(w) - 1).alias("r"),
-    ).filter(F.col("r").isNotNull()).persist()
+    ).filter(F.col("r").isNotNull()).localCheckpoint(eager=False)
     x = rr.select(F.col("a").alias("i"), "d", F.col("r").alias("ri"))
     y = rr.select(F.col("a").alias("j"), "d", F.col("r").alias("rj"))
     pairs = (
