@@ -263,12 +263,14 @@ _Q35_ORACLE = f"""
 def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     from model_presto_spark.operators.knn import knn_join
 
-    # double-cast before the fold: float32 products can straddle a
-    # 6dp rounding boundary vs the oracle's CAST-to-DOUBLE products
-    # (bit-identical after the cast; q201 actually hit this at sf0.1)
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
+    # NOTE on float parity: dot/norm2/sq_euclidean promote every
+    # element to double inside the fold (functions/vectors.as_double),
+    # matching the oracle's CAST(x AS DOUBLE) products bit-for-bit, so
+    # no upfront array<double> cast is needed. An upfront withColumn
+    # cast is also a 3x per-row slowdown: CollapseProject inlines the
+    # single-use cast array into the HOF lambdas and re-casts the
+    # whole vector per element (measured on the q40 bucket fold).
+    emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
     out = knn_join(
         probes.withColumnRenamed("vec_id", "probe_id"),
@@ -520,10 +522,10 @@ _Q40_ORACLE = f"""
 def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     from model_presto_spark.operators.knn import ann_lsh_join
 
-    # double-cast for the same 6dp-boundary reason as q35/q201
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
+    # raw float input: the bucket fold and the cosine rerank both
+    # cast per element (see the q35 parity note; upfront array casts
+    # get inlined into the HOFs and re-evaluated per element)
+    emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
     out = ann_lsh_join(
         probes.withColumnRenamed("vec_id", "probe_id"),
