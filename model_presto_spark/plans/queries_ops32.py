@@ -339,11 +339,15 @@ def q353(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # lineage cut: e feeds symmetrization + the final anti-join
+        # (plan audit: 18 scans un-materialized)
+        .localCheckpoint(eager=False)
     )
     sym = (
         e.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionByName(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     s1 = sym.select(F.col("u").alias("a"), F.col("v").alias("nbr"))

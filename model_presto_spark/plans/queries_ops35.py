@@ -473,7 +473,9 @@ def q373(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) + F.when(F.col("c_nationkey") % 5 == 0, 0.12).otherwise(0.0)
     ev = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_nationkey").alias("nk"), y.alias("y")
-    )
+        # lineage cut: ev feeds per-nation and corpus rates (plan
+        # audit: 16 scans un-materialized)
+    ).localCheckpoint(eager=False)
     g = ev.groupBy("nk").agg(
         F.count(F.lit(1)).alias("n"), F.avg("y").alias("p")
     )
@@ -501,7 +503,7 @@ def q373(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_two",
         F.row_number().over(w).alias("i"),
         F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
-    )
+    ).localCheckpoint(eager=False)
     cut = ranked.agg(
         F.max(
             F.when(

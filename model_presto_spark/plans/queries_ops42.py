@@ -74,7 +74,9 @@ def q404(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cy"),
         F.floor(us / 3600000000.0).cast("bigint").alias("tw"),
     )
-    pres = pts.distinct()
+    # lineage cut: presence feeds both contact sides; contact feeds
+    # hop-1 and hop-2 (plan audit: 16 scans un-materialized)
+    pres = pts.distinct().localCheckpoint(eager=False)
     a = pres.select(
         F.col("user_id").alias("u"),
         F.col("cx").alias("ax"),
@@ -97,11 +99,13 @@ def q404(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("u", "v", F.col("atw").alias("tw"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     hop1 = (
         contact.filter(F.col("u").isin(0, 1))
         .groupBy(F.col("v").alias("h_user"))
         .agg(F.min("tw").alias("t1"))
+        .localCheckpoint(eager=False)
     )
     hop2 = (
         contact.join(

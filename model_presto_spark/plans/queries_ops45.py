@@ -384,7 +384,9 @@ def q422(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("w"), F.sum("lab").alias("sy")
-    )
+        # lineage cut: b feeds the cumulative relation and the final
+        # join (plan audit: 16 scans un-materialized)
+    ).localCheckpoint(eager=False)
     cw_win = Window.orderBy("bin")
     cb = b.select(
         "bin",
@@ -392,7 +394,7 @@ def q422(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sy",
         F.sum("w").over(cw_win).alias("cw"),
         F.sum("sy").over(cw_win).alias("cy"),
-    )
+    ).localCheckpoint(eager=False)
     j = cb.select(
         F.col("bin").alias("jb"),
         F.col("w").alias("jw"),

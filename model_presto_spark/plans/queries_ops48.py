@@ -207,21 +207,23 @@ def q435(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "k32",
         F.row_number().over(Window.orderBy("k16", "doc_id")).alias("r"),
-    )
+        # lineage cut: d feeds both window sides, both truth sides, and
+        # the size aggregate (plan audit: 18 scans un-materialized)
+    ).localCheckpoint(eager=False)
     a = d.select(F.col("doc_id").alias("ida"), F.col("r").alias("ra"))
     b = d.select(F.col("doc_id").alias("idb"), F.col("r").alias("rb"))
     cand = a.join(
         b, (F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + 4)
     ).select(
         F.least("ida", "idb").alias("id1"), F.greatest("ida", "idb").alias("id2")
-    )
+    ).localCheckpoint(eager=False)
     ta = d.select(F.col("doc_id").alias("ida"), F.col("k32").alias("ka"))
     tb = d.select(F.col("doc_id").alias("idb"), F.col("k32").alias("kb"))
     truth = ta.join(
         tb, (F.col("ka") == F.col("kb")) & (F.col("ida") < F.col("idb"))
     ).select(
         F.least("ida", "idb").alias("id1"), F.greatest("ida", "idb").alias("id2")
-    )
+    ).localCheckpoint(eager=False)
     hit = truth.join(cand, ["id1", "id2"]).agg(F.count(F.lit(1)).alias("n_hit"))
     sz = (
         d.agg(F.count(F.lit(1)).alias("n"))
@@ -321,7 +323,9 @@ def q436(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = h.groupBy("bin").agg(F.sum("c").alias("c"))
     cum = merged.select(
         "bin", "c", F.sum("c").over(Window.orderBy("bin")).alias("cc")
-    )
+        # lineage cut: cum feeds bin selection, prev-cumulative lookup,
+        # and the interpolation join (plan audit: 16 scans)
+    ).localCheckpoint(eager=False)
     exact = o.agg(
         F.percentile(
             "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))

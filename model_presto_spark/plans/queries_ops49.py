@@ -225,6 +225,9 @@ def q440(spark: SparkSession, sf_dir: str) -> DataFrame:
         lvl = lvl.groupBy(
             F.ceil(F.col("i") / 2.0).cast("bigint").alias("i")
         ).agg((odd + even).alias("a"), (odd - even).alias("d"))
+        # per-level lineage cut: each Haar level and its energy branch
+        # re-reference the previous level (plan audit: 16 scans)
+        lvl = lvl.localCheckpoint(eager=False)
         energies.append(
             lvl.agg(
                 F.lit(k).alias("level"),

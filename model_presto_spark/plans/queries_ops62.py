@@ -507,6 +507,9 @@ def q506(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt"), "brand")
         .limit(5)
+        # lineage cut: the top-5 frame feeds the index/total/weight
+        # chain (plan audit: 16 scans un-materialized)
+        .localCheckpoint(eager=True)
     )
     idx = b.select(
         "brand",
@@ -532,6 +535,7 @@ def q506(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
             F.count(F.lit(1)).alias("sz"),
         )
+        .localCheckpoint(eager=False)
     )
     best = rev.agg(F.max("r").alias("br"))
     return (
