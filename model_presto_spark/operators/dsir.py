@@ -31,6 +31,17 @@ combine into (id, bucket, cnt); a broadcast join against the <=
 n_buckets log-ratio table; one groupBy(id) sum. The raw corpus is
 never shuffled by anything wider than an 8-byte bucket id; the
 target corpus only contributes a tiny distribution table.
+
+On the measured scaling exponent (~0.87 at the stress suite's 10x
+step, STRESS_r8): DSIR tokenizes and hashes every n-gram occurrence,
+so its work is INHERENTLY linear in corpus tokens — sub-1.0 comes
+only from fixed overhead amortizing. The two-shuffle shape
+(map-side-combined (id, bucket, cnt) rows, then a re-shuffle of the
+per-doc partials on id) was kept over the one-shuffle alternative
+(manual repartition(id) before the aggregation) deliberately: the
+combined rows crossing the wire are bounded by min(n_buckets,
+doc_len) per document, while the one-shuffle variant ships every raw
+occurrence uncombined — strictly more bytes for typical documents.
 """
 
 from __future__ import annotations
