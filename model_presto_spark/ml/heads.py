@@ -115,3 +115,64 @@ class EarlyStopping:
             return False
         self.bad_epochs += 1
         return self.bad_epochs >= self.patience
+
+
+def fit_multi_output_head(
+    train: DataFrame,
+    embedding_col: str,
+    label_cols: list[str],
+    head: str = "logistic",
+    balanced: bool = True,
+) -> dict[str, object]:
+    """M6 literal form — sklearn's ``MultiOutputClassifier`` semantics
+    (reference: presto-tolbi/presto/eval/eval.py:191-209): one
+    INDEPENDENT binary estimator per output label, no cross-label
+    coupling. Returns {label_col: fitted_model}.
+
+    Each per-label fit is a distributed MLlib job over the same
+    training frame (feature prep is re-derived per fit — cheap
+    relative to the fit itself; persist the frame upstream if the
+    label list is long). The per-label threshold sweep
+    (``mosaiks.threshold_sweep``) composes on top of each output's
+    probability column exactly as the reference tunes per-label
+    operating points.
+    """
+    return {
+        lbl: fit_head(train, embedding_col, lbl, head=head, balanced=balanced)
+        for lbl in label_cols
+    }
+
+
+def score_multi_output(
+    models: dict[str, object],
+    df: DataFrame,
+    embedding_col: str,
+    prefix: str = "pred_",
+) -> DataFrame:
+    """Score every per-label model, returning the input columns plus
+    one ``{prefix}{label}`` prediction column per output.
+
+    Spark shape: each model.transform is a JVM-side projection (no
+    shuffle, no Python); chaining K transforms yields one narrow
+    pipeline the optimizer fuses — the scoring pass over 100 TB of
+    embeddings stays a single scan regardless of K.
+    """
+    scored = _prep_nolabel(df, embedding_col)
+    base_cols = list(df.columns)
+    out_cols: list[str] = []
+    for lbl, model in models.items():
+        m = model.copy() if hasattr(model, "copy") else model
+        col = f"{prefix}{lbl}"
+        try:
+            m = m.setPredictionCol(col)
+            # avoid column collisions between chained classifier
+            # transforms
+            if hasattr(m, "setProbabilityCol"):
+                m = m.setProbabilityCol(f"__prob_{lbl}")
+            if hasattr(m, "setRawPredictionCol"):
+                m = m.setRawPredictionCol(f"__raw_{lbl}")
+        except AttributeError:
+            pass
+        scored = m.transform(scored)
+        out_cols.append(col)
+    return scored.select(*base_cols, *out_cols)

@@ -154,3 +154,48 @@ def test_positional_concat(spark):
     b = spark.createDataFrame([Row(y="a"), Row(y="b"), Row(y="c")])
     out = positional_concat(a, b).orderBy("x").collect()
     assert [(r.x, r.y) for r in out] == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_multi_output_head_matches_independent_fits(spark):
+    """M6 literal form: multi-output = one independent head per label
+    (sklearn MultiOutputClassifier semantics) — predictions for each
+    output must equal the individually-fitted head's predictions."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from model_presto_spark.ml.heads import (
+        fit_head,
+        fit_multi_output_head,
+        score_head,
+        score_multi_output,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(200):
+        v = rng.normal(size=8)
+        rows.append(
+            Row(
+                id=i,
+                emb=[float(x) for x in v],
+                crop=int(v[0] + 0.2 * v[1] > 0),
+                water=int(v[2] - v[3] > 0.1),
+            )
+        )
+    df = spark.createDataFrame(rows).coalesce(2)
+    models = fit_multi_output_head(df, "emb", ["crop", "water"])
+    out = score_multi_output(models, df, "emb")
+    assert set(out.columns) == {"id", "emb", "crop", "water", "pred_crop", "pred_water"}
+    # parity with per-label fits
+    for lbl in ("crop", "water"):
+        solo = score_head(fit_head(df, "emb", lbl), df, "emb", out_col="p")
+        got = {r.id: r[f"pred_{lbl}"] for r in out.collect()}
+        want = {r.id: r.p for r in solo.collect()}
+        assert got == want
+    # the heads are genuinely independent: at least one id differs
+    # between the two outputs' predictions
+    preds = out.select("pred_crop", "pred_water").collect()
+    assert any(r.pred_crop != r.pred_water for r in preds)
+    # sanity: learnable signal
+    acc = out.where(F.col("pred_crop") == F.col("crop")).count() / 200
+    assert acc > 0.8
