@@ -75,7 +75,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        spec = QUERIES[name]
+        spec = QUERIES.get(name)
         best = None
         try:
             for _ in range(2):
