@@ -1,0 +1,74 @@
+"""exact_grouped_quantiles == percentile(), bit-for-bit, on both the
+whole-group path (n <= accuracy) and the sketch-bracket path
+(n > accuracy, forced via a tiny accuracy)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pyspark.sql.functions as F
+
+from model_presto_spark.operators.quantiles import exact_grouped_quantiles
+
+
+def _check(spark, rows, accuracy, probs=(0.25, 0.5, 0.75)):
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    quantiles = [("x", p, f"x_p{int(p * 100)}") for p in probs]
+    quantiles.append(("y", 0.5, "y_med"))
+    got = {
+        tuple(r[0:1]): r
+        for r in exact_grouped_quantiles(df, ["g"], quantiles, accuracy=accuracy)
+        .orderBy("g")
+        .collect()
+    }
+    exp_aggs = [
+        F.expr(f"percentile(x, {p})").alias(f"x_p{int(p * 100)}") for p in probs
+    ]
+    exp_aggs.append(F.expr("percentile(y, 0.5)").alias("y_med"))
+    exp = {tuple(r[0:1]): r for r in df.groupBy("g").agg(*exp_aggs).collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        for f in exp[k].asDict():
+            if f == "g":
+                continue
+            e, a = exp[k][f], got[k][f]
+            if e is None:
+                assert a is None, (k, f, a)
+            else:
+                assert a is not None and math.isclose(a, e, rel_tol=0, abs_tol=1e-9), (
+                    k,
+                    f,
+                    e,
+                    a,
+                )
+
+
+def test_small_groups_whole_path(spark):
+    rng = random.Random(7)
+    rows = []
+    for g, n in [("a", 1), ("b", 2), ("c", 3), ("d", 17), ("e", 100)]:
+        for _ in range(n):
+            rows.append((g, rng.uniform(-5, 5), float(rng.randint(0, 3))))
+    # all-null value column in one group; nulls sprinkled in another
+    rows.append(("z", None, None))
+    rows += [("e", None, None)] * 5
+    _check(spark, rows, accuracy=10_000)
+
+
+def test_sketch_bracket_path_forced(spark):
+    """accuracy=200 with 2000-row groups forces the bracket regime."""
+    rng = random.Random(11)
+    rows = []
+    for g in ("p", "q"):
+        for _ in range(2000):
+            rows.append((g, rng.gauss(0, 100), rng.uniform(0, 1)))
+    # heavy ties at the median of group 'r' (bracket widens to the ties)
+    rows += [("r", 42.0, 1.0)] * 1500 + [("r", rng.uniform(50, 60), 0.0) for _ in range(500)]
+    _check(spark, rows, accuracy=200)
+
+
+def test_extreme_probs_and_duplicates(spark):
+    rng = random.Random(3)
+    rows = [("s", float(rng.randint(0, 9)), float(rng.randint(0, 1))) for _ in range(3000)]
+    _check(spark, rows, accuracy=250, probs=(0.0, 0.01, 0.5, 0.99, 1.0))
