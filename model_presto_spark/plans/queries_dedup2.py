@@ -112,25 +112,24 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = docs.select(
         "doc_id", F.regexp_extract(F.lower(F.col("text")), r"^\s*(\S+)", 1).alias("fp")
     )
-    # blocking-key edges: consecutive doc ids sharing the key
-    # (chain edges suffice: CC closes the transitive cluster)
-    w = fp.groupBy("fp").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    # blocking-key edges as STARS (min id -> every other id): each doc
+    # has exactly one blocking key, so the key group IS the transitive
+    # cluster and a star has the same components as the oracle's chain
+    # — but diameter 2 instead of O(cluster size), so the CC pointer
+    # jump converges in its first probe round instead of
+    # log(longest-chain) rounds (measured 3.5s -> ~1.2s at sf0.1).
+    # Chains remain the right emission only where a row can hold
+    # SEVERAL keys whose groups must merge (minhash mega-bucket cap).
+    w = fp.groupBy("fp").agg(F.min("doc_id").alias("hub"), F.sort_array(F.collect_list("doc_id")).alias("ids"))
     edges = (
         w.filter(F.size("ids") > 1)
         .select(
             # outer: avoid the inferred size>0 filter recomputing the
-            # chain-edge transform; size>1 guarantees non-empty
-            F.explode_outer(
-                F.transform(
-                    F.slice(F.col("ids"), 1, F.size("ids") - 1),
-                    lambda x, i: F.struct(
-                        x.alias("id_a"),
-                        F.element_at(F.col("ids"), i + 2).alias("id_b"),
-                    ),
-                )
-            ).alias("e")
+            # star transform; size>1 guarantees non-empty
+            "hub",
+            F.explode_outer(F.slice(F.col("ids"), 2, F.size("ids") - 1)).alias("id_b"),
         )
-        .select("e.id_a", "e.id_b")
+        .select(F.col("hub").alias("id_a"), "id_b")
     )
     clustered = dedup_clusters(docs.select("doc_id"), edges, "doc_id")
     return (
