@@ -341,6 +341,20 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timings["weighted_median"] = time.time() - t0
     spark.catalog.clearCache()
 
+    # exact quantiles over 3 huge groups — the adversarial shape for
+    # buffering percentile(); accuracy=1000 keeps BOTH sizes on the
+    # sketch-bracket path (smallest group > accuracy), so the exponent
+    # measures the two mergeable passes, not the whole-group fallback.
+    from model_presto_spark.operators.quantiles import exact_grouped_quantiles
+
+    wide = stream.select((F.col("entity") % 3).alias("g"), "v")
+    t0 = time.time()
+    n_eq = exact_grouped_quantiles(
+        wide, ["g"], [("v", 0.5, "med"), ("v", 0.9, "p90")], accuracy=1000
+    ).count()
+    timings["exact_quantiles"] = time.time() - t0
+    spark.catalog.clearCache()
+
     t0 = time.time()
     n_ewma = ewma(stream, "entity", ["seq"], "v").count()
     timings["ewma"] = time.time() - t0
@@ -439,6 +453,7 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         "hits_nodes": n_hits,
         "overlap_pairs": n_overlap,
         "wm_groups": n_wm,
+        "eq_groups": n_eq,
         "ewma_rows": n_ewma,
         "conc_groups": n_conc,
         "boiler_docs": n_boiler,
@@ -503,6 +518,7 @@ def main() -> int:
         "hits",
         "source_overlap",
         "weighted_median",
+        "exact_quantiles",
         "ewma",
         "concurrency",
         "radius_join",
