@@ -63,7 +63,10 @@ def bloom_build(
     if num_bits % 64 != 0:
         raise ValueError("num_bits must be a multiple of 64")
     num_words = num_bits // 64
-    pos = F.explode(
+    # explode_outer: the k-element literal array is never empty, and a
+    # plain explode's inferred size>0 pre-filter would re-evaluate all
+    # k position hashes a second time per key.
+    pos = F.explode_outer(
         F.array(
             *_positions(F.col("__k"), num_bits, num_hashes, seed_base)
         )

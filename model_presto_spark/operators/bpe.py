@@ -87,7 +87,11 @@ def train_bpe_merges(
         ).alias("syms"),
         "freq",
     ).localCheckpoint(eager=True)
-    pair_expr = F.explode(
+    # explode_outer: syms always holds >= 2 symbols (word chars +
+    # end-of-word marker), so the pair array is never empty; a plain
+    # explode's inferred size>0 pre-filter would run the pair
+    # transform twice per word per merge round.
+    pair_expr = F.explode_outer(
         F.expr(
             "transform(slice(syms, 1, size(syms) - 1), "
             "(s, i) -> struct(s AS a, element_at(syms, i + 2) AS b))"
@@ -97,6 +101,9 @@ def train_bpe_merges(
     for _ in range(n_merges):
         top = (
             cur.select("freq", pair_expr)
+            # fully-merged single-symbol words yield a NULL pair under
+            # explode_outer — drop them (column-ref filter, cheap)
+            .filter(F.col("p").isNotNull())
             .groupBy("p.a", "p.b")
             .agg(F.sum("freq").alias("c"))
             .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))

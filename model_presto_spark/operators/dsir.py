@@ -82,7 +82,11 @@ def hashed_ngram_buckets(
         "id",
         F.concat(F.col("toks"), _bigrams_all(F.col("toks"))).alias("feats"),
     )
-    g = feats.select("id", F.explode("feats").alias("feat"))
+    # explode_outer: a plain explode gets an inferred size(feats)>0
+    # pre-filter that re-evaluates the whole tokenize+bigram tree per
+    # row (measured 4.6s -> 0.5s on this stage at sf0.1); feats is
+    # non-empty by construction (empty text still yields [""]).
+    g = feats.select("id", F.explode_outer("feats").alias("feat"))
     h = h60_fast(F.col("feat")) if fast_hash else h60(F.col("feat"))
     return (
         g.select("id", F.pmod(h, F.lit(n_buckets)).alias("bucket"))

@@ -67,10 +67,14 @@ def segment_by_width(
     is kept as its own line). line_no is 0-based."""
     toksed = docs.select(id_col, tokens(F.col(text_col)).alias("toks"))
     n = F.size("toks")
-    idx = F.when(
-        n > 0, F.sequence(F.lit(0).cast("bigint"), F.floor((n - 1) / F.lit(width)))
-    ).otherwise(F.array().cast("array<bigint>"))
-    seg = toksed.select(id_col, "toks", F.explode(idx).alias("line_no"))
+    # Empty docs are dropped by an EXPLICIT cheap filter so the
+    # explode can be _outer: a plain explode would get an inferred
+    # size(idx)>0 pre-filter that rebuilds the whole index sequence
+    # per row; after filtering n>0 the sequence is never empty.
+    idx = F.sequence(F.lit(0).cast("bigint"), F.floor((n - 1) / F.lit(width)))
+    seg = toksed.filter(n > 0).select(
+        id_col, "toks", F.explode_outer(idx).alias("line_no")
+    )
     return seg.select(
         id_col,
         F.col("line_no").cast("int").alias("line_no"),

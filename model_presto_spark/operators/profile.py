@@ -247,9 +247,14 @@ def token_divergence(
     """
     from model_presto_spark.functions.text import tokens
 
+    # explode_outer: plain explode gets an inferred size>0 pre-filter
+    # that re-tokenizes every document a second time; outer emits one
+    # NULL token for empty/null docs instead, dropped right after
+    # (cheap column-ref filter, not a re-tokenize).
     tok = docs.select(
-        F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("t")
-    )
+        F.col(group_col).alias("grp"),
+        F.explode_outer(tokens(F.col(text_col))).alias("t"),
+    ).filter(F.col("t").isNotNull())
     gc = tok.groupBy("grp", "t").agg(F.count(F.lit(1)).alias("c_g"))
     from pyspark import StorageLevel
 
