@@ -866,7 +866,7 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = hi.unionByName(lo)
     return (
-        u.select("side", F.explode(F.sequence(F.lit(1), F.col("l_linenumber"))).alias("i"))
+        u.select("side", F.explode_outer(F.sequence(F.lit(1), F.col("l_linenumber"))).alias("i"))
         .groupBy("side")
         .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("i").alias("sum_idx"))
     )

@@ -238,7 +238,7 @@ def q357(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.array_distinct(T.tokens(F.col("text"))).alias("tk")
     )
     return (
-        toks.select("lang", F.explode("tk").alias("keyword"))
+        toks.select("lang", F.explode_outer("tk").alias("keyword"))
         .filter(F.col("keyword").isin(_Q357_KWS))
         .groupBy("keyword", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))

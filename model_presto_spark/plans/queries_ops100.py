@@ -381,10 +381,10 @@ _Q698_ORACLE = """
 def q698(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     toks = d.select(
-        F.explode(
+        F.explode_outer(
             F.expr("regexp_extract_all(lower(text), '[a-z]{2,}', 0)")
         ).alias("tok")
-    )
+    ).filter(F.col("tok").isNotNull())
     types = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("m"))
     spectrum = types.groupBy("m").agg(F.count(F.lit(1)).alias("vm"))
     agg = spectrum.agg(

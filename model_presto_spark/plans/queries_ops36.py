@@ -451,8 +451,8 @@ def q378(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     tf = docs.select(
-        "source", F.explode(T.tokens(F.col("text"))).alias("tok")
-    )
+        "source", F.explode_outer(T.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isNotNull())
     cnt = tf.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.groupBy(F.col("source").alias("t_src")).agg(
         F.sum("c").cast("bigint").alias("t")

@@ -233,8 +233,8 @@ def q386(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     cnt = docs.select(
-        F.explode(T.tokens(F.col("text"))).alias("tok")
-    ).groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        F.explode_outer(T.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isNotNull()).groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     w = Window.orderBy(F.col("c").desc(), "tok")
     ranked = cnt.select(
         F.row_number().over(w).alias("rk"),

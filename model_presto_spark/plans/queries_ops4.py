@@ -527,7 +527,7 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
     cover = (
         ud.select(
             "user_id",
-            F.explode(
+            F.explode_outer(
                 F.sequence(
                     F.col("day"), F.date_add(F.col("day"), 6)
                 )

@@ -87,7 +87,7 @@ def q424(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = win.select(
         "i",
         "pi",
-        F.explode(
+        F.explode_outer(
             F.sequence(F.floor(F.col("pi") / blk), F.floor(F.col("i") / blk))
         ).alias("b"),
     )

@@ -560,7 +560,7 @@ def q443(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tok = (
         docs.select(
-            "doc_id", F.explode(F.split("text", " ")).alias("t")
+            "doc_id", F.explode_outer(F.split("text", " ")).alias("t")
         )
         .filter(F.length("t") > 0)
         .select("doc_id", F.lower("t").alias("term"))

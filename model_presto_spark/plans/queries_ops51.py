@@ -417,7 +417,7 @@ def q452(spark: SparkSession, sf_dir: str) -> DataFrame:
     # neighbor blocks so every |dt| <= 24h pair appears exactly once
     a = pts.select(
         F.col("t").alias("ta"),
-        F.explode(
+        F.explode_outer(
             F.array(
                 (F.col("t") / day_us).cast("bigint") - 1,
                 (F.col("t") / day_us).cast("bigint"),

@@ -135,7 +135,7 @@ _Q480_ORACLE = """
 def q480(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     chars = docs.select(
-        F.explode(F.split(F.lower("text"), "")).alias("ch")
+        F.explode_outer(F.split(F.lower("text"), "")).alias("ch")
     ).filter((F.col("ch") >= "a") & (F.col("ch") <= "z") & (F.length("ch") == 1))
     w = chars.groupBy("ch").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     init = w.agg(

@@ -657,8 +657,8 @@ _Q493_ORACLE = """
 def q493(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     comp = emb.select(
-        F.explode(F.col("embedding").cast("array<double>")).alias("x")
-    ).localCheckpoint(eager=False)
+        F.explode_outer(F.col("embedding").cast("array<double>")).alias("x")
+    ).filter(F.col("x").isNotNull()).localCheckpoint(eager=False)
     mm = comp.agg(
         F.min("x").alias("lo"),
         F.max("x").alias("hi"),

@@ -292,7 +292,7 @@ def q551(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("t") >= F.col("k"))
         .select(
             "k",
-            F.explode(
+            F.explode_outer(
                 F.expr(
                     "transform(sequence(1, length(t) - k + 1),"
                     " i -> substr(t, i, k))"

@@ -535,13 +535,14 @@ def q618(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             ranked.select(
                 "rn",
-                F.explode(
+                F.explode_outer(
                     F.expr(
                         f"transform(sequence(1, length({col}) - 2),"
                         f" i -> substr({col}, i, 3))"
                     )
                 ).alias("gram"),
             )
+            .filter(F.col("gram").isNotNull())
             .distinct()
         )
 

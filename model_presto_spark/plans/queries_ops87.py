@@ -278,10 +278,11 @@ def q631(spark: SparkSession, sf_dir: str) -> DataFrame:
         en.crossJoin(F.broadcast(top_src))
         .select(
             F.when(F.col("source") == F.col("tsrc"), 1).otherwise(0).alias("ina"),
-            F.explode(
+            F.explode_outer(
                 F.expr("regexp_extract_all(txt, '[a-z]{3,}', 0)")
             ).alias("tok"),
         )
+        .filter(F.col("tok").isNotNull())
     )
     cnt = toks.groupBy("tok").agg(
         F.sum("ina").alias("a"), F.sum(1 - F.col("ina")).alias("b")
