@@ -1,0 +1,59 @@
+"""Plan-shape guards for the inferred-size>0 explode pathology.
+
+A plain ``explode(expensive_expr)`` gets an InferFiltersFromGenerate
+``size(expr) > 0`` pre-filter that re-evaluates the whole generator
+tree (tokenize / regex extract / hash) once more per input row. The
+hot operators were switched to ``explode_outer`` + cheap guards; these
+tests pin the optimized-plan shape so a refactor can't silently bring
+the double evaluation back.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pyspark.sql.functions as F
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("extended")
+    return buf.getvalue()
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "beta beta delta")],
+        "doc_id long, text string",
+    )
+
+
+def test_dsir_buckets_no_inferred_generator_filter(spark):
+    from model_presto_spark.operators.dsir import hashed_ngram_buckets
+
+    plan = _plan(hashed_ngram_buckets(_docs(spark), n_buckets=64))
+    # the optimized plan must not re-evaluate the tokenize+bigram tree
+    # inside an inferred size>0 filter
+    assert "(size(concat(" not in plan.lower().replace(" ", "")
+
+
+def test_segment_lines_filter_is_cheap(spark):
+    from model_presto_spark.operators.lines import segment_by_width
+
+    plan = _plan(segment_by_width(_docs(spark), width=2))
+    # the explicit n>0 guard must survive as a size(...) filter over
+    # the materialized token array, NOT over a rebuilt index sequence
+    assert "size(sequence(" not in plan.lower().replace(" ", "")
+
+
+def test_token_divergence_no_double_tokenize(spark):
+    from model_presto_spark.operators.profile import token_divergence
+
+    df = _docs(spark).withColumn("grp", F.col("doc_id") % 2)
+    plan = _plan(token_divergence(df, group_col="grp"))
+    flat = plan.lower().replace(" ", "")
+    # tokens() lowers to a regex split; the split expression must not
+    # appear inside a size(...) pre-filter
+    assert "(size(split(" not in flat
