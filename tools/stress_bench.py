@@ -516,6 +516,9 @@ def main() -> int:
         "adamic_adar",
         "bfs",
         "hits",
+        "containment",
+        "line_boilerplate",
+        "semantic_dedup",
         "source_overlap",
         "weighted_median",
         "exact_quantiles",
