@@ -112,7 +112,11 @@ def exact_grouped_quantiles(
             )
             refine_aggs.append(
                 F.sort_array(
-                    F.collect_list(F.when(small | ((v >= lo) & (v <= hi)), v))
+                    F.collect_list(
+                        # double like percentile() (an int column would
+                        # otherwise surface int order statistics at g=0)
+                        F.when(small | ((v >= lo) & (v <= hi)), v).cast("double")
+                    )
                 ).alias(f"__sl_{tag}")
             )
         refine_aggs.append(F.first(f"__n_{c}").alias(f"__n_{c}"))

@@ -68,6 +68,47 @@ def test_sketch_bracket_path_forced(spark):
     _check(spark, rows, accuracy=200)
 
 
+def test_integer_column_returns_double(spark):
+    df = spark.createDataFrame(
+        [("a", i, (i * 7) % 13) for i in range(1, 202)], "g string, x long, y long"
+    )
+    got = exact_grouped_quantiles(
+        df, ["g"], [("x", 0.5, "mx"), ("y", 0.25, "qy")], accuracy=50
+    )
+    assert dict(got.dtypes)["mx"] == "double"
+    exp = df.groupBy("g").agg(
+        F.expr("percentile(x, 0.5)").alias("mx"),
+        F.expr("percentile(y, 0.25)").alias("qy"),
+    )
+    g, e = got.collect()[0], exp.collect()[0]
+    assert math.isclose(g["mx"], e["mx"], abs_tol=1e-9)
+    assert math.isclose(g["qy"], e["qy"], abs_tol=1e-9)
+
+
+def test_two_group_columns(spark):
+    rng = random.Random(5)
+    rows = [
+        (f"s{i % 2}", i % 3, rng.uniform(0, 100), rng.uniform(-1, 1))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "s string, k int, x double, y double")
+    got = {
+        (r["s"], r["k"]): r["med"]
+        for r in exact_grouped_quantiles(
+            df, ["s", "k"], [("x", 0.5, "med")], accuracy=300
+        ).collect()
+    }
+    exp = {
+        (r["s"], r["k"]): r["med"]
+        for r in df.groupBy("s", "k")
+        .agg(F.expr("percentile(x, 0.5)").alias("med"))
+        .collect()
+    }
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert math.isclose(got[k], exp[k], abs_tol=1e-9), k
+
+
 def test_extreme_probs_and_duplicates(spark):
     rng = random.Random(3)
     rows = [("s", float(rng.randint(0, 9)), float(rng.randint(0, 1))) for _ in range(3000)]
