@@ -96,7 +96,19 @@ def exact_grouped_quantiles(
     # partial aggregation, so out-of-bracket rows already die before
     # the shuffle; a bracket-based filter just re-evaluates the array
     # lookups per row and measured net-slower.
-    joined = df.join(F.broadcast(brackets), on=list(group_cols), how="inner")
+    # NULL-SAFE key join: groupBy treats NULL as a real group, so the
+    # bracket join must too (a plain equi-join would silently drop
+    # NULL-key groups that percentile() reports).
+    br = brackets
+    for g in group_cols:
+        br = br.withColumnRenamed(g, f"__g_{g}")
+    cond = None
+    for g in group_cols:
+        c = df[g].eqNullSafe(br[f"__g_{g}"])
+        cond = c if cond is None else (cond & c)
+    joined = df.join(F.broadcast(br), cond, "inner").drop(
+        *[f"__g_{g}" for g in group_cols]
+    )
     refine_aggs = []
     for c in vcols:
         small = F.col(f"__n_{c}") <= F.lit(accuracy)

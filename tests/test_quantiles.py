@@ -68,6 +68,11 @@ def test_sketch_bracket_path_forced(spark):
     _check(spark, rows, accuracy=200)
 
 
+def test_null_group_key_is_a_group(spark):
+    rows = [("a", 1.0, 0.0), ("a", 3.0, 0.0), (None, 10.0, 1.0), (None, 20.0, 1.0), (None, 40.0, 1.0)]
+    _check(spark, rows, accuracy=10_000, probs=(0.5,))
+
+
 def test_integer_column_returns_double(spark):
     df = spark.createDataFrame(
         [("a", i, (i * 7) % 13) for i in range(1, 202)], "g string, x long, y long"
