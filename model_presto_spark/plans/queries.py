@@ -1406,6 +1406,61 @@ _ADJUDICATION_TAIL = [
     "q23_knn",
     "q14_median",
     "q20_tumbling_day",
+    # ---- Round-5 session rotation (driver round 5) ----------------------
+    # CORRECTNESS_r04 came back 50/50 GREEN on q110-q159, so that head
+    # is parked here and q160-q209 (registration positions 51-100 until
+    # this rotation) become the new head-50 — exactly the documented
+    # r05 step of the rotation queue above. Next: r06 head := q210-q259.
+    "q110_semantic_dedup",
+    "q111_winnowing",
+    "q112_bigram_lm",
+    "q113_gopher_rules",
+    "q114_c4_rules",
+    "q115_scd2",
+    "q116_streaks",
+    "q117_sequences",
+    "q118_ordered_funnel",
+    "q119_rfm",
+    "q120_attribution",
+    "q121_benford",
+    "q122_grouped_ols",
+    "q123_covariance",
+    "q124_seasonal",
+    "q125_zipf",
+    "q126_kcore",
+    "q127_pareto",
+    "q128_association_rules",
+    "q129_lead_lag",
+    "q130_charclass_profile",
+    "q131_readability",
+    "q132_source_overlap",
+    "q133_weighted_median",
+    "q134_ewma",
+    "q135_concurrency",
+    "q136_geohash_grid",
+    "q139_vwap",
+    "q140_clamped_balance",
+    "q141_hopping_window",
+    "q137_hits",
+    "q138_label_noise",
+    "q142_grid_dbscan",
+    "q143_entropy_gini",
+    "q144_bollinger",
+    "q145_theil_sen",
+    "q146_moments",
+    "q147_ks_test",
+    "q148_gini",
+    "q149_autocorr",
+    "q150_funnel_latency",
+    "q151_mutual_info",
+    "q152_bipartite_projection",
+    "q153_rolling_median",
+    "q154_mom_growth",
+    "q155_chi_square",
+    "q156_burstiness",
+    "q157_tfidf_cosine",
+    "q158_interval_coverage",
+    "q159_sojourn",
 ]
 
 
