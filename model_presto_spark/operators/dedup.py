@@ -657,6 +657,10 @@ def ngram_containment_pairs(
     max_doc_freq: int = 1000,
     reuse: bool = True,
     fast_hash: bool = False,
+    candidates: str = "index",
+    num_hashes: int = 128,
+    bands: int = 64,
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """Shingle-CONTAINMENT near-dup pairs (Broder's second measure).
 
@@ -668,12 +672,49 @@ def ngram_containment_pairs(
     ``ngram_jaccard_pairs`` (resemblance) and ``minhash_lsh_pairs``
     (approximate resemblance) — same corpus, different failure mode.
 
-    Plan shape is identical to the inverted-index Jaccard join
-    (postings carry h60(gram) 8-byte keys; document-frequency cutoff
-    drops stop-grams before pair generation; per-pair common counts
-    via one groupBy — no self-join double-compute). Output:
-    (id_a, id_b, n_common, containment), id_a < id_b.
+    Shared grams are counted only on grams with document frequency
+    in [2, ``max_doc_freq``] (the stop-gram cutoff); verification is
+    always exact (array_intersect over the per-doc eligible gram
+    arrays), so PRECISION is exact in both modes. ``candidates``
+    picks the generator:
+
+    - ``"index"`` (default, exact recall): prefix-filtered inverted
+      index — the asymmetric variant of the PPJoin lemma used by
+      ``ppjoin_pairs``. For C >= t the SMALLER doc (n = total
+      distinct grams) must share c = ceil(t*n) of its eligible
+      grams, so if it misses all of the first |E| - c + 1 in GLOBAL
+      rare-first (df, gram) order the pair is impossible; a
+      positional filter additionally drops join events whose
+      remaining suffix on either side cannot reach c. The result
+      set is IDENTICAL to the naive O(d²)-per-bucket plan
+      (which STRESS_r9 measured at exponent 1.131 — up to
+      C(max_doc_freq, 2) ≈ 500k materialized pairs per hot gram),
+      but exact candidate generation over a gram inverted index is
+      inherently Ω(Σ_g df_g²)-shaped: in a corpus whose gram space
+      saturates (every df grows ∝ corpus size), NO gram-keyed exact
+      method scales subquadratically. That is what the next mode is
+      for.
+    - ``"lsh"`` (scale path, documented recall): MinHash-banded
+      candidates over the gram sets (``num_hashes``/``bands``, 2
+      rows per band by default). Band-bucket collision probability
+      depends on pair SIMILARITY, not corpus density, so candidate
+      volume stays ~linear where the inverted index saturates.
+      Recall is governed by the Jaccard a containment pair implies:
+      J = t·ρ/(1 + ρ - t·ρ) for size ratio ρ = n_min/n_max — at
+      t=0.6 a same-size pair (J≈0.43) collides with P≈1.0, a 3x
+      size-skewed pair (J≈0.18) with P≈0.87 at 64x2 bands, and
+      extreme doc-inside-doc (ρ→0) degrades further; pairs found
+      are scored exactly. ``max_bucket_size`` caps mega-bucket pair
+      expansion with consecutive-chain pairs (same guard as
+      ``minhash_lsh_pairs``). tools/stress_bench.py measures the
+      lsh-vs-index recall on its planted corpus alongside the
+      scaling exponent, so the trade is recorded per round, not
+      asserted.
+
+    Output: (id_a, id_b, n_common, containment), id_a < id_b.
     """
+    if candidates not in ("index", "lsh"):
+        raise ValueError(f"candidates must be 'index' or 'lsh': {candidates}")
     toksed = spread(df).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     )
@@ -684,32 +725,162 @@ def ngram_containment_pairs(
         ).alias("grams"),
     )
     if reuse:
+        # grams feeds posting + sizes (and the LSH signature in lsh
+        # mode) — Spark has no cross-branch CSE, so without a persist
+        # the tokenize+ngram+hash pass (the dominant linear cost)
+        # runs once per branch.
         from pyspark import StorageLevel
 
         grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = grams.select("id", F.size("grams").alias("n_grams"))
     posting = grams.select("id", F.explode("grams").alias("gram"))
+    # document frequency via ONE shuffle on the gram hash; keep only
+    # pair-eligible grams (df=1 can never be shared, df>max_doc_freq
+    # is the stop-gram cutoff — same semantics as the bucket filter
+    # the previous version applied).
+    wg = Window.partitionBy("gram")
+    elig = posting.withColumn("df", F.count(F.lit(1)).over(wg)).filter(
+        (F.col("df") >= 2) & (F.col("df") <= max_doc_freq)
+    )
+    # per doc: eligible grams in global rare-first (df, gram) order,
+    # plus the doc's TOTAL distinct-gram count (the containment
+    # denominator includes stop/unique grams).
+    edoc = (
+        elig.groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("gram")))
+            ).alias("eg")
+        )
+        .join(sizes, "id")
+        .select(
+            "id",
+            F.transform("eg", lambda s: s["gram"]).alias("eg"),
+            "n_grams",
+        )
+    )
+    if reuse:
+        # feeds prefix postings, full postings, and both verify sides
+        edoc = edoc.localCheckpoint(eager=False)
+    if candidates == "lsh":
+        cand = _containment_lsh_candidates(
+            grams, num_hashes, bands, max_bucket_size
+        )
+        return _containment_verify(cand, edoc, threshold)
+    # required overlap c = smallest integer >= t*n. floor(t*n - eps)+1
+    # instead of ceil(t*n): when t*n floats just ABOVE an exact
+    # integer (0.6*35 = 21.000000000000004), ceil would demand one
+    # extra shared gram and shorten the prefix below the lemma's
+    # bound — a missed-pair correctness bug, not a perf detail.
+    req = (
+        F.floor(
+            F.lit(float(threshold)) * F.col("n_grams").cast("double")
+            - F.lit(1e-9)
+        ).cast("int")
+        + 1
+    )
+    pre_len = F.size("eg") - req + 1
+    # Candidate generation with positional filtering (PPJoin's second
+    # filter, adapted to containment): every qualifying pair has a
+    # generation event at its FIRST shared gram in global order, and
+    # at that event all c shared grams sit at positions >= i in the
+    # smaller doc's list and >= j in the other's — so events where
+    # either remaining-suffix is shorter than c can be dropped
+    # per-row INSIDE the join, before anything shuffles. This is the
+    # lever that matters in a dense/uniform-df corpus where prefix
+    # filtering alone barely discriminates: the joined row count is
+    # unchanged but the dedup shuffle downstream shrinks ~an order
+    # of magnitude. The smaller-side orientation (n_a <= n_b) is
+    # likewise safe: the lemma is applied with the smaller doc as
+    # the prefix side, and size ties survive in both orientations.
+    pref = edoc.select(
+        F.col("id").alias("id_p"),
+        F.col("n_grams").alias("n_p"),
+        req.alias("req_p"),
+        F.size("eg").alias("e_p"),
+        F.posexplode(
+            F.slice(F.col("eg"), 1, F.greatest(pre_len, F.lit(0)))
+        ).alias("i", "gram"),
+    )
+    full = edoc.select(
+        F.col("id").alias("id_f"),
+        F.col("n_grams").alias("n_f"),
+        F.size("eg").alias("e_f"),
+        F.posexplode("eg").alias("j", "gram"),
+    )
+    cand = (
+        pref.join(full, "gram")
+        .filter(
+            (F.col("id_p") != F.col("id_f"))
+            & (F.col("n_p") <= F.col("n_f"))
+            & (F.col("e_f") - F.col("j") >= F.col("req_p"))
+        )
+        .select(
+            F.least("id_p", "id_f").alias("id_a"),
+            F.greatest("id_p", "id_f").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _containment_verify(cand, edoc, threshold)
+
+
+def _containment_lsh_candidates(
+    grams: DataFrame, num_hashes: int, bands: int, max_bucket_size: int
+) -> DataFrame:
+    """MinHash-banded candidate pairs over per-doc gram-hash arrays
+    (2 rows per band): the corpus-density-independent generator for
+    ``ngram_containment_pairs(candidates='lsh')``."""
+    rows_per_band = max(num_hashes // bands, 1)
+    sig = grams.select(
+        "id", minhash_signature(F.col("grams"), num_hashes).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        F.explode_outer(
+            lsh_band_keys(F.col("sig"), bands, rows_per_band)
+        ).alias("bk"),
+    ).select(F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"), "id")
     buckets = (
-        posting.groupBy("gram")
+        banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_doc_freq))
+        .filter(F.size("ids") > 1)
     )
-    common = (
-        buckets.select(F.explode_outer(_pairs_within("ids")).alias("pr"))
-        .groupBy(F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
+    pair_arr = F.when(
+        F.size("ids") <= max_bucket_size, _pairs_within("ids")
+    ).otherwise(_chain_pairs("ids"))
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        buckets.select(F.explode_outer(pair_arr).alias("pr"))
+        .select(F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _containment_verify(
+    cand: DataFrame, edoc: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact containment scoring of candidate pairs against the
+    per-doc eligible gram arrays — shared by both candidate modes,
+    so precision is exact regardless of the generator."""
+    ga = edoc.select(
+        F.col("id").alias("id_a"),
+        F.col("eg").alias("g_a"),
+        F.col("n_grams").alias("n_a"),
+    )
+    gb = edoc.select(
+        F.col("id").alias("id_b"),
+        F.col("eg").alias("g_b"),
+        F.col("n_grams").alias("n_b"),
+    )
+    n_common = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.col("n_common").cast("bigint").alias("n_common"),
+            n_common.cast("bigint").alias("n_common"),
             (
-                F.col("n_common").cast("double")
+                n_common.cast("double")
                 / F.least("n_a", "n_b").cast("double")
             ).alias("containment"),
         )

@@ -145,6 +145,96 @@ def test_containment_stop_gram_cutoff(spark):
     assert out == []
 
 
+def test_containment_prefix_filter_matches_bruteforce(spark):
+    """The prefix+positional candidate generator must be EXACT: every
+    pair the naive all-pairs computation finds, at several thresholds
+    (including ones where ceil(t*n) floats just above an integer)."""
+    import itertools
+    import random
+
+    from model_presto_spark.operators.dedup import ngram_containment_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(60):
+        n_words = rng.randint(5, 35)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n_words)))
+    # plant doc-inside-doc cases
+    texts[50] = texts[0] + " " + texts[1]
+    texts[51] = texts[2]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+
+    def brute(threshold, max_doc_freq):
+        def grams(t):
+            toks = t.split()
+            return {
+                " ".join(toks[i : i + 3])
+                for i in range(max(len(toks) - 2, 1))
+            }
+
+        gs = [grams(t) for t in texts]
+        df_count = {}
+        for g in gs:
+            for x in g:
+                df_count[x] = df_count.get(x, 0) + 1
+        out = set()
+        for a, b in itertools.combinations(range(len(texts)), 2):
+            shared = {
+                x
+                for x in gs[a] & gs[b]
+                if 2 <= df_count[x] <= max_doc_freq
+            }
+            m = min(len(gs[a]), len(gs[b]))
+            if m and len(shared) / m >= threshold:
+                out.add((a, b))
+        return out
+
+    for t in (0.3, 0.5, 0.6, 0.8):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_containment_pairs(
+                docs, "doc_id", "text", n=3, threshold=t,
+                max_doc_freq=40, fast_hash=True,
+            ).collect()
+        }
+        assert got == brute(t, 40), f"threshold {t}"
+
+
+def test_containment_lsh_mode_recall_and_exact_scores(spark):
+    """candidates='lsh' must score found pairs identically to the
+    exact mode (precision is exact; only recall may differ)."""
+    from model_presto_spark.operators.dedup import ngram_containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"tok{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "unrelated words only here now")],
+        "doc_id bigint, text string",
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["containment"])
+        for r in ngram_containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.9
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["containment"])
+        for r in ngram_containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.9, candidates="lsh"
+        ).collect()
+    }
+    assert (1, 2) in exact
+    # every lsh pair exists in exact with the same score
+    for k, v in lsh.items():
+        assert exact[k][0] == v[0]
+        assert exact[k][1] == pytest.approx(v[1])
+    # on this corpus (full containment, similar gram sets) recall is 1.0
+    assert set(lsh) == set(exact)
+
+
 # ---------------------------------------------------------------------------
 # dsir.py
 # ---------------------------------------------------------------------------

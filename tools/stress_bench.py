@@ -277,11 +277,28 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     from model_presto_spark.operators.dedup import ngram_containment_pairs
 
-    n_cont = ngram_containment_pairs(
+    cont_exact = ngram_containment_pairs(
         docs, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=500,
         fast_hash=True,
-    ).count()
+    )
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in cont_exact.collect()}
+    n_cont = len(exact_pairs)
     timings["containment"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    # scale-path twin: MinHash-banded candidates + exact verify.
+    # Recall vs the exact pair set is RECORDED, not asserted.
+    t0 = time.time()
+    cont_lsh = ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=500,
+        fast_hash=True, candidates="lsh",
+    )
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in cont_lsh.collect()}
+    timings["containment_lsh"] = time.time() - t0
+    n_cont_lsh = len(lsh_pairs)
+    cont_recall = (
+        len(lsh_pairs & exact_pairs) / n_cont if n_cont else 1.0
+    )
     spark.catalog.clearCache()
 
     t0 = time.time()
@@ -458,6 +475,8 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         "conc_groups": n_conc,
         "boiler_docs": n_boiler,
         "containment_pairs": n_cont,
+        "containment_lsh_pairs": n_cont_lsh,
+        "containment_lsh_recall": round(cont_recall, 4),
         "dsir_kept": n_dsir,
         "semantic_dups": n_sem,
         "ngram_pairs": n_ng,
@@ -477,6 +496,53 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         "cms_probes": n_cms,
         "ppjoin_pairs": n_pp,
     }
+    return timings
+
+
+def run_light_suite(spark, sf_dir: str) -> dict[str, float]:
+    """s30 third-point suite: just the ops whose s1->s10 exponent sits
+    near 1.0 (minhash_lsh_fast 0.99, ngram_jaccard_fast ~0.9) plus
+    containment (the round-4 superlinear outlier) — a third scale
+    point distinguishes shuffle-bound linear from
+    quadratic-with-small-constant, which two points cannot."""
+    from model_presto_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.8, fast_hash=True
+    ).count()
+    timings["minhash_lsh_fast"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.8, fast_hash=True
+    ).count()
+    timings["ngram_jaccard_fast"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=500,
+        fast_hash=True,
+    ).count()
+    timings["containment"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=500,
+        fast_hash=True, candidates="lsh",
+    ).count()
+    timings["containment_lsh"] = time.time() - t0
+    spark.catalog.clearCache()
     return timings
 
 
@@ -517,6 +583,7 @@ def main() -> int:
         "bfs",
         "hits",
         "containment",
+        "containment_lsh",
         "line_boilerplate",
         "semantic_dedup",
         "source_overlap",
@@ -532,11 +599,27 @@ def main() -> int:
     ):
         r = results[big_tag][op] / max(results[small_tag][op], 1e-9)
         exponents[op] = round(math.log(r) / math.log(ratio_n), 3)
+
+    # third scale point (s30 = 3x the big point's docs) for the ops
+    # whose two-point exponent is near/above linear
+    exponents_s30 = {}
+    s30_timings = {}
+    if not small:
+        n30 = sizes[1][0] * 3
+        sf30 = materialize(n30, 2_000, "s30")
+        s30_timings = run_light_suite(spark, sf30)
+        for op, t30 in s30_timings.items():
+            r = t30 / max(results[big_tag][op], 1e-9)
+            exponents_s30[op] = round(math.log(r) / math.log(3.0), 3)
+        s30_timings = {k: round(v, 3) for k, v in s30_timings.items()}
+
     summary = {
         "sizes": {small_tag: sizes[0][0], big_tag: sizes[1][0]},
         "timings": {t: {k: round(v, 3) for k, v in results[t].items() if isinstance(v, float)} for t in results},
         "counts": {t: results[t]["_counts"] for t in results},
         "scaling_exponent": exponents,
+        "scaling_exponent_s10_to_s30": exponents_s30,
+        "timings_s30": s30_timings,
         "pass_subquadratic": all(e < 1.7 for e in exponents.values()),
     }
     with open(out_json, "w") as f:
