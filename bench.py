@@ -91,7 +91,11 @@ def main() -> None:
 
     total = round(sum(t for t in times.values() if t == t), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    worst = dict(sorted(spreads.items(), key=lambda kv: -kv[1])[:5])
+    # Spread is only meaningful where the wall time is above scheduler
+    # noise: a 50 ms query's 3 runs can differ 4x on an idle box. The
+    # contention signal is the heavy queries (best >= 0.25 s).
+    heavy = {k: v for k, v in spreads.items() if times.get(k, 0) >= 0.25}
+    worst = dict(sorted(heavy.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
@@ -100,9 +104,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # max over queries of (slowest run / fastest run); ~1.0-1.3
-                # on an idle box, large when another job steals the CPUs.
-                "spread_max": max(spreads.values()) if spreads else None,
+                # max over heavy queries (best >= 0.25s) of (slowest run /
+                # fastest run); ~1.0-1.3 on an idle box, large when
+                # another job steals the CPUs.
+                "spread_max": max(heavy.values()) if heavy else None,
                 "spread_worst": worst,
             }
         )

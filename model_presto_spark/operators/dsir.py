@@ -85,8 +85,14 @@ def hashed_ngram_buckets(
     # explode_outer: a plain explode gets an inferred size(feats)>0
     # pre-filter that re-evaluates the whole tokenize+bigram tree per
     # row (measured 4.6s -> 0.5s on this stage at sf0.1); feats is
-    # non-empty by construction (empty text still yields [""]).
-    g = feats.select("id", F.explode_outer("feats").alias("feat"))
+    # non-empty by construction (empty text still yields [""]). The
+    # isNotNull guard restores plain-explode semantics for NULL text
+    # (feats=NULL -> one feat=NULL row, which xxhash64 would otherwise
+    # hash to a REAL bucket via its seed) — a cheap column-ref filter
+    # that does not reintroduce the inferred-size pre-filter.
+    g = feats.select("id", F.explode_outer("feats").alias("feat")).filter(
+        F.col("feat").isNotNull()
+    )
     h = h60_fast(F.col("feat")) if fast_hash else h60(F.col("feat"))
     return (
         g.select("id", F.pmod(h, F.lit(n_buckets)).alias("bucket"))

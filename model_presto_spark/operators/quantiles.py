@@ -31,9 +31,13 @@ Caveats (documented, not silent):
   High-cardinality/small groups are already fine with plain
   ``percentile``.
 
-Interpolation matches ANSI ``percentile_cont`` / DuckDB
-``quantile_cont`` / Spark ``percentile``: h = (n-1)·p,
-v = v_{⌊h⌋} + (h-⌊h⌋)·(v_{⌊h⌋+1} - v_{⌊h⌋}) (0-indexed sorted order).
+Interpolation matches ANSI ``percentile_cont`` / Spark
+``percentile``: h = (n-1)·p, g = h-⌊h⌋,
+v = (1-g)·v_{⌊h⌋} + g·v_{⌊h⌋+1} (0-indexed sorted order) — the same
+algebraic form Spark's Percentile evaluates, so the result is
+bit-identical to ``percentile()`` (tests assert ==, no tolerance).
+Engines that evaluate the lerp form v_lo + g·(v_hi-v_lo) (e.g.
+DuckDB ``quantile_cont``) can differ in the last ULP.
 
 Reference anchor: the median composite is the reference engine's
 most-used aggregate (presto-tolbi/presto/src/optimization.py:90,137).
@@ -145,9 +149,20 @@ def exact_grouped_quantiles(
         j = F.floor(h).cast("long")          # 0-indexed lower order statistic
         g = h - j.cast("double")
         idx = (j + F.lit(1) - lt).cast("int")  # 1-indexed position in slice
-        v_lo = F.element_at(sl, idx)
+        # idx < 1 means the approx_percentile rank contract was
+        # violated (the true order statistic fell below the bracket).
+        # element_at with a NEGATIVE index silently reads from the END
+        # of the slice — a plausible-but-wrong value; guard so a
+        # contract violation surfaces as NULL instead. (idx beyond the
+        # slice already yields NULL from element_at.)
+        v_lo = F.when(idx >= 1, F.element_at(sl, idx))
         v_hi = F.element_at(sl, idx + F.lit(1))
-        val = F.when(g > 0, v_lo + g * (v_hi - v_lo)).otherwise(v_lo)
+        # (1-g)*lo + g*hi — the same algebraic form Spark's Percentile
+        # uses, so the rounding of the interpolation matches
+        # percentile() in the last ULP (lo + g*(hi-lo) can differ).
+        val = F.when(
+            g > 0, (F.lit(1.0) - g) * v_lo + g * v_hi
+        ).otherwise(v_lo)
         out_cols.append(F.when(n > 0, val).alias(out_name))
     # Empty groups never reach pass 2 (inner join keeps them, but a
     # group whose rows are all-NULL in c still appears with n=0) —

@@ -867,6 +867,10 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = hi.unionByName(lo)
     return (
         u.select("side", F.explode_outer(F.sequence(F.lit(1), F.col("l_linenumber"))).alias("i"))
+        # cheap column-ref guard: a NULL l_linenumber would emit an
+        # i=NULL row that count(1) counts where plain explode dropped
+        # the row (latent only because TPC-H l_linenumber is non-null)
+        .filter(F.col("i").isNotNull())
         .groupBy("side")
         .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("i").alias("sum_idx"))
     )

@@ -39,6 +39,23 @@ def test_dsir_buckets_no_inferred_generator_filter(spark):
     assert "(size(concat(" not in plan.lower().replace(" ", "")
 
 
+def test_dsir_buckets_null_text_contributes_nothing(spark):
+    """A NULL-text doc must not land in any bucket: explode_outer
+    emits a feat=NULL row for it, and with fast_hash=True xxhash64
+    of NULL would otherwise return the seed and count toward a REAL
+    bucket's mass (and the smoothing grand total)."""
+    from model_presto_spark.operators.dsir import hashed_ngram_buckets
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "beta beta delta")],
+        "doc_id long, text string",
+    )
+    for fast in (False, True):
+        rows = hashed_ngram_buckets(docs, n_buckets=64, fast_hash=fast).collect()
+        assert all(r["id"] != 2 for r in rows), f"fast_hash={fast}"
+        assert all(r["bucket"] is not None for r in rows)
+
+
 def test_segment_lines_filter_is_cheap(spark):
     from model_presto_spark.operators.lines import segment_by_width
 

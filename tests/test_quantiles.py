@@ -118,3 +118,34 @@ def test_extreme_probs_and_duplicates(spark):
     rng = random.Random(3)
     rows = [("s", float(rng.randint(0, 9)), float(rng.randint(0, 1))) for _ in range(3000)]
     _check(spark, rows, accuracy=250, probs=(0.0, 0.01, 0.5, 0.99, 1.0))
+
+
+def test_bit_parity_with_percentile_no_tolerance(spark):
+    """The interpolation uses Spark Percentile's exact algebraic form
+    ((1-g)*lo + g*hi), so results must be BIT-identical — == with no
+    tolerance — on both the whole-group and bracket paths."""
+    rng = random.Random(23)
+    rows = [
+        (f"g{i % 3}", rng.uniform(-1e6, 1e6), rng.gauss(0, 1))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    probs = (0.1, 0.25, 0.5, 0.9)
+    quantiles = [("x", p, f"x{int(p * 100)}") for p in probs] + [
+        ("y", 0.5, "ym")
+    ]
+    for accuracy in (150, 10_000):  # bracket path / whole-group path
+        got = {
+            r["g"]: r
+            for r in exact_grouped_quantiles(
+                df, ["g"], quantiles, accuracy=accuracy
+            ).collect()
+        }
+        exp_aggs = [
+            F.expr(f"percentile(x, {p})").alias(f"x{int(p * 100)}")
+            for p in probs
+        ] + [F.expr("percentile(y, 0.5)").alias("ym")]
+        exp = {r["g"]: r for r in df.groupBy("g").agg(*exp_aggs).collect()}
+        for k in exp:
+            for f in ("x10", "x25", "x50", "x90", "ym"):
+                assert got[k][f] == exp[k][f], (accuracy, k, f)
