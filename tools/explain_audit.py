@@ -32,10 +32,199 @@ def plan_text(df) -> str:
     return buf.getvalue()
 
 
+_TREE_LINE = re.compile(
+    r"^(?P<prefix>[\s:+\-]*)(?:\* )?(?P<op>[A-Za-z][A-Za-z0-9_]*)"
+    r"(?P<rest>[^()]*)\((?P<id>\d+)\)\s*$"
+)
+
+# Pass-through wrappers between a BroadcastExchange and the node that
+# determines the build side's cardinality class.
+_TRANSPARENT = {
+    "BroadcastExchange", "Exchange", "Project", "Filter", "ColumnarToRow",
+    "Sort", "Coalesce", "AQEShuffleRead", "InputAdapter", "Union",
+}
+# Bounded driver-side relations: a broadcast of literals is fine at any
+# data scale (its size doesn't grow with the input).
+_LITERAL = {"LocalTableScan", "Range", "Scan OneRowRelation"}
+
+# Non-scalar BNLJ hits that are correct by construction: the broadcast
+# build side is DOMAIN-bounded (a key-space filter caps its rows at any
+# data scale), which a static plan classifier cannot see. Every entry
+# must say WHY the build side is bounded.
+_JUSTIFIED_BNLJ = {
+    # brute-force kNN: the probe set is `id < 10` (<= 9 rows at any SF)
+    # broadcast against candidates — the declared baseline pattern; the
+    # scale path is the LSH/IVF/PQ variants (q40/q45).
+    "q23_knn": "probe set filtered to id<10 (<=9 rows at any SF), "
+    "declared brute-force kNN broadcast",
+    "q35_cosine_topk": "probe set filtered to vec_id<10 (<=10 rows at "
+    "any SF), declared brute-force top-k broadcast",
+    "q45_knn_classify": "probe set filtered to vec_id<20 (<=20 rows at "
+    "any SF), declared kNN-classify broadcast",
+    # Banzhaf: voters = groupBy over customer filtered c_nationkey<12 —
+    # the aggregate has <= 12 rows by key-domain bound; every BNLJ in
+    # the coalition enumeration broadcasts that 12-row relation (or the
+    # 4096-row mask x voter product derived from it).
+    "q426_banzhaf_power": "voter relation bounded by c_nationkey<12 "
+    "filter (<=12 rows at any SF)",
+}
+
+
+def _tree_blocks(plan: str):
+    """Yield contiguous runs of tree-drawing lines as
+    [(depth, op, id, line)] blocks (main plan + each subquery plan)."""
+    block: list[tuple[int, str, int, str]] = []
+    for line in plan.splitlines():
+        m = _TREE_LINE.match(line)
+        if m and (
+            "- " in m.group("prefix")
+            or m.group("prefix").strip() == ""
+        ):
+            depth = len(m.group("prefix")) // 3
+            op_full = (m.group("op") + m.group("rest")).strip()
+            block.append((depth, op_full, int(m.group("id")), line))
+        else:
+            if block:
+                yield block
+                block = []
+    if block:
+        yield block
+
+
+def classify_bnlj(plan: str) -> tuple[int, int, list[str]]:
+    """Split BroadcastNestedLoopJoin occurrences into benign
+    (scalar-aggregate or literal broadcast build side — a bounded
+    relation at any scale) vs RELATIONAL (build side derived from a
+    scan/join: a true nested-loop join that grows with the data).
+    Returns (benign, relational, relational_build_ops)."""
+    # details section: "(12) HashAggregate" followed by key lines
+    details: dict[int, str] = {}
+    cur_id = None
+    for line in plan.splitlines():
+        m = re.match(r"^\((\d+)\) ", line)
+        if m:
+            cur_id = int(m.group(1))
+            details[cur_id] = line
+        elif cur_id is not None:
+            details[cur_id] = details[cur_id] + "\n" + line
+
+    benign = relational = 0
+    rel_ops: list[str] = []
+    blocks = list(_tree_blocks(plan))
+    nodes_by_id = {n[2]: (bi, ni) for bi, b in enumerate(blocks) for ni, n in enumerate(b)}
+
+    def children_of(block, idx):
+        d = block[idx][0]
+        out = []
+        for j in range(idx + 1, len(block)):
+            if block[j][0] == d + 1:
+                out.append(j)
+            elif block[j][0] <= d:
+                break
+        return out
+
+    _JOINS = (
+        "BroadcastNestedLoopJoin", "BroadcastHashJoin", "SortMergeJoin",
+        "ShuffledHashJoin", "CartesianProduct",
+    )
+    _LIMITS = ("TakeOrderedAndProject", "GlobalLimit", "LocalLimit", "CollectLimit")
+
+    def classify_subtree(block, idx, hops=0):
+        """Cardinality class of the subtree rooted at block[idx]:
+        benign classes ('scalar', 'literal', 'limited') are bounded
+        regardless of input data size; 'relational:*' grows with the
+        data — a broadcast of it is a true nested-loop join."""
+        if hops > 32:
+            return "relational:depth"
+        op = block[idx][1]
+        head = op.split()[0] if op else ""
+        kids = children_of(block, idx)
+
+        def kid_cls():
+            return [classify_subtree(block, k, hops + 1) for k in kids]
+
+        if head in _TRANSPARENT or op.startswith("WholeStageCodegen"):
+            # pass-through (possibly n-ary, e.g. Union): bounded iff
+            # every input is bounded
+            cls = kid_cls()
+            rel = [c for c in cls if c.startswith("relational")]
+            return rel[0] if rel else (cls[0] if cls else "scalar")
+        if (
+            head in ("LocalTableScan", "Range")
+            or op.startswith("Scan OneRowRelation")
+            # createDataFrame literal dims that didn't fold to a
+            # LocalRelation parallelize as ExistingRDD — driver
+            # literals, bounded at any data scale
+            or op.startswith("Scan ExistingRDD")
+        ):
+            return "literal"
+        if head in _LIMITS:
+            # limit-k output is bounded by k whatever the input
+            return "limited"
+        if "Aggregate" in head:
+            det = details.get(block[idx][2], "")
+            if re.search(r"Keys \[0\]", det) or "Keys: []" in det:
+                return "scalar"
+            # keyed aggregate: output cardinality bounded by its
+            # input's — bounded input => bounded groups
+            cls = kid_cls()
+            rel = [c for c in cls if c.startswith("relational")]
+            return rel[0] if rel else "literal"
+        if head in _JOINS:
+            cls = kid_cls()
+            rel = [c for c in cls if c.startswith("relational")]
+            return rel[0] if rel else "literal"
+        if head in ("Generate", "Expand", "Window", "WindowGroupLimit", "Sort"):
+            cls = kid_cls()
+            rel = [c for c in cls if c.startswith("relational")]
+            return rel[0] if rel else (cls[0] if cls else "scalar")
+        if head == "ReusedExchange":
+            det = details.get(block[idx][2], "")
+            m = re.search(r"Reuses operator id: (\d+)", det)
+            if m and int(m.group(1)) in nodes_by_id:
+                bi, ni = nodes_by_id[int(m.group(1))]
+                return classify_subtree(blocks[bi], ni, hops + 1)
+            return "relational:" + head
+        if head in ("Subquery", "ReusedSubquery"):
+            # scalar subquery result broadcast — 1 row by contract
+            return "scalar"
+        if len(kids) == 1:
+            # unknown unary wrapper: inherit the child's class
+            return classify_subtree(block, kids[0], hops + 1)
+        return "relational:" + head
+
+    for block in blocks:
+        for i, (d, op, nid, line) in enumerate(block):
+            if not op.startswith("BroadcastNestedLoopJoin"):
+                continue
+            build_right = "BuildLeft" not in line
+            children = []
+            j = i + 1
+            while j < len(block):
+                if block[j][0] == d + 1:
+                    children.append(j)
+                elif block[j][0] <= d:
+                    break
+                j += 1
+            if len(children) < 2:
+                relational += 1
+                rel_ops.append("unparsed")
+                continue
+            bidx = children[1] if build_right else children[0]
+            cls = classify_subtree(block, bidx)
+            if cls.startswith("relational"):
+                relational += 1
+                rel_ops.append(cls.split(":", 1)[-1])
+            else:
+                benign += 1
+    return benign, relational, rel_ops
+
+
 def audit_one(name: str, plan: str) -> dict:
     scans = re.findall(r"Scan parquet[^\n]*", plan)
     read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    bnlj_ok, bnlj_rel, bnlj_rel_ops = classify_bnlj(plan)
     return {
         "query": name,
         "scans": len(scans),
@@ -44,6 +233,8 @@ def audit_one(name: str, plan: str) -> dict:
         "bhj": plan.count("BroadcastHashJoin"),
         "smj": plan.count("SortMergeJoin"),
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "bnlj_rel": bnlj_rel,
+        "bnlj_rel_ops": bnlj_rel_ops,
         "codegen": len(set(re.findall(r"codegen id : (\d+)", plan))),
         "python": plan.count("BatchEvalPython")
         + plan.count("ArrowEvalPython")
@@ -85,9 +276,27 @@ def main() -> None:
     # diffs.
     fat = [a for a in results if a["scans"] > 10]
     bnlj = [a for a in results if a["bnlj"] > 0]
+    bnlj_rel = [a for a in results if a["bnlj_rel"] > 0]
+    justified = {k: v for k, v in _JUSTIFIED_BNLJ.items()}
     print(f"\n== gate: {len(results)} audited, {len(errors)} errors ==")
     print(f"scans>10 ({len(fat)}): " + ", ".join(f"{a['query']}={a['scans']}" for a in fat))
     print(f"bnlj>0 ({len(bnlj)}): " + ", ".join(f"{a['query']}={a['bnlj']}" for a in bnlj))
+    unjust = [a for a in bnlj_rel if a["query"] not in justified]
+    just = [a for a in bnlj_rel if a["query"] in justified]
+    print(
+        f"non-scalar BNLJ, unjustified ({len(unjust)}): "
+        + ", ".join(
+            f"{a['query']}={a['bnlj_rel']}[{','.join(a['bnlj_rel_ops'])}]"
+            for a in unjust
+        )
+    )
+    print(
+        f"non-scalar BNLJ, justified ({len(just)}): "
+        + ", ".join(
+            f"{a['query']}={a['bnlj_rel']} ({justified[a['query']]})"
+            for a in just
+        )
+    )
     if errors:
         print("errors: " + ", ".join(errors))
 
