@@ -221,14 +221,49 @@ def ngram_jaccard_pairs(
     max_doc_freq: int = 1000,
     reuse: bool = True,
     fast_hash: bool = False,
+    candidates: str = "auto",
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs via an inverted-index join.
+    """Exact n-gram Jaccard pairs via an inverted index, with a
+    threshold-adaptive candidate generator. Both generators produce
+    the IDENTICAL result set (brute-force parity tested); they differ
+    only in which volumes they shuffle:
 
-    explode(ngrams) → drop grams with document frequency >
-    ``max_doc_freq`` (stop-gram cutoff — the skew guard at scale) →
-    self-join postings → per-pair common-gram count → Jaccard from
-    per-doc distinct counts.
+    - ``"bucket"``: group ids per gram, expand C(d,2) pairs per
+      bucket (df-cutoff guarded), count co-occurrences in one
+      groupBy. Lowest constant factor; volume is Σ_g C(df_g, 2),
+      which grows QUADRATICALLY in a corpus whose gram space
+      saturates (measured exponent 1.97 at the s10→s30 stress point).
+    - ``"prefix"``: the symmetric PPJoin prefix filter (Xiao et al.
+      WWW'08) adapted to the cutoff semantics. A qualifying pair
+      (J >= t) needs overlap c >= ceil(t*n_x) w.r.t. EACH doc's
+      total count, and the MINIMAL shared gram in global rare-first
+      (df, gram) order provably lies in BOTH docs' prefixes of
+      length |E_x| - ceil(t*n_x) + 1 — the join touches prefix
+      postings on both sides (hot grams sort last and rarely enter
+      any prefix), with size-compatibility (t·n_a <= n_b and vice
+      versa, since J <= min/max) and positional suffix bounds pruned
+      inside the join. Exact array_intersect verify. Measured
+      s10→s30 stress exponent 0.88 (vs 1.97), 100.8s → 14.7s at
+      150k docs.
+    - ``"auto"`` (default): prefix iff ``threshold >= 0.5``. Prefix
+      pruning power is (1-t) per side, so below t=0.5 the candidate
+      join exceeds a quarter of the naive volume while paying the
+      extra machinery (rare-first ordering, both-side posexplode,
+      verify joins) — measured 2.2x SLOWER than bucket at t=0.3 on
+      the sf0.1 documents corpus, and 7x FASTER at t=0.8 on the
+      150k-doc stress corpus. High-threshold near-dup mining (the
+      100 TB dedup use-case) gets the scale path; low-threshold
+      similarity sweeps keep the low-constant plan whose df cutoff
+      is the documented skew guard.
+
+    Shared grams are counted only on grams with document frequency
+    in [2, ``max_doc_freq``] (the stop-gram cutoff); Jaccard uses
+    the TOTAL per-doc distinct-gram counts.
     """
+    if candidates == "auto":
+        candidates = "prefix" if threshold >= 0.5 else "bucket"
+    if candidates not in ("bucket", "prefix"):
+        raise ValueError(f"candidates must be bucket|prefix|auto: {candidates}")
     # Postings carry h60(gram), not the gram string: 8-byte shuffle
     # keys for the inverted-index join (hash collisions are shared by
     # any engine using the same md5-derived hash, so counts agree).
@@ -243,41 +278,134 @@ def ngram_jaccard_pairs(
         ).alias("grams"),
     )
     if reuse:
-        # Feeds the posting explode plus two size-lookup joins; see
-        # the equivalent persist note in minhash_lsh_pairs.
+        # Feeds the posting explode plus the size lookup; see the
+        # equivalent persist note in minhash_lsh_pairs.
         from pyspark import StorageLevel
 
         grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = grams.select("id", F.size("grams").alias("n_grams"))
     posting = grams.select("id", F.explode("grams").alias("gram"))
-    # One shuffle: group ids per gram (the inverted index). The
-    # document-frequency cutoff is the size filter — drops stop-grams
-    # before any pair is generated (the skew guard: a gram shared by
-    # d docs yields d² pairs). A self-join formulation would compute
-    # and shuffle the posting list twice; this computes it once.
-    buckets = (
-        posting.groupBy("gram")
-        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_doc_freq))
+    if candidates == "bucket":
+        # One shuffle: group ids per gram (the inverted index). The
+        # document-frequency cutoff drops stop-grams before any pair
+        # is generated (a gram shared by d docs yields d² pairs).
+        buckets = (
+            posting.groupBy("gram")
+            .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+            .filter((F.size("ids") > 1) & (F.size("ids") <= max_doc_freq))
+        )
+        common = (
+            # explode_outer: same inferred-filter double-compute guard
+            # as the minhash candidate stage.
+            buckets.select(F.explode_outer(_pairs_within("ids")).alias("pr"))
+            .groupBy(
+                F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"))
+        sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
+        return (
+            common.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("n_common").cast("double")
+                    / (
+                        F.col("n_a") + F.col("n_b") - F.col("n_common")
+                    ).cast("double")
+                ).alias("jaccard_sim"),
+            )
+            .filter(F.col("jaccard_sim") >= threshold)
+        )
+    wg = Window.partitionBy("gram")
+    elig = posting.withColumn("df", F.count(F.lit(1)).over(wg)).filter(
+        (F.col("df") >= 2) & (F.col("df") <= max_doc_freq)
     )
-    common = (
-        # explode_outer: same inferred-filter double-compute guard as
-        # the minhash candidate stage.
-        buckets.select(F.explode_outer(_pairs_within("ids")).alias("pr"))
-        .groupBy(F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    edoc = (
+        elig.groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("gram")))
+            ).alias("eg")
+        )
+        .join(sizes, "id")
+        .select(
+            "id",
+            F.transform("eg", lambda s: s["gram"]).alias("eg"),
+            "n_grams",
+        )
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
+    if reuse:
+        # feeds prefix postings and both verify sides
+        edoc = edoc.localCheckpoint(eager=False)
+    # required overlap w.r.t. this doc: smallest integer >= t*n —
+    # floor(t*n - eps)+1, not ceil (same float-edge reasoning as
+    # ngram_containment_pairs).
+    req = (
+        F.floor(
+            F.lit(float(threshold)) * F.col("n_grams").cast("double")
+            - F.lit(1e-9)
+        ).cast("int")
+        + 1
+    )
+    pre_len = F.size("eg") - req + 1
+    pre = edoc.select(
+        F.col("id").alias("id_x"),
+        F.col("n_grams").alias("n_x"),
+        req.alias("req_x"),
+        F.size("eg").alias("e_x"),
+        F.posexplode(
+            F.slice(F.col("eg"), 1, F.greatest(pre_len, F.lit(0)))
+        ).alias("i_x", "gram"),
+    )
+    a = pre.select(
+        F.col("id_x").alias("id_a"), F.col("n_x").alias("n_a_"),
+        F.col("req_x").alias("req_a"), F.col("e_x").alias("e_a"),
+        F.col("i_x").alias("i_a"), "gram",
+    )
+    b = pre.select(
+        F.col("id_x").alias("id_b"), F.col("n_x").alias("n_b_"),
+        F.col("req_x").alias("req_b"), F.col("e_x").alias("e_b"),
+        F.col("i_x").alias("i_b"), "gram",
+    )
+    cand = (
+        a.join(b, "gram")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # size compatibility: J <= min/max, so t*n_a <= n_b and
+            # t*n_b <= n_a for any qualifying pair
+            & (F.col("n_b_") >= F.col("req_a"))
+            & (F.col("n_a_") >= F.col("req_b"))
+            # positional: at the minimal-shared-gram event every
+            # shared gram sits at position >= i on each side, and the
+            # pair needs >= max(req_a, req_b) shared grams
+            & (F.col("e_a") - F.col("i_a") >= F.col("req_b"))
+            & (F.col("e_b") - F.col("i_b") >= F.col("req_a"))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = edoc.select(
+        F.col("id").alias("id_a"), F.col("eg").alias("g_a"),
+        F.col("n_grams").alias("n_a"),
+    )
+    gb = edoc.select(
+        F.col("id").alias("id_b"), F.col("eg").alias("g_b"),
+        F.col("n_grams").alias("n_b"),
+    )
+    n_common = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+                n_common.cast("double")
+                / (F.col("n_a") + F.col("n_b") - n_common).cast("double")
             ).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= threshold)

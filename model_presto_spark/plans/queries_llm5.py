@@ -146,9 +146,10 @@ _Q104_ORACLE = f"""
     _Q104_ORACLE,
     doc="Shingle-containment pairs C=|A∩B|/min(|A|,|B|) — catches the "
     "doc-inside-doc duplicates Jaccard resemblance (q34) structurally "
-    "misses. Same inverted-index plan: hashed-gram postings, "
-    f"doc-frequency stop-gram cutoff ({_CMAXDF}), pair counts via one "
-    "groupBy; no self-join double-compute.",
+    "misses. Prefix-filtered inverted index (asymmetric PPJoin lemma "
+    "+ positional suffix filter), doc-frequency stop-gram cutoff "
+    f"({_CMAXDF}), exact array_intersect verify — result set identical "
+    "to the naive per-bucket pair expansion it replaced.",
 )
 def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     from model_presto_spark.operators.dedup import ngram_containment_pairs

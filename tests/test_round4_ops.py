@@ -203,6 +203,66 @@ def test_containment_prefix_filter_matches_bruteforce(spark):
         assert got == brute(t, 40), f"threshold {t}"
 
 
+def test_ngram_jaccard_prefix_filter_matches_bruteforce(spark):
+    """The symmetric prefix+positional+size-compat candidate generator
+    must be EXACT: same pair set and scores as the naive all-pairs
+    computation, across thresholds (incl. float-edge t*n values)."""
+    import itertools
+    import random
+
+    from model_presto_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(13)
+    vocab = [f"v{i}" for i in range(25)]
+    texts = []
+    for i in range(60):
+        n_words = rng.randint(5, 30)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n_words)))
+    # planted near-dups: light edits of earlier docs
+    for j in (40, 41, 42):
+        w = texts[j - 40].split()
+        if len(w) > 3:
+            w[1] = "edited"
+        texts[j] = " ".join(w)
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+
+    def brute(threshold, max_doc_freq):
+        def grams(t):
+            toks = t.split()
+            return {
+                " ".join(toks[i : i + 3])
+                for i in range(max(len(toks) - 2, 1))
+            }
+
+        gs = [grams(t) for t in texts]
+        df_count = {}
+        for g in gs:
+            for x in g:
+                df_count[x] = df_count.get(x, 0) + 1
+        out = set()
+        for a, b in itertools.combinations(range(len(texts)), 2):
+            shared = {
+                x for x in gs[a] & gs[b] if 2 <= df_count[x] <= max_doc_freq
+            }
+            denom = len(gs[a]) + len(gs[b]) - len(shared)
+            if shared and denom and len(shared) / denom >= threshold:
+                out.add((a, b))
+        return out
+
+    for t in (0.2, 0.4, 0.6, 0.8):
+        for mode in ("bucket", "prefix"):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in ngram_jaccard_pairs(
+                    docs, "doc_id", "text", n=3, threshold=t,
+                    max_doc_freq=40, fast_hash=True, candidates=mode,
+                ).collect()
+            }
+            assert got == brute(t, 40), f"threshold {t} mode {mode}"
+
+
 def test_containment_lsh_mode_recall_and_exact_scores(spark):
     """candidates='lsh' must score found pairs identically to the
     exact mode (precision is exact; only recall may differ)."""
