@@ -95,9 +95,30 @@ def minhash_lsh_pairs(
     reuse: bool = True,
     fast_hash: bool = False,
     max_bucket_size: int = 2000,
+    signature_screen: float | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash LSH, verified with
     exact Jaccard over shingle sets.
+
+    ``signature_screen`` (opt-in scale knob, default off): estimate
+    Jaccard from the ALREADY-computed MinHash signatures (fraction of
+    equal positions) INSIDE the bucket pair expansion, and never emit
+    a candidate whose estimate falls below the screen. Why it exists:
+    band collisions between RANDOM pairs scale with n² (at a
+    background J≈0.2, 4x4 banding collides ~4·J⁴ of all pairs —
+    measured 5.9M candidates for 962 true pairs at 50k docs, 27.6M
+    at 150k), and without the screen every one of them shuffles
+    through dropDuplicates and two array-payload verify joins. With
+    the screen the C(d,2) expansion still happens but as pure codegen
+    CPU inside the bucket row (16 int comparisons per pair, no
+    materialization): only survivors ever become rows. The trade is
+    RECALL at the margin: a true pair at J=threshold can estimate low
+    (Bin(num_hashes, J) tail — e.g. screen=threshold-0.25 with 16
+    hashes false-rejects ~0.3% of J=0.8 pairs); precision is
+    unaffected (survivors are still exactly verified).
+    tools/stress_bench.py measures the screened twin's recall against
+    the unscreened pair set per round. Leave None where the oracle
+    contract requires the exact candidate semantics (q32).
 
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b and
     jaccard_sim >= threshold. Only bucket-collision candidates are
@@ -160,26 +181,101 @@ def minhash_lsh_pairs(
     # explode_outer: a plain explode gets an inferred size(...)>0
     # pre-filter that re-evaluates band keys + the 16-seed minhash
     # fold a second time per row; band arrays are never empty.
-    banded = sig.select(
-        "id",
-        F.explode_outer(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk"),
-    ).select(F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"), "id")
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    # explode_outer: skip the inferred size>0 filter that would build
-    # the O(d^2) pair array twice (buckets are filtered size>1, so
-    # the pair array is never empty).
-    pair_arr = F.when(
-        F.size("ids") <= max_bucket_size, _pairs_within("ids")
-    ).otherwise(_chain_pairs("ids"))
-    cand = (
-        buckets.select(F.explode_outer(pair_arr).alias("pr"))
-        .select(F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    if signature_screen is None:
+        banded = sig.select(
+            "id",
+            F.explode_outer(
+                lsh_band_keys(F.col("sig"), bands, rows_per_band)
+            ).alias("bk"),
+        ).select(
+            F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"), "id"
+        )
+        buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        # explode_outer: skip the inferred size>0 filter that would
+        # build the O(d^2) pair array twice (buckets are filtered
+        # size>1, so the pair array is never empty).
+        pair_arr = F.when(
+            F.size("ids") <= max_bucket_size, _pairs_within("ids")
+        ).otherwise(_chain_pairs("ids"))
+        cand = (
+            buckets.select(F.explode_outer(pair_arr).alias("pr"))
+            .select(F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        # Screened path: buckets carry (id, sig) structs and the
+        # C(d,2) expansion filters on the signature estimate INSIDE
+        # the bucket row — pure codegen CPU, no row materialization
+        # for the random-collision flood. Mega-buckets still emit
+        # chain pairs (cluster recovery via CC, same cap semantics).
+        banded = sig.select(
+            "id",
+            "sig",
+            F.explode_outer(
+                lsh_band_keys(F.col("sig"), bands, rows_per_band)
+            ).alias("bk"),
+        ).select(
+            F.col("bk.band").alias("band"),
+            F.col("bk.bucket").alias("bucket"),
+            "id",
+            "sig",
+        )
+        buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(
+                # struct sorts field-lexicographic; id first => id order
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("id"), F.col("sig")))
+                ).alias("ms")
+            )
+            .filter(F.size("ms") > 1)
+        )
+        ms = F.col("ms")
+        k_min = F.lit(float(signature_screen) * num_hashes - 1e-9)
+        match_pairs = F.flatten(
+            F.transform(
+                ms,
+                lambda a, i: F.filter(
+                    F.transform(
+                        F.slice(ms, i + 2, F.greatest(F.size(ms), F.lit(1))),
+                        lambda b: F.struct(
+                            a["id"].alias("id_a"),
+                            b["id"].alias("id_b"),
+                            F.aggregate(
+                                F.zip_with(
+                                    a["sig"],
+                                    b["sig"],
+                                    lambda x, y: F.when(x == y, 1).otherwise(0),
+                                ),
+                                F.lit(0),
+                                lambda acc, v: acc + v,
+                            ).alias("m"),
+                        ),
+                    ),
+                    lambda p: p["m"].cast("double") >= k_min,
+                ),
+            )
+        )
+        chain = F.transform(
+            F.slice(ms, 1, F.size(ms) - 1),
+            lambda a, i: F.struct(
+                a["id"].alias("id_a"),
+                F.element_at(ms, i + 2)["id"].alias("id_b"),
+                F.lit(num_hashes).alias("m"),
+            ),
+        )
+        pair_arr = F.when(F.size(ms) <= max_bucket_size, match_pairs).otherwise(
+            chain
+        )
+        cand = (
+            buckets.select(F.explode_outer(pair_arr).alias("pr"))
+            .select(F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     # Fetch shingle-hash sets back only for surviving candidate pairs.
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a"))
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b"))

@@ -203,6 +203,42 @@ def test_containment_prefix_filter_matches_bruteforce(spark):
         assert got == brute(t, 40), f"threshold {t}"
 
 
+def test_minhash_signature_screen_exact_scores(spark):
+    """signature_screen must not change precision: every emitted pair
+    carries the same exact-verified jaccard as the unscreened path,
+    and on a corpus of clear dups (J far above the screen's rejection
+    band) the pair SETS match too."""
+    from model_presto_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + "!"),
+            (3, base.replace("quick", "rapid")),
+            (4, "completely different text about spark shuffles and joins"),
+            (5, "another unrelated document mentioning parquet files only"),
+        ],
+        "doc_id bigint, text string",
+    )
+    plain = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    screened = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, signature_screen=0.25
+        ).collect()
+    }
+    assert (1, 2) in plain
+    assert set(screened) == set(plain)
+    for k, v in screened.items():
+        assert plain[k] == pytest.approx(v)
+
+
 def test_ngram_jaccard_prefix_filter_matches_bruteforce(spark):
     """The symmetric prefix+positional+size-compat candidate generator
     must be EXACT: same pair set and scores as the naive all-pairs

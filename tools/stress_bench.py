@@ -142,10 +142,28 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     # DuckDB oracles need): same operators, recorded separately so
     # the md5-vs-native cost is visible in the stress record.
     t0 = time.time()
-    minhash_lsh_pairs(
-        docs, "doc_id", "text", threshold=0.8, fast_hash=True
-    ).count()
+    mh_fast = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.8, fast_hash=True
+        ).collect()
+    }
     timings["minhash_lsh_fast"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    # scale twin: in-bucket signature screen (random band collisions
+    # never materialize as rows). Recall vs the unscreened pair set is
+    # RECORDED, not asserted.
+    t0 = time.time()
+    mh_scr = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.8, fast_hash=True,
+            signature_screen=0.55,
+        ).collect()
+    }
+    timings["minhash_lsh_screened"] = time.time() - t0
+    mh_recall = len(mh_scr & mh_fast) / len(mh_fast) if mh_fast else 1.0
     spark.catalog.clearCache()
 
     t0 = time.time()
@@ -467,6 +485,8 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
 
     timings["_counts"] = {  # type: ignore[assignment]
         "minhash_pairs": n_mh,
+        "minhash_screened_pairs": len(mh_scr),
+        "minhash_screened_recall": round(mh_recall, 4),
         "hits_nodes": n_hits,
         "overlap_pairs": n_overlap,
         "wm_groups": n_wm,
@@ -522,6 +542,14 @@ def run_light_suite(spark, sf_dir: str) -> dict[str, float]:
     spark.catalog.clearCache()
 
     t0 = time.time()
+    minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.8, fast_hash=True,
+        signature_screen=0.55,
+    ).count()
+    timings["minhash_lsh_screened"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    t0 = time.time()
     ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.8, fast_hash=True
     ).count()
@@ -569,6 +597,7 @@ def main() -> int:
         "minhash_lsh",
         "ngram_jaccard",
         "minhash_lsh_fast",
+        "minhash_lsh_screened",
         "ngram_jaccard_fast",
         "ann_lsh",
         "dsir",
