@@ -270,7 +270,11 @@ def token_divergence(
     # because Q[t] varies per token. |groups| x |V| is vocabulary-,
     # not corpus-sized, and the group dimension is tiny (broadcast).
     grp_dim = totals.crossJoin(F.broadcast(vocab))
-    full = grp_dim.crossJoin(corpus.select("t", "c_q")).join(
+    # group dim on the BROADCAST side (one row per group value) —
+    # the vocabulary relation is the unbounded one and must stay on
+    # the probe side of the nested-loop cross (audit-caught: the
+    # previous order built on the vocab side)
+    full = corpus.select("t", "c_q").crossJoin(F.broadcast(grp_dim)).join(
         gc, ["grp", "t"], "left"
     )
     p = (F.coalesce(F.col("c_g"), F.lit(0)) + F.lit(alpha)) / (

@@ -217,7 +217,10 @@ def q450(spark: SparkSession, sf_dir: str) -> DataFrame:
     blo = F.col("lo") + F.col("b") * width
     bhi = F.col("lo") + (F.col("b") + 1) * width
     ew_est = (
-        preds.crossJoin(ew)
+        # ew is the 32-bin histogram (bounded), but broadcast the
+        # 3-row literal side explicitly so the build side is
+        # statically bounded in the plan
+        ew.crossJoin(F.broadcast(preds))
         .crossJoin(F.broadcast(mm))
         .groupBy("pred")
         .agg(
@@ -267,7 +270,11 @@ def q450(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pred", F.lit("equi_depth").alias("method"), "est")
     )
     act = (
-        preds.crossJoin(o.select("o_totalprice"))
+        # 3-row literal on the BROADCAST side: preds.crossJoin(o)
+        # made Spark build-right on orders — broadcasting the fact
+        # table (audit-caught; catastrophic at scale)
+        o.select("o_totalprice")
+        .crossJoin(F.broadcast(preds))
         .groupBy("pred")
         .agg(
             F.count(

@@ -165,7 +165,10 @@ def q590(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).coalesce(1)
     tau = 2 * math.pi
     power = (
-        freqs.crossJoin(pts)
+        # literal on the BROADCAST side: freqs.crossJoin(pts) made
+        # Spark build-right on the event points — broadcasting the
+        # fact table (audit-caught; catastrophic at scale)
+        pts.crossJoin(F.broadcast(freqs))
         .groupBy("name", "f")
         .agg(
             (

@@ -32,9 +32,13 @@ def plan_text(df) -> str:
     return buf.getvalue()
 
 
+# no $ anchor: InMemoryTableScan tree lines carry a trailing
+# "(columnarIn=..., columnarOut=...)" group after the (id); an
+# end-anchored match dropped those lines and broke tree contiguity
+# (children past the break landed in a new block -> 'unparsed').
 _TREE_LINE = re.compile(
     r"^(?P<prefix>[\s:+\-]*)(?:\* )?(?P<op>[A-Za-z][A-Za-z0-9_]*)"
-    r"(?P<rest>[^()]*)\((?P<id>\d+)\)\s*$"
+    r"(?P<rest>[^()]*)\((?P<id>\d+)\)"
 )
 
 # Pass-through wrappers between a BroadcastExchange and the node that
@@ -67,6 +71,47 @@ _JUSTIFIED_BNLJ = {
     # 4096-row mask x voter product derived from it).
     "q426_banzhaf_power": "voter relation bounded by c_nationkey<12 "
     "filter (<=12 rows at any SF)",
+    # --- literal-id-bounded probe/sample builds (filter on a dense
+    # integer key against a literal; row count fixed at any SF) ------
+    "q138_label_noise": "build = vec_id<40 sample (<=40 rows)",
+    "q201_mutual_nn": "build = vec_id<250 probe set (<=250 rows)",
+    "q244_hubness": "build = vec_id<450 sample (<=450 rows)",
+    "q268_lloyd_step": "build = vec_id<8 initial centroids (<=8 rows)",
+    "q333_intrinsic_dim": "build = vec_id<400 sample (<=400 rows)",
+    "q83_ranking_metrics": "build = vec_id<20 query set (<=20 rows)",
+    "q476_voronoi_cells": "build = c_custkey IN 5-id literal list",
+    "q526_rarefaction": "build = k=500 literal rarefaction spine pick",
+    "q371_query_likelihood": "build = per-term stats for the 3-term "
+    "literal query (token IN list, <=3 rows)",
+    # --- key-domain-bounded keyed aggregates (group key has a fixed
+    # finite domain, so the aggregate is bounded whatever the SF) ----
+    "q486_tsp_nearest_neighbor": "build = city centroids grouped by "
+    "c_nationkey<12 (<=12 rows)",
+    "q561_two_opt_annealing": "build = city centroids grouped by "
+    "c_nationkey<12 (<=12 rows)",
+    "q577_prim_mst": "build = node centroids grouped by "
+    "c_nationkey<12 (<=12 rows)",
+    "q323_aa_test": "build = per-arm stats grouped by user_id%4 "
+    "(<=4 rows)",
+    "q372_simpsons_paradox": "build = per-stratum slopes grouped by "
+    "l_returnflag (<=3 rows)",
+    "q376_kendall_tau": "build = daily aggregate keyed by "
+    "dayofmonth (<=31 rows)",
+    "q385_quantile_regression": "build = daily aggregate keyed by "
+    "dayofmonth (<=31 rows)",
+    "q412_ransac": "build = daily series keyed by dayofmonth "
+    "(<=31 rows) joined to 16 literal seeds",
+    "q450_histogram_ce_audit": "build = 32-bin capped histogram "
+    "(bin = least(floor(...),31), <=32 rows)",
+    "q106_corpus_kl": "build = group dimension (one row per source "
+    "value; vocab relation stays on the probe side)",
+    # --- pairwise-by-definition statistics: the O(n^2) pair stream IS
+    # the statistic; scale use requires sampling the inputs upstream
+    # (documented in the operator docs), not a different join ---------
+    "q269_silhouette": "silhouette requires all intra/inter-cluster "
+    "pair distances; inputs are the bounded embedding sample",
+    "q427_mmd_two_sample": "biased MMD^2 is a full kernel two-sample "
+    "statistic; inputs are the label-filtered embedding samples",
 }
 
 
