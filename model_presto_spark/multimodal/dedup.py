@@ -155,16 +155,21 @@ def image_dup_pairs(
     64-bit aHash splits into ``bands`` equal bands; a pair within
     ``max_hamming < bands`` bit flips cannot touch every band, so it
     MUST agree on at least one (pigeonhole — recall 1.0 within the
-    radius) — band equi-join produces candidates, exact bit_count
-    verifies. The SimHash-banding shape on a perceptual hash (no
-    pairwise scan)."""
+    radius). Buckets carry (id, phash) structs and the exact
+    bit_count(xor) Hamming check runs INSIDE the bucket pair
+    expansion: a random band collision (two unrelated images agreeing
+    on one 8-bit band — probability ~1/256 per band, so the collision
+    count grows with n²) is pure codegen CPU and never materializes
+    as a row, where the previous candidates->distinct->two-verify-
+    joins plan shuffled the whole flood. Exact — the result set is
+    identical; hot buckets (an identical-image flood) emit exactly
+    the qualifying pairs, which for true duplicates are themselves
+    quadratic in the flood size (that IS the output)."""
     if max_hamming >= bands:
         raise ValueError(
             f"pigeonhole guarantee needs bands > max_hamming "
             f"(got {bands} <= {max_hamming})"
         )
-    from model_presto_spark.operators.dedup import _pairs_within
-
     hashed = image_phash(media)
     width = 64 // bands
     mask = (1 << width) - 1
@@ -184,22 +189,39 @@ def image_dup_pairs(
     )
     buckets = (
         band_rows.groupBy("band_key")
-        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    cand = (
-        buckets.select(F.explode_outer(_pairs_within("ids")).alias("pr"))
-        .select(F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b"))
-        .distinct()
-    )
-    ha = hashed.select(F.col("media_id").alias("id_a"), F.col("phash").alias("ha"))
-    hb = hashed.select(F.col("media_id").alias("id_b"), F.col("phash").alias("hb"))
-    return (
-        cand.join(ha, "id_a")
-        .join(hb, "id_b")
-        .select(
-            "id_a", "id_b",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        .agg(
+            # struct sorts field-lexicographic; id first => id order
+            F.array_sort(
+                F.collect_set(F.struct(F.col("id"), F.col("phash")))
+            ).alias("ms")
         )
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(F.size("ms") > 1)
+    )
+    ms = F.col("ms")
+    pairs = F.flatten(
+        F.transform(
+            ms,
+            lambda a, i: F.filter(
+                F.transform(
+                    F.slice(ms, i + 2, F.greatest(F.size(ms), F.lit(1))),
+                    lambda b: F.struct(
+                        a["id"].alias("id_a"),
+                        b["id"].alias("id_b"),
+                        F.bit_count(
+                            a["phash"].bitwiseXOR(b["phash"])
+                        ).alias("hamming"),
+                    ),
+                ),
+                lambda p: p["hamming"] <= F.lit(max_hamming),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode_outer(pairs).alias("pr"))
+        .select(
+            F.col("pr.id_a").alias("id_a"),
+            F.col("pr.id_b").alias("id_b"),
+            F.col("pr.hamming").alias("hamming"),
+        )
+        .distinct()
     )
