@@ -74,3 +74,35 @@ def test_token_divergence_no_double_tokenize(spark):
     # tokens() lowers to a regex split; the split expression must not
     # appear inside a size(...) pre-filter
     assert "(size(split(" not in flat
+
+
+def test_ngram_jaccard_auto_picks_generator_by_threshold(spark):
+    """candidates='auto' must route t>=0.5 to the prefix-filtered
+    generator (posexplode over per-doc ordered prefixes) and t<0.5 to
+    the low-constant bucket plan (no posexplode) — the switch point is
+    the prefix pruning power (1-t), measured 7x either way."""
+    from model_presto_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark)
+    hi = _plan(ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8))
+    lo = _plan(ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3))
+    assert "posexplode" in hi.lower()
+    assert "posexplode" not in lo.lower()
+
+
+def test_image_dup_pairs_filters_inside_bucket(spark):
+    """The exact Hamming check must run inside the bucket pair
+    expansion: no join after the bucket stage (the candidate flood
+    from random band collisions must never become join input)."""
+    from pyspark.sql import Row
+
+    from model_presto_spark.multimodal.dedup import image_dup_pairs
+
+    rows = [
+        Row(media_id=1, kind="image", blob=b"P5 2 2 255\n\x00\x01\x02\x03",
+            meta={"height": 2, "width": 2, "channels": 1}),
+        Row(media_id=2, kind="image", blob=b"P5 2 2 255\n\x00\x01\x02\x03",
+            meta={"height": 2, "width": 2, "channels": 1}),
+    ]
+    plan = _plan(image_dup_pairs(spark.createDataFrame(rows), max_hamming=6))
+    assert "join" not in plan.lower()
