@@ -1388,78 +1388,32 @@ def ppjoin_pairs(
 
     Order every doc's distinct gram hashes by GLOBAL document
     frequency (rarest first, (df, gram) ties broken on the hash);
-    only the first ``|g| - ceil(t*|g|) + 1`` grams are indexed. The
-    prefix-filter lemma guarantees two docs with Jaccard >= t share
-    at least one PREFIX gram, so the candidate join touches prefix
-    postings only — at t=0.5 that halves the posting volume and,
-    because prefixes hold each doc's RAREST grams, the inverted
-    index has no hot buckets: the rare-first ordering is the skew
-    guard itself (no ``max_doc_freq`` cutoff needed, so recall is
-    exact — the guarantee the stop-gram cutoff path gives up).
-    Candidates verify with exact Jaccard over the full gram sets.
+    the prefix-filter lemma guarantees two docs with Jaccard >= t
+    share their MINIMAL common gram inside both prefixes, so the
+    candidate join touches prefix postings only — and because
+    prefixes hold each doc's RAREST grams, the inverted index has no
+    hot buckets: the rare-first ordering is the skew guard itself
+    (no ``max_doc_freq`` cutoff, so recall is exact — the guarantee
+    the stop-gram cutoff path gives up). Candidates verify with
+    exact Jaccard over the full gram sets.
+
+    Implementation: delegates to ``ngram_jaccard_pairs`` with the
+    prefix generator and the df cutoff disabled — that generator is
+    the same lemma PLUS size-compatibility (t*n_a <= n_b) and
+    positional suffix bounds pruned inside the join, and a
+    round-robin brute-force parity test plus
+    test_ppjoin_equals_full_inverted_index pin the losslessness.
 
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b, sim >= t.
     """
-    toksed = spread(df).select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
-    )
-    grams = toksed.select(
-        "id",
-        F.array_distinct(
-            hash_array(word_ngrams(F.col("toks"), n), fast=fast_hash)
-        ).alias("grams"),
-    )
-    if reuse:
-        # feeds posting, the prefix build, and both verify sides
-        from pyspark import StorageLevel
-
-        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
-    posting = grams.select("id", F.explode_outer("grams").alias("gram"))
-    # global rare-first order per doc: document frequency via a
-    # partition-wide window count (ONE shuffle on the gram hash — a
-    # groupBy+join-back would shuffle the posting relation twice),
-    # then sort (df, gram) structs per doc and keep the prefix.
-    # sort_array on structs is field-lexicographic — identical to
-    # ORDER BY df, gram.
-    from pyspark.sql import Window
-
-    wg = Window.partitionBy("gram")
-    ordered = (
-        posting.withColumn("df", F.count(F.lit(1)).over(wg))
-        .groupBy("id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("df"), F.col("gram")))
-            ).alias("og")
-        )
-    )
-    pre_len = (
-        F.size("og")
-        - F.ceil(F.lit(float(threshold)) * F.size("og")).cast("int")
-        + 1
-    )
-    prefpost = ordered.select(
-        "id", F.explode_outer(F.slice(F.col("og"), 1, pre_len)).alias("pg")
-    ).select("id", F.col("pg.gram").alias("gram"))
-    buckets = (
-        prefpost.groupBy("gram")
-        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    cand = (
-        buckets.select(F.explode_outer(_pairs_within("ids")).alias("pr"))
-        .select(F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
-    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
-    common = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
-    jac = common.cast("double") / (
-        F.size("g_a") + F.size("g_b") - common
-    ).cast("double")
-    return (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard_sim"))
-        .where(F.col("jaccard_sim") >= F.lit(float(threshold)))
+    return ngram_jaccard_pairs(
+        df,
+        id_col,
+        text_col,
+        n=n,
+        threshold=threshold,
+        max_doc_freq=1 << 62,
+        reuse=reuse,
+        fast_hash=fast_hash,
+        candidates="prefix",
     )
