@@ -163,22 +163,32 @@ _Q46_RC = (
     "the random-timesteps and random-combinations strategies.",
 )
 def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from model_presto_spark.ml.masking import (
-        mask_budget,
-        random_combinations_mask,
-        timestep_mask,
-    )
+    from model_presto_spark.io import spread
+    from model_presto_spark.ml.masking import mask_budget, random_combinations_mask
 
-    cust = _t(spark, sf_dir, "customer")
+    # The md5 draws are CPU-bound and the customer scan is a single
+    # small file (1 partition), which would serialize the masking pass
+    # onto one core — spread() first, like every other hashing-heavy
+    # operator (steady 1.9 s -> 0.65 s at sf0.1 with both fixes).
+    cust = spread(_t(spark, sf_dir, "customer"))
+    # Shared draw stream: with group_sizes=(1,1,1) the
+    # random_combinations draw index i = t*3+g runs 0..35 over the
+    # SAME h60(key||'_'||i) stream that timestep_mask uses for
+    # t = 0..11 (masking.py:28-44,96-103 — identical key format and
+    # seed), so the timestep-mask budget is exactly the count over the
+    # first 12 flags of the flattened rc grid. Materializing the flat
+    # grid once (referenced twice below, so CollapseProject cannot
+    # inline/duplicate it into the lambdas) replaces the 48-draw
+    # two-tree form; results are identity-equal (set-compared at
+    # sf0.01).
     rc = random_combinations_mask(
         F.col("c_custkey"), 12, group_sizes=(1, 1, 1), ratio=0.5, seed=0
     )
     return (
-        cust.select(
-            mask_budget(
-                timestep_mask(F.col("c_custkey"), 12, 0.5, seed=0)
-            ).alias("budget"),
-            mask_budget(F.flatten(rc)).alias("rc_budget"),
+        cust.select(F.flatten(rc).alias("d"))
+        .select(
+            mask_budget(F.slice("d", 1, 12)).alias("budget"),
+            mask_budget(F.col("d")).alias("rc_budget"),
         )
         .groupBy("budget", "rc_budget")
         .agg(F.count(F.lit(1)).alias("n"))
