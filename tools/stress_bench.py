@@ -650,6 +650,25 @@ def main() -> int:
         "scaling_exponent_s10_to_s30": exponents_s30,
         "timings_s30": s30_timings,
         "pass_subquadratic": all(e < 1.7 for e in exponents.values()),
+        # Interpretation guard for the s10->s30 table: the planted
+        # corpus draws from a 36-word vocab, so its 3-gram space is
+        # <= 36^3 = 46,656 distinct grams — avg df ~54 at 50k docs and
+        # ~160 at 150k, both UNDER the max_doc_freq=500 stop-gram cap.
+        # In that regime candidate volume for ANY exact gram-keyed
+        # method has the Sum(df^2) ~ n^2 floor, so the exact
+        # containment path is expected ~quadratic here (the cap turns
+        # it linear again once dfs cross 500, ~450k docs). This is the
+        # adversarial saturating case the candidates='lsh' twin exists
+        # for (exponent + recall reported alongside); real corpora
+        # hash grams into 2^64 space and only their stop-gram head
+        # saturates, which the cap excludes.
+        "notes": {
+            "containment_s30": "exact path superlinear by design on "
+            "the saturating 36-word-vocab corpus (gram space 46,656; "
+            "dfs below the stop-gram cap scale with n => Sum(df^2) "
+            "candidate floor); scale path is candidates='lsh' — see "
+            "containment_lsh exponent + containment_lsh_recall",
+        },
     }
     with open(out_json, "w") as f:
         json.dump(summary, f, indent=2)
