@@ -112,6 +112,27 @@ def test_band_group_mask_groups_together(spark):
         assert len(set(g1)) == 1 and len(set(g2)) == 1 and len(set(g3)) == 1
 
 
+def test_rc_stream_extends_timestep_stream(spark):
+    """q46's shared-draw-stream rewrite leans on this invariant: with
+    group_sizes=(1,1,1) the flattened random_combinations grid's draw
+    index i = t*3+g runs 0..35 over the SAME h60(key||'_'||i) stream
+    that timestep_mask uses for t = 0..11, so the timestep mask IS the
+    first 12 flags of the flattened rc grid. If either helper changes
+    its draw-key format, this must fail before the q46 oracle does."""
+    df = spark.range(40)
+    rows = df.select(
+        M.timestep_mask(F.col("id"), 12, 0.5, seed=0).alias("ts"),
+        F.flatten(
+            M.random_combinations_mask(
+                F.col("id"), 12, group_sizes=(1, 1, 1), ratio=0.5, seed=0
+            )
+        ).alias("rc"),
+    ).collect()
+    for r in rows:
+        assert r.ts == r.rc[:12]
+        assert len(r.rc) == 36
+
+
 def test_apply_series_mask(spark):
     df = spark.createDataFrame(
         [Row(ts=[[1.0, 2.0], [3.0, 4.0]], m=[True, False])]
