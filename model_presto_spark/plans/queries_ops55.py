@@ -553,7 +553,7 @@ _Q473_ORACLE = f"""
 def q473(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = spark.createDataFrame(
         [(1024,), (16384,), (131072,)], "nn long"
-    ).coalesce(1)
+    )
     g = spark.range(0, 131072).select(F.col("id").alias("n"))
     vdc = sum(
         F.shiftright(F.col("n"), i).bitwiseAND(1) * F.lit(2.0 ** -(i + 1))

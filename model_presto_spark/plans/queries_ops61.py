@@ -183,7 +183,7 @@ def q500(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     mny = spark.createDataFrame(
         [(0.9,), (1.0,), (1.1,)], "mny double"
-    ).coalesce(1)
+    )
     base = (
         o.crossJoin(F.broadcast(mny))
         .groupBy("mny")

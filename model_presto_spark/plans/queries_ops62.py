@@ -623,7 +623,7 @@ def q507(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dirs = spark.createDataFrame(
         [(a, b, i) for i, (a, b) in enumerate(_Q507_DIRS)], "a long, b long, t int"
-    ).coalesce(1)
+    )
     proj = pts.crossJoin(F.broadcast(dirs)).select(
         "id", "t", (F.col("a") * F.col("x") + F.col("b") * F.col("y")).alias("pr")
     )

@@ -216,7 +216,7 @@ def q515(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stages = spark.createDataFrame(
         [(1, 1), (2, 5), (3, 25), (4, 100)], "stage int, pct int"
-    ).coalesce(1)
+    )
     err = (
         ev.join(asg, "user_id")
         .join(F.broadcast(stages), F.col("bucket") < F.col("pct"))

@@ -299,7 +299,7 @@ def q526(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     grid = spark.createDataFrame(
         [(n_val * i // 4,) for i in (1, 2, 3)], "nn long"
-    ).coalesce(1)
+    )
 
     def lj(df, key_expr, alias):
         return df.join(
@@ -600,9 +600,13 @@ def q528(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("uniform", 3, 675.0), ("uniform", 4, 900.0),
         ],
         "name string, attempt int, probe double",
-    ).coalesce(1)
+    )
     cov = (
-        sched.crossJoin(rec)
+        # literal schedule on the BROADCAST side, gaps streamed — and
+        # no coalesce(1) on the literal (it pins a PythonRDD scan that
+        # costs seconds of Python-worker roundtrips where a folded
+        # LocalRelation is free)
+        rec.crossJoin(F.broadcast(sched))
         .groupBy("name", "attempt", "probe")
         .agg(
             F.avg(

@@ -278,7 +278,7 @@ def q536(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("click", "purchase"), ("click", "view"), ("purchase", "view"),
         ],
         "a string, b string",
-    ).coalesce(1).select("a", "b", F.lit(1).alias("ok"))
+    ).select("a", "b", F.lit(1).alias("ok"))
     marked = pairs.join(F.broadcast(model), ["a", "b"], "left").select(
         "a", "b", "n", F.col("ok").isNotNull().alias("allowed")
     )

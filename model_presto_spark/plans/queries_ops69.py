@@ -400,7 +400,7 @@ def q543(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ws = spark.createDataFrame(
         [(1, 3600), (6, 21600), (24, 86400)], "w_hr int, w_s long"
-    ).coalesce(1)
+    )
     pos = ev.crossJoin(F.broadcast(ws)).select(
         "w_hr",
         "t",

@@ -296,7 +296,7 @@ def q546(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
         (F.row_number().over(Window.orderBy("ts", "event_id")) - 1).alias("rn"),
     )
-    bs = spark.createDataFrame([(1,), (8,), (64,)], "b int").coalesce(1)
+    bs = spark.createDataFrame([(1,), (8,), (64,)], "b int")
     batched = ev.crossJoin(F.broadcast(bs)).select(
         "b", F.floor(F.col("rn") / F.col("b")).alias("batch"), "t"
     )
@@ -405,7 +405,7 @@ def q547(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("demand_dn", 1.0, 1.0, 0.8),
         ],
         "scenario string, pf double, cf double, df double",
-    ).coalesce(1)
+    )
     par = scen.select(
         "scenario",
         (10.0 * F.col("pf")).alias("price"),

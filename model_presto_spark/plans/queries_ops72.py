@@ -342,57 +342,66 @@ def q556(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("wt"))
     )
-    th = spark.createDataFrame([(1,), (3,), (8,)], "thr int").coalesce(1)
+    th = spark.createDataFrame([(1,), (3,), (8,)], "thr int")
     e_dir = cell.crossJoin(F.broadcast(th)).filter(F.col("wt") > F.col("thr"))
     edges = (
         e_dir.select("thr", "u", "v")
         .unionAll(e_dir.select("thr", F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    nodes = spark.range(0, 25).select(F.col("id").alias("nd"))
-    lbl = nodes.crossJoin(F.broadcast(th)).select(
-        "thr", "nd", F.col("nd").alias("lbl")
+    # The graph is a FIXED 25-node modulo graph regardless of input
+    # scale — only the edge-weight aggregation above grows with data.
+    # So collapse each threshold's edge list to one array row and run
+    # the five min-label rounds as a single F.aggregate fold over the
+    # round counter (HOF lambdas bind at RUNTIME, so unlike unrolled
+    # per-round DataFrame joins the plan neither nests nor re-shuffles:
+    # the previous version spent ~13 s at sf0.1 scheduling 5 rounds x
+    # 3 stages of 32 tasks over 75 label rows; this runs the same
+    # propagation in one projection, measured ~0.15 s from the grouped
+    # edges). Thresholds with zero surviving edges vanish in the
+    # groupBy, matching the oracle's inner join against ecount.
+    g = edges.groupBy("thr").agg(
+        F.collect_list(F.struct("u", "v")).alias("ed"),
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
     )
-    for _ in range(5):
-        nb = (
-            edges.join(
-                lbl.select(
-                    F.col("thr"), F.col("nd").alias("v"), F.col("lbl").alias("nl")
+    init = F.transform(F.sequence(F.lit(0), F.lit(24)), lambda i: i.cast("bigint"))
+
+    def one_round(lbls, _r):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(24)),
+            lambda u: F.aggregate(
+                F.filter(F.col("ed"), lambda e: e["u"] == u.cast("bigint")),
+                F.element_at(lbls, (u + 1).cast("int")),
+                lambda acc, e: F.least(
+                    acc, F.element_at(lbls, (e["v"] + 1).cast("int"))
                 ),
-                ["thr", "v"],
-            )
-            .groupBy("thr", "u")
-            .agg(F.min("nl").alias("minn"))
-            .select("thr", F.col("u").alias("nd"), "minn")
+            ),
         )
-        lbl = (
-            lbl.join(nb, ["thr", "nd"], "left")
-            .select(
-                "thr",
-                "nd",
-                F.least(
-                    F.col("lbl"), F.coalesce("minn", F.col("lbl"))
-                ).alias("lbl"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    comp = lbl.groupBy("thr", "lbl").agg(F.count(F.lit(1)).alias("sz"))
-    ecount = edges.groupBy("thr").agg(
-        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges")
-    )
+
+    lbls = F.aggregate(F.sequence(F.lit(1), F.lit(5)), init, one_round)
     return (
-        comp.groupBy("thr")
-        .agg(
-            F.max("sz").alias("giant"), F.count(F.lit(1)).alias("n_components")
-        )
-        .join(ecount, "thr")
+        g.select("thr", "n_edges", lbls.alias("lbls"))
         .select(
             F.col("thr").cast("bigint").alias("weight_threshold"),
-            F.col("n_edges"),
-            F.col("giant").cast("bigint").alias("giant_component"),
-            r6(F.col("giant") / 25.0).alias("giant_share"),
-            F.col("n_components").cast("bigint").alias("n_components"),
+            "n_edges",
+            F.aggregate(
+                F.array_distinct("lbls"),
+                F.lit(0).cast("bigint"),
+                lambda m, l: F.greatest(
+                    m,
+                    F.size(F.filter(F.col("lbls"), lambda x: x == l)).cast(
+                        "bigint"
+                    ),
+                ),
+            ).alias("giant_component"),
+            F.size(F.array_distinct("lbls")).cast("bigint").alias("n_components"),
+        )
+        .select(
+            "weight_threshold",
+            "n_edges",
+            "giant_component",
+            r6(F.col("giant_component") / 25.0).alias("giant_share"),
+            "n_components",
         )
         .orderBy("weight_threshold")
     )

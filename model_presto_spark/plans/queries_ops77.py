@@ -418,7 +418,7 @@ def q582(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     g = sym(e1, "g1").unionAll(sym(e2, "g2")).localCheckpoint(eager=False)
-    gids = spark.createDataFrame([("g1",), ("g2",)], "g string").coalesce(1)
+    gids = spark.createDataFrame([("g1",), ("g2",)], "g string")
     nodes = spark.range(0, 20).select(F.col("id").alias("nd"))
     col = gids.crossJoin(F.broadcast(nodes)).select(
         "g", "nd", F.lit("x").alias("col")

@@ -213,7 +213,7 @@ def q585(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("k")).select(
         F.col("u").alias("nd"), "k"
     )
-    phis = spark.createDataFrame([(0.2,), (0.4,)], "phi double").coalesce(1)
+    phis = spark.createDataFrame([(0.2,), (0.4,)], "phi double")
     nodes = spark.range(0, 30).select(F.col("id").alias("nd"))
     a = phis.crossJoin(F.broadcast(nodes)).select(
         "phi", "nd", F.when(F.col("nd") == 0, 1).otherwise(0).alias("a")

@@ -162,7 +162,7 @@ def q590(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("weekly", 1.0 / 7), ("control", 0.37),
         ],
         "name string, f double",
-    ).coalesce(1)
+    )
     tau = 2 * math.pi
     power = (
         # literal on the BROADCAST side: freqs.crossJoin(pts) made

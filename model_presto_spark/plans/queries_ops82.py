@@ -65,7 +65,7 @@ def q604(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = h.select(
         "hv", F.row_number().over(Window.orderBy("hv")).alias("rk")
     )
-    ks = spark.createDataFrame([(16,), (64,), (256,)], "k int").coalesce(1)
+    ks = spark.createDataFrame([(16,), (64,), (256,)], "k int")
     est = ks.join(ranked, F.col("rk") == F.col("k")).select(
         "k", ((F.col("k") - 1) / F.col("hv")).alias("e")
     )
@@ -444,9 +444,10 @@ def q608(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("placebo_day11", 11), ("placebo_day22", 22),
         ],
         "name string, cut int",
-    ).coalesce(1)
+    )
     did = (
-        cuts.crossJoin(base)
+        # literal cut list on the BROADCAST side, panel streamed
+        base.crossJoin(F.broadcast(cuts))
         .groupBy("name", "cut")
         .agg(
             (
