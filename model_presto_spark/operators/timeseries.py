@@ -172,11 +172,19 @@ def interpolate_series(
     v, i = F.col(value_col), F.col(idx_col)
     w = Window.partitionBy(entity_col).orderBy(idx_col)
     back = w.rowsBetween(Window.unboundedPreceding, 0)
-    fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    # Forward carries as a GROWING frame on the reversed order: Spark
+    # evaluates (0, unboundedFollowing) frames by rescanning to the
+    # partition end for every row — O(series²) per entity — while
+    # (unboundedPreceding, 0) frames update incrementally. "Next
+    # non-null at or after idx" == "last non-null at or before idx in
+    # descending idx order" (callers pass one row per (entity, idx)).
+    fwd = Window.partitionBy(entity_col).orderBy(F.desc(idx_col)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     prev_v = F.last(v, ignorenulls=True).over(back)
     prev_i = F.last(F.when(v.isNotNull(), i), ignorenulls=True).over(back)
-    next_v = F.first(v, ignorenulls=True).over(fwd)
-    next_i = F.first(F.when(v.isNotNull(), i), ignorenulls=True).over(fwd)
+    next_v = F.last(v, ignorenulls=True).over(fwd)
+    next_i = F.last(F.when(v.isNotNull(), i), ignorenulls=True).over(fwd)
     interp = prev_v + (next_v - prev_v) * (i - prev_i) / (next_i - prev_i)
     filled = (
         F.when(v.isNotNull(), v)

@@ -91,7 +91,18 @@ def q509(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y",
         )
     )
-    w = Window.orderBy("bal", "id")
+    # Both carry directions as GROWING frames: Spark evaluates an
+    # (x, unboundedFollowing) frame by rescanning to the partition end
+    # for every row — O(n²) in the window (measured ~5 s at sf0.1 for
+    # 15k customers) — while (unboundedPreceding, y) frames update
+    # incrementally. "Next control in ascending (bal, id) order" ==
+    # "previous control in descending order", and the order is a total
+    # order (id unique), so the reversed-sort growing frame is
+    # row-identical (set-compared at sf0.1): ~0.5 s.
+    wa = Window.orderBy("bal", "id").rowsBetween(Window.unboundedPreceding, -1)
+    wd = Window.orderBy(F.desc("bal"), F.desc("id")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     ctrl_y = F.when(F.col("t") == 0, F.col("y"))
     ctrl_b = F.when(F.col("t") == 0, F.col("bal"))
     s = u.select(
@@ -99,18 +110,10 @@ def q509(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         "bal",
         "y",
-        F.last(ctrl_y, ignorenulls=True)
-        .over(w.rowsBetween(Window.unboundedPreceding, -1))
-        .alias("prev_y"),
-        F.last(ctrl_b, ignorenulls=True)
-        .over(w.rowsBetween(Window.unboundedPreceding, -1))
-        .alias("prev_bal"),
-        F.first(ctrl_y, ignorenulls=True)
-        .over(w.rowsBetween(1, Window.unboundedFollowing))
-        .alias("next_y"),
-        F.first(ctrl_b, ignorenulls=True)
-        .over(w.rowsBetween(1, Window.unboundedFollowing))
-        .alias("next_bal"),
+        F.last(ctrl_y, ignorenulls=True).over(wa).alias("prev_y"),
+        F.last(ctrl_b, ignorenulls=True).over(wa).alias("prev_bal"),
+        F.last(ctrl_y, ignorenulls=True).over(wd).alias("next_y"),
+        F.last(ctrl_b, ignorenulls=True).over(wd).alias("next_bal"),
     )
     m = s.filter(F.col("t") == 1).select(
         "y",
@@ -249,11 +252,22 @@ def q510(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(kd, ignorenulls=True)
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("pd"),
-        F.first(kv, ignorenulls=True)
-        .over(w.rowsBetween(0, Window.unboundedFollowing))
+        # forward carries as growing frames on the reversed total
+        # order (d unique): an (0, unboundedFollowing) frame rescans
+        # to the end per row, the reversed growing frame is O(n)
+        F.last(kv, ignorenulls=True)
+        .over(
+            Window.orderBy(F.desc("d")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
         .alias("nv"),
-        F.first(kd, ignorenulls=True)
-        .over(w.rowsBetween(0, Window.unboundedFollowing))
+        F.last(kd, ignorenulls=True)
+        .over(
+            Window.orderBy(F.desc("d")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
         .alias("nd"),
     )
     recon = F.when(F.col("keep") == 1, F.col("v") * 1.0).otherwise(

@@ -578,15 +578,21 @@ _Q528_ORACLE = """
 )
 def q528(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # "next ok" as a growing frame on the reversed per-user total
+    # order ((ts, event_id) is unique): an (1, unboundedFollowing)
+    # frame rescans to the partition end per row — O(rows²) per user —
+    # while the reversed growing frame updates incrementally.
+    wd = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    ).rowsBetween(Window.unboundedPreceding, -1)
     t = F.unix_micros(F.col("ts").cast("timestamp"))
     seq = ev.select(
         "event_type",
         t.alias("t"),
-        F.first(
+        F.last(
             F.when(F.col("event_type") != "error", t), ignorenulls=True
         )
-        .over(w.rowsBetween(1, Window.unboundedFollowing))
+        .over(wd)
         .alias("next_ok"),
     )
     rec = seq.filter(
