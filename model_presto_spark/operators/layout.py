@@ -60,6 +60,87 @@ def zorder_key(
     return key
 
 
+def ordered_run_counts(
+    df: DataFrame,
+    order_cols: list[str],
+    value_cols: list[str],
+    bucket: Column,
+) -> DataFrame:
+    """RLE run counts of each value column under a global sort order,
+    WITHOUT a single-task global window.
+
+    A ``Window.orderBy(...)`` with no partition key funnels the whole
+    relation through one task — the classic layout-advisory query
+    (how many runs would each candidate sort order produce?) written
+    that way serializes on exactly the data it is supposed to be
+    sizing. Instead: ``bucket`` must be a MONOTONE NON-DECREASING
+    function of the leading sort key(s) (every row of bucket b sorts
+    before every row of bucket b+1 — e.g. ``year*12+month`` of a date
+    leading key, ``floor(id / k)`` of an integer one). Then
+
+    - within-bucket adjacent changes come from a window PARTITIONED
+      by bucket (parallel across buckets, one hash shuffle);
+    - cross-bucket boundary changes come from each bucket's first and
+      last row, recovered exactly as ``min``/``max`` of a struct whose
+      leading fields are the order columns (a total order, so the
+      extremal structs ARE the boundary rows) — a per-bucket
+      aggregate, then one window over the tiny bucket-summary frame;
+    - ``runs = 1 + within_changes + boundary_changes``.
+
+    Requirements: ``order_cols`` form a total order (unique key) and
+    ``value_cols`` are non-null (NULL-vs-NULL adjacency would need
+    eqNullSafe semantics the simple ``!=`` diff does not count).
+
+    Returns a 1-row DataFrame: ``n`` plus ``<v>_runs`` per value col.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_rb").orderBy(*order_cols)
+    rowstruct = F.struct(
+        *[F.col(c) for c in order_cols],
+        *[F.col(v).alias(f"v_{v}") for v in value_cols],
+    )
+    diffed = df.withColumn("_rb", bucket).select(
+        "_rb",
+        rowstruct.alias("_rs"),
+        *[
+            (F.col(v) != F.lag(v).over(w)).cast("int").alias(f"_d_{v}")
+            for v in value_cols
+        ],
+    )
+    summary = diffed.groupBy("_rb").agg(
+        F.count(F.lit(1)).alias("_n"),
+        # bucket-first rows lag NULL -> comparison NULL -> sum skips,
+        # so this is exactly the within-bucket adjacent-change count
+        *[F.sum(f"_d_{v}").alias(f"_w_{v}") for v in value_cols],
+        F.min("_rs").alias("_first"),
+        F.max("_rs").alias("_last"),
+    )
+    ws = Window.orderBy("_rb")
+    bdiff = summary.select(
+        "_n",
+        *[F.col(f"_w_{v}") for v in value_cols],
+        *[
+            (
+                F.col("_first")[f"v_{v}"]
+                != F.lag(F.col("_last")[f"v_{v}"]).over(ws)
+            )
+            .cast("int")
+            .alias(f"_b_{v}")
+            for v in value_cols
+        ],
+    )
+    return bdiff.agg(
+        F.sum("_n").alias("n"),
+        *[
+            (1 + F.sum(f"_w_{v}") + F.coalesce(F.sum(f"_b_{v}"), F.lit(0))).alias(
+                f"{v}_runs"
+            )
+            for v in value_cols
+        ],
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

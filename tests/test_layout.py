@@ -62,3 +62,60 @@ def test_zorder_layout_prunes_bbox_reads(spark, tmp_path):
     # locality: the 1/64-area box lives in a handful of z-runs
     assert r_files == n_files
     assert z_files <= n_files // 4
+
+
+def test_ordered_run_counts_matches_global_window(spark):
+    """Bucketed run counting == the single-task global-window count,
+    including runs that span bucket boundaries and single-row
+    buckets."""
+    import random
+
+    from pyspark.sql import Window
+
+    from model_presto_spark.operators.layout import ordered_run_counts
+
+    rng = random.Random(7)
+    # key k is the total order; bucket floor(k/10) is monotone in it.
+    # values change with varying stride so runs regularly straddle
+    # the k=10,20,... boundaries; k=95 leaves a final 1-row bucket.
+    rows = [
+        (k, rng.choice("ab"), rng.randrange(3))
+        for k in list(range(95)) + [95]
+    ]
+    df = spark.createDataFrame(rows, "k int, s string, m int")
+
+    w = Window.orderBy("k")
+    brute = (
+        df.select(
+            (F.col("s") != F.lag("s").over(w)).cast("int").alias("ds"),
+            (F.col("m") != F.lag("m").over(w)).cast("int").alias("dm"),
+        )
+        .agg(
+            (1 + F.sum("ds")).alias("s_runs"),
+            (1 + F.sum("dm")).alias("m_runs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    got = ordered_run_counts(
+        df, ["k"], ["s", "m"], F.floor(F.col("k") / 10)
+    ).collect()[0]
+    assert got.n == brute.n == 96
+    assert got.s_runs == brute.s_runs
+    assert got.m_runs == brute.m_runs
+
+
+def test_ordered_run_counts_constant_and_alternating(spark):
+    """Closed-form edges: a constant column is 1 run; a column that
+    changes every row is n runs — regardless of bucketing."""
+    from model_presto_spark.operators.layout import ordered_run_counts
+
+    df = spark.createDataFrame(
+        [(i, 1, i % 2) for i in range(40)], "k int, c int, alt int"
+    )
+    got = ordered_run_counts(
+        df, ["k"], ["c", "alt"], F.floor(F.col("k") / 7)
+    ).collect()[0]
+    assert got.n == 40
+    assert got.c_runs == 1
+    assert got.alt_runs == 40
