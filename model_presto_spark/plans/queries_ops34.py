@@ -143,7 +143,12 @@ _Q365_ORACLE = f"""
 def q365(spark: SparkSession, sf_dir: str) -> DataFrame:
     from model_presto_spark.functions.text import h60
 
-    ev = _t(spark, sf_dir, "events")
+    from model_presto_spark.io import spread
+
+    # the broadcast crossJoin keeps the probe side's partitioning, and
+    # the events scan is one small file — without spread() all
+    # n_events * B h60 draws (the dominant cost) run on one core
+    ev = spread(_t(spark, sf_dir, "events"))
     base = ev.select(
         "event_id", F.round(F.col("value") * 100).cast("bigint").alias("y")
     )

@@ -228,13 +228,11 @@ def _q570_oracle() -> str:
 )
 def q570(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    ks = (
-        o.select(
-            F.col("o_orderkey").alias("k"),
-            F.row_number().over(Window.orderBy("o_orderkey")).alias("rn"),
-        )
-        .filter(F.col("rn") <= 750)
-    )
+    # smallest 750 orderkeys via TakeOrderedAndProject — a global
+    # row_number would sort the whole relation through one task just
+    # to throw away all but the head (the collect_list below re-sorts
+    # anyway, so limit-after-orderBy is order-equivalent here)
+    ks = o.select(F.col("o_orderkey").alias("k")).orderBy("k").limit(750)
     hashed = ks.agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("k"))),
