@@ -668,6 +668,15 @@ def main() -> int:
             "dfs below the stop-gram cap scale with n => Sum(df^2) "
             "candidate floor); scale path is candidates='lsh' — see "
             "containment_lsh exponent + containment_lsh_recall",
+            "minhash_lsh_fast_s30": "unscreened candidate volume is "
+            "dominated by RANDOM band collisions, which scale n^2 at "
+            "a fixed background similarity (measured 5.9M candidates "
+            "at 50k docs, 27.6M at 150k, for ~1k/3k true pairs) — "
+            "the documented flood signature_screen exists for; the "
+            "screened twin's exponent + minhash_screened_recall are "
+            "reported alongside and are the production setting at "
+            "corpus scale (q32's oracle keeps the exact unscreened "
+            "semantics)",
         },
     }
     with open(out_json, "w") as f:
