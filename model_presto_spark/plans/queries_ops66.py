@@ -609,9 +609,11 @@ def q528(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cov = (
         # literal schedule on the BROADCAST side, gaps streamed — and
-        # no coalesce(1) on the literal (it pins a PythonRDD scan that
-        # costs seconds of Python-worker roundtrips where a folded
-        # LocalRelation is free)
+        # no coalesce(1) on the literal: pyspark literals are
+        # RDD-backed, and Coalesce(1) makes the broadcast job pull all
+        # default-parallelism slices sequentially through one task
+        # (one Python-worker roundtrip per slice, ~5 s vs ~0.2 s
+        # materialized in parallel)
         rec.crossJoin(F.broadcast(sched))
         .groupBy("name", "attempt", "probe")
         .agg(

@@ -106,3 +106,93 @@ def test_image_dup_pairs_filters_inside_bucket(spark):
     ]
     plan = _plan(image_dup_pairs(spark.createDataFrame(rows), max_hamming=6))
     assert "join" not in plan.lower()
+
+
+# --- round-5 tail-sweep pins ------------------------------------------------
+
+_SF = "/root/testdata/sf0.001"
+
+
+def test_no_coalesced_literal_dims(spark):
+    """The coalesce(1)-literal pathology: pyspark createDataFrame
+    literals are RDD-backed, and a Coalesce(1) over one makes the
+    broadcast job pull all default-parallelism slices sequentially
+    through one task (~5 s/run of Python-worker roundtrips). These
+    queries had it and must not regrow a Coalesce node."""
+    import os
+
+    if not os.path.exists(_SF):
+        import pytest
+
+        pytest.skip("testdata not present")
+    from model_presto_spark.plans.queries import QUERIES
+
+    for name in [
+        "q507_halfspace_depth",
+        "q515_canary_rollout",
+        "q543_checkpoint_policy",
+        "q547_tornado_sensitivity",
+        "q556_percolation",
+        "q590_uneven_periodogram",
+        "q604_kmv_sketch",
+        "q608_placebo_did",
+    ]:
+        plan = _plan(QUERIES[name].fn(spark, _SF))
+        assert "Coalesce 1" not in plan and "Coalesce(1)" not in plan, name
+
+
+def test_no_unbounded_following_frames(spark):
+    """Spark evaluates (x, unboundedFollowing) window frames by
+    rescanning to the partition end per row — O(n²). Forward carries
+    were rewritten as growing frames over the reversed order; pin it."""
+    import os
+
+    if not os.path.exists(_SF):
+        import pytest
+
+        pytest.skip("testdata not present")
+    from model_presto_spark.plans.queries import QUERIES
+
+    for name in [
+        "q509_matching_att",
+        "q510_polyline_simplify",
+        "q528_retry_backoff",
+        "q79_gap_fill",
+    ]:
+        plan = _plan(QUERIES[name].fn(spark, _SF)).lower()
+        assert "unboundedfollowing" not in plan, name
+
+
+def test_cpu_heavy_small_scans_are_spread(spark):
+    """q46/q365 run 36-720 h60 draws per row; the single-file
+    customer/events scans are 1 partition, so without a round-robin
+    repartition the whole hashing pass serializes onto one core."""
+    import os
+
+    if not os.path.exists(_SF):
+        import pytest
+
+        pytest.skip("testdata not present")
+    from model_presto_spark.plans.queries import QUERIES
+
+    for name in ["q46_mask_budget", "q365_bootstrap_ci"]:
+        plan = _plan(QUERIES[name].fn(spark, _SF))
+        assert "RoundRobinPartitioning" in plan, name
+
+
+def test_percolation_is_a_fold_not_join_rounds(spark):
+    """q556's 25-node label propagation must stay a single HOF fold
+    from the grouped edge lists — no Window, and none of the per-round
+    join/checkpoint machinery (5 rounds cost ~13 s of stage
+    scheduling for 75 label rows)."""
+    import os
+
+    if not os.path.exists(_SF):
+        import pytest
+
+        pytest.skip("testdata not present")
+    from model_presto_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES["q556_percolation"].fn(spark, _SF))
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 12  # agg + join shuffles only
