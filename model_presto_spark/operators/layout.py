@@ -111,8 +111,13 @@ def ordered_run_counts(
     summary = diffed.groupBy("_rb").agg(
         F.count(F.lit(1)).alias("_n"),
         # bucket-first rows lag NULL -> comparison NULL -> sum skips,
-        # so this is exactly the within-bucket adjacent-change count
-        *[F.sum(f"_d_{v}").alias(f"_w_{v}") for v in value_cols],
+        # so this is exactly the within-bucket adjacent-change count;
+        # coalesce because a single-row bucket has NO non-null diffs
+        # (sum = NULL, caught by the hypothesis property test)
+        *[
+            F.coalesce(F.sum(f"_d_{v}"), F.lit(0)).alias(f"_w_{v}")
+            for v in value_cols
+        ],
         F.min("_rs").alias("_first"),
         F.max("_rs").alias("_last"),
     )

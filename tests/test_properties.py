@@ -334,3 +334,77 @@ def test_dsir_sample_is_subset_and_exact_k(spark, docs_n, k, seed):
         for r in dsir_sample(raw, target, k=k, n_buckets=128, seed=seed).collect()
     ]
     assert ids == again
+
+
+@given(
+    vals=st.lists(st.integers(0, 3), min_size=1, max_size=60),
+    bucket_w=st.integers(1, 12),
+)
+@FAST
+def test_ordered_run_counts_matches_linear_reference(spark, vals, bucket_w):
+    """layout.ordered_run_counts == the linear scan's run count for
+    ANY value sequence and ANY monotone bucket width (boundary
+    reconciliation must be exact whether runs straddle bucket edges,
+    whole buckets are constant, or buckets hold one row)."""
+    from model_presto_spark.operators.layout import ordered_run_counts
+
+    expected = 1 + sum(1 for i in range(1, len(vals)) if vals[i] != vals[i - 1])
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k int, v int"
+    )
+    got = ordered_run_counts(
+        df, ["k"], ["v"], F.floor(F.col("k") / bucket_w)
+    ).collect()[0]
+    assert got.n == len(vals)
+    assert got.v_runs == expected
+
+
+@given(
+    series=st.lists(
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@FAST
+def test_interpolate_series_matches_linear_reference(spark, series):
+    """interpolate_series (reversed-growing-frame forward carries) ==
+    the obvious linear-scan gap fill: interior nulls interpolate
+    between nearest non-null neighbors, leading/trailing nulls take
+    the nearest value, all-null stays null."""
+    from model_presto_spark.operators.timeseries import interpolate_series
+
+    def reference(xs):
+        n = len(xs)
+        out = []
+        for i, v in enumerate(xs):
+            if v is not None:
+                out.append(v)
+                continue
+            pi = next((j for j in range(i - 1, -1, -1) if xs[j] is not None), None)
+            ni = next((j for j in range(i + 1, n) if xs[j] is not None), None)
+            if pi is not None and ni is not None:
+                out.append(xs[pi] + (xs[ni] - xs[pi]) * (i - pi) / (ni - pi))
+            elif pi is not None:
+                out.append(xs[pi])
+            elif ni is not None:
+                out.append(xs[ni])
+            else:
+                out.append(None)
+        return out
+
+    df = spark.createDataFrame(
+        [(0, float(i), v) for i, v in enumerate(series)],
+        "e int, idx double, v double",
+    )
+    got = {
+        r.idx: r.vf
+        for r in interpolate_series(df, "e", "idx", "v", "vf").collect()
+    }
+    exp = reference(series)
+    for i, e in enumerate(exp):
+        g = got[float(i)]
+        if e is None:
+            assert g is None
+        else:
+            assert g is not None and abs(g - e) < 1e-9, (i, g, e)
