@@ -467,15 +467,23 @@ def q623(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(8)
         .select(F.col("p_brand").alias("brand"))
     )
+    # Sparse ownership + dense reconstruction instead of the
+    # crossJoin(items) blow-up: the old shape shuffled
+    # |lp| x |items| rows (4.8M at sf0.1) through the groupBy just to
+    # mark x=0 cells. Only actual (person, brand) matches shuffle now
+    # (~190k), and the zero cells come from the persons x items grid
+    # left-joined to them (80k rows). Same respondent matrix;
+    # 3.2 s -> ~1.3 s steady at sf0.1.
+    owned = (
+        lp.join(F.broadcast(items), lp.p_brand == F.col("brand"))
+        .groupBy(F.col("o_custkey").alias("person"), "brand")
+        .agg(F.lit(1).alias("x1"))
+    )
+    persons = lp.select(F.col("o_custkey").alias("person")).distinct()
     resp = (
-        lp.select(F.col("o_custkey").alias("person"), "p_brand")
-        .crossJoin(F.broadcast(items))
-        .groupBy("person", "brand")
-        .agg(
-            F.max(
-                F.when(F.col("p_brand") == F.col("brand"), 1).otherwise(0)
-            ).alias("x")
-        )
+        persons.crossJoin(F.broadcast(items))
+        .join(owned, ["person", "brand"], "left")
+        .select("person", "brand", F.coalesce("x1", F.lit(0)).alias("x"))
         .localCheckpoint(eager=False)
     )
     tot = resp.groupBy("person").agg(F.sum("x").alias("score"))
