@@ -200,15 +200,19 @@ def q625(spark: SparkSession, sf_dir: str) -> DataFrame:
     focal = items.orderBy("brand").limit(1).select(
         F.col("brand").alias("fb")
     )
+    # sparse ownership + dense persons x items grid — the
+    # crossJoin(items) form shuffled |lp| x 8 rows just to materialize
+    # the x=0 cells (same rewrite as q623)
+    owned = (
+        lp.join(F.broadcast(items), lp.p_brand == F.col("brand"))
+        .groupBy(F.col("o_custkey").alias("person"), "brand")
+        .agg(F.lit(1).alias("x1"))
+    )
+    persons_all = lp.select(F.col("o_custkey").alias("person")).distinct()
     resp = (
-        lp.select(F.col("o_custkey").alias("person"), "p_brand")
-        .crossJoin(F.broadcast(items))
-        .groupBy("person", "brand")
-        .agg(
-            F.max(
-                F.when(F.col("p_brand") == F.col("brand"), 1).otherwise(0)
-            ).alias("x")
-        )
+        persons_all.crossJoin(F.broadcast(items))
+        .join(owned, ["person", "brand"], "left")
+        .select("person", "brand", F.coalesce("x1", F.lit(0)).alias("x"))
     )
     scored = (
         resp.crossJoin(F.broadcast(focal))
