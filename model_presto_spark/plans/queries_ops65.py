@@ -164,11 +164,25 @@ _Q520_ORACLE = """
     "Borda/Copeland (q448).",
 )
 def q520(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import itertools
+
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    lp = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).join(
-        o, li.l_orderkey == o.o_orderkey
+    # IRV without sequential tally rounds: with 4 candidates there are
+    # only C(4,0)+C(4,1)+C(4,2) = 11 exclusion sets any elimination
+    # path can visit, so ONE pass tallies every (exclusion set, first
+    # surviving preference) cell and the elimination recursion runs on
+    # the collected <=11x4 cells (a bounded driver collect, the
+    # SCALE.md O(#groups) rule — same class as the CC convergence
+    # probe). The previous shape ran 3 sequential tally rounds with an
+    # eager checkpoint and per-round anti-joins: 4.1 s -> ~2.6 s
+    # steady at sf0.1, rows identical at both SFs.
+    lp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("voter"), "p_brand")
+        .localCheckpoint(eager=False)
     )
     cand = (
         lp.groupBy("p_brand")
@@ -177,9 +191,10 @@ def q520(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(4)
         .select(F.col("p_brand").alias("brand"))
     )
+    cands = [r.brand for r in cand.collect()]
     ballots = (
-        lp.join(F.broadcast(cand), lp.p_brand == cand.brand)
-        .groupBy(F.col("o_custkey").alias("voter"), F.col("p_brand"))
+        lp.filter(F.col("p_brand").isin(cands))
+        .groupBy("voter", "p_brand")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
             "voter",
@@ -190,42 +205,58 @@ def q520(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .alias("pref"),
         )
-        # lineage cut: every IRV round's tally + every elimination pick
-        # re-references the ballots (plan audit: 90 scans with persist)
-        .localCheckpoint(eager=False)
     )
-
-    def tally(excluded, rnd):
-        b = ballots
-        for exdf in excluded:
-            b = b.join(
-                exdf.select(F.col("brand").alias("xb")),
-                b.brand == F.col("xb"),
-                "left_anti",
-            )
-        first = b.groupBy("voter").agg(F.min_by("brand", "pref").alias("brand"))
-        return first.groupBy("brand").agg(F.count(F.lit(1)).alias("votes")).select(
-            F.lit(rnd).alias("round"), "brand", "votes"
+    prefs = ballots.groupBy("voter").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pref", "brand"))),
+            lambda s: s["brand"],
+        ).alias("ranking")
+    )
+    subsets = [
+        tuple(sorted(s))
+        for k in range(3)
+        for s in itertools.combinations(cands, k)
+    ]
+    sub_df = spark.createDataFrame(
+        [("|".join(s), list(s)) for s in subsets], "sid string, ex array<string>"
+    )
+    tallies = (
+        prefs.crossJoin(F.broadcast(sub_df))
+        .select(
+            "sid",
+            # try_element_at: a voter whose whole ranking is excluded
+            # has an empty surviving list and must drop out
+            F.try_element_at(
+                F.filter(
+                    F.col("ranking"),
+                    lambda b: ~F.array_contains(F.col("ex"), b),
+                ),
+                F.lit(1),
+            ).alias("first"),
         )
-
-    r1 = tally([], 1).localCheckpoint(eager=True)
-    e1 = r1.orderBy("votes", F.desc("brand")).limit(1).select("brand")
-    r2 = tally([e1], 2).localCheckpoint(eager=True)
-    e2 = r2.orderBy("votes", F.desc("brand")).limit(1).select("brand")
-    r3 = tally([e1, e2], 3).localCheckpoint(eager=True)
-    e3 = r3.orderBy("votes", F.desc("brand")).limit(1).select("brand")
-
-    def mark(r, e):
-        return r.join(
-            e.select(F.col("brand").alias("eb")), r.brand == F.col("eb"), "left"
-        ).select(
-            "round",
-            "brand",
-            F.col("votes").cast("bigint").alias("first_choice_votes"),
-            F.col("eb").isNotNull().alias("eliminated"),
-        )
-
-    out = mark(r1, e1).unionAll(mark(r2, e2)).unionAll(mark(r3, e3))
+        .filter(F.col("first").isNotNull())
+        .groupBy("sid", "first")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    t: dict[str, dict[str, int]] = {}
+    for r in tallies.collect():
+        t.setdefault(r.sid, {})[r.first] = r.votes
+    rows = []
+    excluded: list[str] = []
+    for rnd in (1, 2, 3):
+        tally = t.get("|".join(sorted(excluded)), {})
+        # elimination pick: fewest first-choice votes, tie -> highest
+        # brand name (matches the orderBy("votes", desc brand) pick)
+        e = sorted(
+            tally.items(),
+            key=lambda kv: (kv[1], tuple(-ord(c) for c in kv[0])),
+        )[0][0]
+        for b, v in tally.items():
+            rows.append((rnd, b, v, b == e))
+        excluded.append(e)
+    out = spark.createDataFrame(
+        rows, "round int, brand string, first_choice_votes long, eliminated boolean"
+    )
     return out.orderBy("round", F.desc("first_choice_votes"), "brand")
 
 
