@@ -1465,6 +1465,60 @@ _ADJUDICATION_TAIL = [
     "q157_tfidf_cosine",
     "q158_interval_coverage",
     "q159_sojourn",
+    # ---- Round-6 session rotation (driver round 6) ----------------------
+    # CORRECTNESS_r05 came back 50/50 GREEN on q160-q209, so that head
+    # parks here and q210-q259 become the new head-50 — the documented
+    # r06 step of the rotation queue above. Next: r07 head := q260-q309.
+    "q160_url_canonical",
+    "q161_quantile_normalize",
+    "q162_poisson_bootstrap",
+    "q163_radius_join",
+    "q164_mann_whitney",
+    "q165_mix_temperature",
+    "q166_watermark_audit",
+    "q167_spearman",
+    "q168_kendall_tau",
+    "q169_dedup_curve",
+    "q170_ngram_novelty",
+    "q171_winsorized_scaler",
+    "q172_bh_fdr",
+    "q173_ppjoin",
+    "q174_twap",
+    "q175_tpch_q5",
+    "q176_tpch_q10",
+    "q177_tpch_q14",
+    "q178_tpch_q8",
+    "q179_tpch_q19",
+    "q180_window_suite",
+    "q181_grouping_sets",
+    "q182_string_suite",
+    "q183_null_semantics",
+    "q184_correlated_subqueries",
+    "q185_exact_money",
+    "q186_union_by_name",
+    "q187_psi_drift",
+    "q188_bilinear_resample",
+    "q189_interleave",
+    "q190_corpus_pipeline",
+    "q191_hierarchy_rollup",
+    "q192_growth_accounting",
+    "q193_rolling_actives",
+    "q194_bloom_join",
+    "q195_cms_heavy_hitters",
+    "q196_cidr_routing",
+    "q197_cdc_apply",
+    "q198_feature_hashing",
+    "q199_negative_sampling",
+    "q200_holt_trend",
+    "q201_mutual_nn",
+    "q202_pii_redaction",
+    "q203_skyline",
+    "q204_consistent_hashing",
+    "q205_neyman_sampling",
+    "q206_time_travel",
+    "q207_target_encoding",
+    "q208_table_checksums",
+    "q209_delta_method",
 ]
 
 
