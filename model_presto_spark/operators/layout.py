@@ -65,6 +65,7 @@ def ordered_run_counts(
     order_cols: list[str],
     value_cols: list[str],
     bucket: Column,
+    check_monotone: bool = False,
 ) -> DataFrame:
     """RLE run counts of each value column under a global sort order,
     WITHOUT a single-task global window.
@@ -90,57 +91,104 @@ def ordered_run_counts(
     Requirements: ``order_cols`` form a total order (unique key) and
     ``value_cols`` are non-null (NULL-vs-NULL adjacency would need
     eqNullSafe semantics the simple ``!=`` diff does not count).
+    ``check_monotone=True`` adds a runtime assertion (one extra
+    boundary comparison per bucket, same plan) that fails the job if
+    any bucket's first row sorts before the previous bucket's last
+    row — i.e. the bucket is NOT a monotone function of the order.
 
     Returns a 1-row DataFrame: ``n`` plus ``<v>_runs`` per value col.
+    An EMPTY input relation yields ``n = 0`` and ``<v>_runs = 0``
+    (zero rows have zero runs, not one).
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("_rb").orderBy(*order_cols)
+    # internal names are __orc_-prefixed; refuse inputs that collide
+    # rather than silently shadowing them
+    clash = [c for c in df.columns if c.startswith("__orc_")]
+    if clash:
+        raise ValueError(
+            f"ordered_run_counts: input columns collide with internal "
+            f"__orc_ namespace: {clash}"
+        )
+
+    w = Window.partitionBy("__orc_rb").orderBy(*order_cols)
     rowstruct = F.struct(
         *[F.col(c) for c in order_cols],
         *[F.col(v).alias(f"v_{v}") for v in value_cols],
     )
-    diffed = df.withColumn("_rb", bucket).select(
-        "_rb",
-        rowstruct.alias("_rs"),
+    diffed = df.withColumn("__orc_rb", bucket).select(
+        "__orc_rb",
+        rowstruct.alias("__orc_rs"),
         *[
-            (F.col(v) != F.lag(v).over(w)).cast("int").alias(f"_d_{v}")
+            (F.col(v) != F.lag(v).over(w)).cast("int").alias(f"__orc_d_{v}")
             for v in value_cols
         ],
     )
-    summary = diffed.groupBy("_rb").agg(
-        F.count(F.lit(1)).alias("_n"),
+    summary = diffed.groupBy("__orc_rb").agg(
+        F.count(F.lit(1)).alias("__orc_n"),
         # bucket-first rows lag NULL -> comparison NULL -> sum skips,
         # so this is exactly the within-bucket adjacent-change count;
         # coalesce because a single-row bucket has NO non-null diffs
         # (sum = NULL, caught by the hypothesis property test)
         *[
-            F.coalesce(F.sum(f"_d_{v}"), F.lit(0)).alias(f"_w_{v}")
+            F.coalesce(F.sum(f"__orc_d_{v}"), F.lit(0)).alias(f"__orc_w_{v}")
             for v in value_cols
         ],
-        F.min("_rs").alias("_first"),
-        F.max("_rs").alias("_last"),
+        F.min("__orc_rs").alias("__orc_first"),
+        F.max("__orc_rs").alias("__orc_last"),
     )
-    ws = Window.orderBy("_rb")
+    ws = Window.orderBy("__orc_rb")
+    order_struct = lambda c: F.struct(  # noqa: E731
+        *[F.col(c)[oc].alias(oc) for oc in order_cols]
+    )
     bdiff = summary.select(
-        "_n",
-        *[F.col(f"_w_{v}") for v in value_cols],
+        "__orc_n",
+        *[F.col(f"__orc_w_{v}") for v in value_cols],
         *[
             (
-                F.col("_first")[f"v_{v}"]
-                != F.lag(F.col("_last")[f"v_{v}"]).over(ws)
+                F.col("__orc_first")[f"v_{v}"]
+                != F.lag(F.col("__orc_last")[f"v_{v}"]).over(ws)
             )
             .cast("int")
-            .alias(f"_b_{v}")
+            .alias(f"__orc_b_{v}")
             for v in value_cols
         ],
+        # monotone-bucket violation: this bucket's first row sorts
+        # BEFORE the previous bucket's last row (struct comparison is
+        # lexicographic over the order columns)
+        (
+            order_struct("__orc_first")
+            < F.lag(order_struct("__orc_last")).over(ws)
+        )
+        .cast("int")
+        .alias("__orc_viol"),
     )
+    n_raw = F.coalesce(F.sum("__orc_n"), F.lit(0).cast("long"))
+    if check_monotone:
+        # assert_true is NULL on success (coalesce -> 0), errors the
+        # job otherwise — no extra action needed
+        n_expr = n_raw + F.coalesce(
+            F.assert_true(
+                F.coalesce(F.sum("__orc_viol"), F.lit(0)) == 0,
+                F.lit(
+                    "ordered_run_counts: bucket is not monotone "
+                    "non-decreasing along order_cols"
+                ),
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        )
+    else:
+        n_expr = n_raw
     return bdiff.agg(
-        F.sum("_n").alias("n"),
+        n_expr.alias("n"),
         *[
-            (1 + F.sum(f"_w_{v}") + F.coalesce(F.sum(f"_b_{v}"), F.lit(0))).alias(
-                f"{v}_runs"
+            F.when(n_raw == 0, F.lit(0).cast("long"))
+            .otherwise(
+                1
+                + F.sum(f"__orc_w_{v}")
+                + F.coalesce(F.sum(f"__orc_b_{v}"), F.lit(0))
             )
+            .alias(f"{v}_runs")
             for v in value_cols
         ],
     )

@@ -167,7 +167,7 @@ def q494(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", jac.alias("j"))
         .localCheckpoint(eager=False)
     )
-    stats = (
+    stats_agg = (
         cand.join(scored, ["id_a", "id_b"])
         .groupBy("bands")
         .agg(
@@ -176,6 +176,16 @@ def q494(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_true"),
         )
+    )
+    # A band config with ZERO candidates must still emit its row
+    # (the oracle's UNION ALL always yields all three configs):
+    # left-join the measured stats onto the literal config spine and
+    # zero-fill, instead of letting groupBy drop the empty group.
+    configs = spark.createDataFrame([(2,), (4,), (8,)], "bands int")
+    stats = configs.join(F.broadcast(stats_agg), "bands", "left").select(
+        "bands",
+        F.coalesce(F.col("n_cand"), F.lit(0).cast("bigint")).alias("n_cand"),
+        F.coalesce(F.col("n_true"), F.lit(0).cast("bigint")).alias("n_true"),
     )
     n_truth = scored.filter(F.col("j") >= 0.5).agg(
         F.count(F.lit(1)).alias("nt")

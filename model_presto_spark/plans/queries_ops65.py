@@ -245,12 +245,16 @@ def q520(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded: list[str] = []
     for rnd in (1, 2, 3):
         tally = t.get("|".join(sorted(excluded)), {})
-        # elimination pick: fewest first-choice votes, tie -> highest
-        # brand name (matches the orderBy("votes", desc brand) pick)
-        e = sorted(
-            tally.items(),
-            key=lambda kv: (kv[1], tuple(-ord(c) for c in kv[0])),
-        )[0][0]
+        if not tally:
+            # every remaining ballot exhausted — no further rounds
+            # (the oracle's recursive tally likewise emits nothing)
+            break
+        # elimination pick: fewest first-choice votes, tie -> MAX brand
+        # string (the oracle's ORDER BY votes, brand DESC LIMIT 1).
+        # Explicit min-then-max instead of a negated-ordinal sort key,
+        # which diverges when one brand is a proper prefix of another.
+        mv = min(tally.values())
+        e = max(b for b, v in tally.items() if v == mv)
         for b, v in tally.items():
             rows.append((rnd, b, v, b == e))
         excluded.append(e)
