@@ -131,7 +131,11 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", shingle_k=5, num_hashes=16, bands=4, threshold=0.5
+        docs, "doc_id", "text", shingle_k=5, num_hashes=16, bands=4,
+        threshold=0.5,
+        # the oracle's candidate set is the exact unscreened LSH
+        # semantics — pin it (the operator default is size-aware auto)
+        signature_screen=None,
     )
     return pairs.select(
         "id_a", "id_b", F.round(F.col("jaccard_sim") + 5e-12, 6).alias("jaccard_sim")

@@ -156,7 +156,10 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return ngram_containment_pairs(
-        docs, "doc_id", "text", n=_CN, threshold=_CTH, max_doc_freq=_CMAXDF
+        docs, "doc_id", "text", n=_CN, threshold=_CTH, max_doc_freq=_CMAXDF,
+        # oracle contract: exact-recall inverted-index candidates
+        # (the operator default is size-aware auto -> lsh at scale)
+        candidates="index",
     )
 
 

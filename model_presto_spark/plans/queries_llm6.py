@@ -89,6 +89,8 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", shingle_k=5, num_hashes=16, bands=4,
         threshold=_Q169_FLOOR,
+        # oracle contract: exact unscreened candidate semantics
+        signature_screen=None,
     ).localCheckpoint(eager=False)
     th = spark.range(1).select(
         F.explode(

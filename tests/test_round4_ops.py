@@ -769,3 +769,82 @@ def test_c4_flags_hand_cases(spark):
     assert out[3]["r_lorem"] is False
     assert out[4]["r_sentences"] is False  # no terminal punctuation
     assert out[4]["r_short_lines"] is False  # every line < 5 words
+
+
+# ---------------------------------------------------------------------------
+# size-aware auto defaults (round-6: scale-safe modes ARE the default)
+# ---------------------------------------------------------------------------
+def test_dedup_auto_routing(spark):
+    """Default mode args route by corpus size: exact paths below
+    auto_min_docs (result-identical to the pinned exact calls), the
+    screened/LSH scale paths at/above it (plans still execute; the
+    scale paths are recall-measured in tools/stress_bench.py, not
+    here)."""
+    from model_presto_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_containment_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"alpha beta gamma delta epsilon zeta eta theta doc "
+                f"{i % 7} tail {i % 5} words here now",
+            )
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    # below the cutoff: auto == exact semantics, pair-for-pair
+    auto_mh = sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    )
+    exact_mh = sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, signature_screen=None
+        ).collect()
+    )
+    assert auto_mh == exact_mh and auto_mh
+    auto_ct = sorted(
+        (r.id_a, r.id_b)
+        for r in ngram_containment_pairs(
+            docs, "doc_id", "text", threshold=0.6
+        ).collect()
+    )
+    exact_ct = sorted(
+        (r.id_a, r.id_b)
+        for r in ngram_containment_pairs(
+            docs, "doc_id", "text", threshold=0.6, candidates="index"
+        ).collect()
+    )
+    assert auto_ct == exact_ct and auto_ct
+    # at/above the cutoff (forced low): the scale paths engage and the
+    # screened minhash still finds the planted near-identical pair
+    twin = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight"),
+         (101, "the quick brown fox jumps over the lazy dog tonight!")],
+        "doc_id long, text string",
+    )
+    scaled = minhash_lsh_pairs(
+        docs.unionAll(twin), "doc_id", "text", threshold=0.5,
+        auto_min_docs=10,
+    )
+    pairs = {(r.id_a, r.id_b) for r in scaled.collect()}
+    assert (100, 101) in pairs
+    n_lsh = ngram_containment_pairs(
+        docs.unionAll(twin), "doc_id", "text", threshold=0.6,
+        auto_min_docs=10,
+    ).count()
+    assert n_lsh > 0
+    # bad mode strings still rejected
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(
+            docs, "doc_id", "text", signature_screen="bogus"
+        )
+    with pytest.raises(ValueError):
+        ngram_containment_pairs(docs, "doc_id", "text", candidates="bogus")

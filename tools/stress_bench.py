@@ -22,7 +22,9 @@ import time
 
 import numpy as np
 
-SCRATCH = "/tmp/stress_sf1"
+# bumped r6: corpus gained the size-skewed containment plants below —
+# stale cached parquet from earlier rounds must not be reused
+SCRATCH = "/tmp/stress_sf1_r6"
 
 WORDS = (
     "batch part spark line column order small sort fast value scan hash slow "
@@ -52,6 +54,24 @@ def gen_documents(n_docs: int, seed: int = 11) -> "pd.DataFrame":
     # blocking/inverted-index paths)
     for i in range(0, n_docs, 20):
         texts[i] = "spark " + texts[i]
+    # size-skewed containment plants (doc-inside-doc, the operator's
+    # raison d'être): the LAST 200 ids form 50 groups of (container
+    # ~300 words, rho~0.1 child = a 30-word contiguous slice,
+    # rho~0.3 child = a 100-word slice, untouched filler). Written
+    # LAST so the near-dup/hot-prefix mutations above cannot clobber
+    # them; ids are deterministic so the bench can measure
+    # containment-LSH recall per rho band (recall collapses as
+    # rho -> 0 because implied J = t*rho/(1+rho-t*rho) -> 0 — this
+    # corpus makes that degradation measurable instead of hiding it
+    # behind near-same-size planted pairs).
+    if n_docs >= 1000:
+        base = n_docs - 200
+        for j in range(50):
+            big = rng.choice(WORDS, size=300)
+            off = int(rng.integers(0, 200))
+            texts[base + 4 * j] = " ".join(big)
+            texts[base + 4 * j + 1] = " ".join(big[off : off + 30])
+            texts[base + 4 * j + 2] = " ".join(big[off : off + 100])
     langs = rng.choice(["en", "fr", "de", "zh", "es"], size=n_docs)
     return pd.DataFrame(
         {
@@ -125,9 +145,12 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     # op are dropped before the next so ops don't fight for executor
     # memory across measurements.
     t0 = time.time()
-    mh = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).localCheckpoint(
-        eager=True
-    )
+    # signature_screen pinned: this is the exact-semantics baseline
+    # (and the recall denominator below); the operator DEFAULT is now
+    # size-aware auto, measured separately as minhash_default
+    mh = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.8, signature_screen=None
+    ).localCheckpoint(eager=True)
     n_mh = mh.count()
     timings["minhash_lsh"] = time.time() - t0
     spark.catalog.clearCache()
@@ -145,7 +168,8 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     mh_fast = {
         (r["id_a"], r["id_b"])
         for r in minhash_lsh_pairs(
-            docs, "doc_id", "text", threshold=0.8, fast_hash=True
+            docs, "doc_id", "text", threshold=0.8, fast_hash=True,
+            signature_screen=None,
         ).collect()
     }
     timings["minhash_lsh_fast"] = time.time() - t0
@@ -164,6 +188,16 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     }
     timings["minhash_lsh_screened"] = time.time() - t0
     mh_recall = len(mh_scr & mh_fast) / len(mh_fast) if mh_fast else 1.0
+    spark.catalog.clearCache()
+
+    # defaults-routing probe: calling the operator with DEFAULT mode
+    # args must land on the screened path at corpus scale (>= 20k
+    # docs) and the exact path below — the size-aware auto default
+    t0 = time.time()
+    n_mh_def = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.8, fast_hash=True
+    ).count()
+    timings["minhash_default"] = time.time() - t0
     spark.catalog.clearCache()
 
     t0 = time.time()
@@ -295,9 +329,12 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     from model_presto_spark.operators.dedup import ngram_containment_pairs
 
+    # candidates pinned to the exact-recall index path: this is the
+    # recall denominator; the operator DEFAULT is now size-aware auto,
+    # measured separately as containment_default
     cont_exact = ngram_containment_pairs(
         docs, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=500,
-        fast_hash=True,
+        fast_hash=True, candidates="index",
     )
     exact_pairs = {(r["id_a"], r["id_b"]) for r in cont_exact.collect()}
     n_cont = len(exact_pairs)
@@ -317,6 +354,32 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     cont_recall = (
         len(lsh_pairs & exact_pairs) / n_cont if n_cont else 1.0
     )
+    spark.catalog.clearCache()
+
+    # per-rho recall over the size-skewed doc-inside-doc plants (the
+    # last 200 ids; see gen_documents): containment's actual use case
+    # is rho << 1, where band-collision probability collapses — the
+    # recorded curve must show that, not the flattering same-size case
+    n_total_docs = docs.count()
+    pbase = n_total_docs - 200
+    planted = {
+        "rho01": {(pbase + 4 * j, pbase + 4 * j + 1) for j in range(50)},
+        "rho03": {(pbase + 4 * j, pbase + 4 * j + 2) for j in range(50)},
+    }
+    cont_recall_rho = {}
+    for band, pset in planted.items():
+        denom = exact_pairs & pset
+        cont_recall_rho[band] = (
+            round(len(lsh_pairs & denom) / len(denom), 4) if denom else None
+        )
+
+    # defaults-routing probe (same contract as minhash_default)
+    t0 = time.time()
+    n_cont_def = ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=500,
+        fast_hash=True,
+    ).count()
+    timings["containment_default"] = time.time() - t0
     spark.catalog.clearCache()
 
     t0 = time.time()
@@ -497,6 +560,14 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         "containment_pairs": n_cont,
         "containment_lsh_pairs": n_cont_lsh,
         "containment_lsh_recall": round(cont_recall, 4),
+        "containment_lsh_recall_rho01": cont_recall_rho["rho01"],
+        "containment_lsh_recall_rho03": cont_recall_rho["rho03"],
+        "minhash_default_pairs": n_mh_def,
+        "containment_default_pairs": n_cont_def,
+        "auto_routing": {
+            "minhash": "screened" if n_total_docs >= 20000 else "exact",
+            "containment": "lsh" if n_total_docs >= 20000 else "index",
+        },
         "dsir_kept": n_dsir,
         "semantic_dups": n_sem,
         "ngram_pairs": n_ng,
@@ -536,7 +607,8 @@ def run_light_suite(spark, sf_dir: str) -> dict[str, float]:
 
     t0 = time.time()
     minhash_lsh_pairs(
-        docs, "doc_id", "text", threshold=0.8, fast_hash=True
+        docs, "doc_id", "text", threshold=0.8, fast_hash=True,
+        signature_screen=None,
     ).count()
     timings["minhash_lsh_fast"] = time.time() - t0
     spark.catalog.clearCache()
@@ -549,6 +621,14 @@ def run_light_suite(spark, sf_dir: str) -> dict[str, float]:
     timings["minhash_lsh_screened"] = time.time() - t0
     spark.catalog.clearCache()
 
+    # defaults must route a 150k-doc corpus to the screened path
+    t0 = time.time()
+    minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.8, fast_hash=True
+    ).count()
+    timings["minhash_default"] = time.time() - t0
+    spark.catalog.clearCache()
+
     t0 = time.time()
     ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.8, fast_hash=True
@@ -559,7 +639,7 @@ def run_light_suite(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     ngram_containment_pairs(
         docs, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=500,
-        fast_hash=True,
+        fast_hash=True, candidates="index",
     ).count()
     timings["containment"] = time.time() - t0
     spark.catalog.clearCache()
@@ -570,6 +650,15 @@ def run_light_suite(spark, sf_dir: str) -> dict[str, float]:
         fast_hash=True, candidates="lsh",
     ).count()
     timings["containment_lsh"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    # defaults must route a 150k-doc corpus to the lsh path
+    t0 = time.time()
+    ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=500,
+        fast_hash=True,
+    ).count()
+    timings["containment_default"] = time.time() - t0
     spark.catalog.clearCache()
     return timings
 
@@ -598,6 +687,8 @@ def main() -> int:
         "ngram_jaccard",
         "minhash_lsh_fast",
         "minhash_lsh_screened",
+        "minhash_default",
+        "containment_default",
         "ngram_jaccard_fast",
         "ann_lsh",
         "dsir",
@@ -677,6 +768,19 @@ def main() -> int:
             "reported alongside and are the production setting at "
             "corpus scale (q32's oracle keeps the exact unscreened "
             "semantics)",
+            "defaults": "minhash_default / containment_default call "
+            "the operators with DEFAULT mode args: the size-aware "
+            "auto heuristic routes >= 20k docs to screened/lsh (see "
+            "counts.auto_routing). Their s1->s10 exponent is "
+            "mode-mixed by design (exact at 5k, scale path at 50k); "
+            "the s10->s30 exponent is the pure scale-path number.",
+            "containment_recall_rho": "containment_lsh_recall_rho01/"
+            "rho03 measure the lsh twin on planted doc-inside-doc "
+            "pairs at size ratio ~0.1 / ~0.33 (last 200 ids of the "
+            "corpus): implied J = t*rho/(1+rho-t*rho) collapses as "
+            "rho -> 0, so LOW rho01 recall is the honest recorded "
+            "trade, not a regression — pin candidates='index' where "
+            "extreme doc-inside-doc recall is required.",
         },
     }
     with open(out_json, "w") as f:
