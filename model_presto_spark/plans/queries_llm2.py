@@ -121,8 +121,14 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_ngrams_all,
     )
 
+    from model_presto_spark.io import spread
+
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    # spread first: the gram-string build + sort/distinct folds are
+    # CPU-bound and must not inherit the single-file scan's one
+    # partition (the round-5 pathology #3; documents is 1 partition
+    # at sf0.1)
+    toks = spread(docs).select("doc_id", tokens(F.col("text")).alias("__toks"))
     grams = toks.select(
         "doc_id", word_ngrams_all(F.col("__toks"), 2).alias("__grams")
     )
