@@ -963,7 +963,11 @@ def ngram_containment_pairs(
       t=0.6 a same-size pair (J≈0.43) collides with P≈1.0, a 3x
       size-skewed pair (J≈0.18) with P≈0.87 at 64x2 bands, and
       extreme doc-inside-doc (ρ→0) degrades further; pairs found
-      are scored exactly. ``max_bucket_size`` caps mega-bucket pair
+      are scored exactly. MEASURED curve (STRESS_r12, planted
+      doc-inside-doc families): recall ≈ 0.98–1.0 at ρ≈0.33,
+      ≈ 0.40–0.44 at ρ≈0.1 — the lsh mode trades away exactly the
+      extreme containment case, so pin ``candidates="index"`` when
+      hunting deep doc-inside-doc pairs regardless of corpus size. ``max_bucket_size`` caps mega-bucket pair
       expansion with consecutive-chain pairs (same guard as
       ``minhash_lsh_pairs``). tools/stress_bench.py measures the
       lsh-vs-index recall on its planted corpus alongside the
