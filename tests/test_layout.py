@@ -119,3 +119,45 @@ def test_ordered_run_counts_constant_and_alternating(spark):
     assert got.n == 40
     assert got.c_runs == 1
     assert got.alt_runs == 40
+
+
+def test_ordered_run_counts_guards(spark):
+    """Round-6 hardening: empty input -> n=0/runs=0; __orc_ column
+    collision rejected; check_monotone fails the job on a
+    non-monotone bucket and passes on a monotone one."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from model_presto_spark.operators.layout import ordered_run_counts
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "k int, v int"
+    )
+    empty = df.filter(F.col("k") < 0)
+    row = ordered_run_counts(
+        empty, ["k"], ["v"], F.floor(F.col("k") / 5)
+    ).collect()[0]
+    assert row.n == 0 and row.v_runs == 0
+
+    with pytest.raises(ValueError, match="__orc_"):
+        ordered_run_counts(
+            df.withColumn("__orc_rb", F.lit(1)),
+            ["k"],
+            ["v"],
+            F.floor(F.col("k") / 5),
+        )
+
+    # monotone bucket: assertion passes, counts unchanged
+    ok = ordered_run_counts(
+        df, ["k"], ["v"], F.floor(F.col("k") / 5), check_monotone=True
+    ).collect()[0]
+    base = ordered_run_counts(
+        df, ["k"], ["v"], F.floor(F.col("k") / 5)
+    ).collect()[0]
+    assert (ok.n, ok.v_runs) == (base.n, base.v_runs)
+
+    # non-monotone bucket (k % 4 interleaves the order): job fails
+    with pytest.raises(SparkRuntimeException, match="not monotone"):
+        ordered_run_counts(
+            df, ["k"], ["v"], F.col("k") % 4, check_monotone=True
+        ).collect()
