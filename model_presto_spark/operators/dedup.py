@@ -779,7 +779,10 @@ def window_hashes(
     """
     from model_presto_spark.functions.text import h60, h60_fast
 
-    toksed = docs.select(id_col, tokens(F.col(text_col)).alias("toks"))
+    # spread first: the per-window md5 below (one hash per token
+    # position) is the dominant CPU of every winnowing/span-dedup
+    # caller and must not inherit the scan's single partition
+    toksed = spread(docs).select(id_col, tokens(F.col(text_col)).alias("toks"))
     n = F.size("toks")
     idx = F.when(
         n >= k, F.sequence(F.lit(1), n - k + 1)

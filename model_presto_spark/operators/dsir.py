@@ -75,7 +75,12 @@ def hashed_ngram_buckets(
 ) -> DataFrame:
     """(id, bucket, cnt): unigram+bigram occurrences hashed into
     ``n_buckets`` buckets, counted per document (map-side combined)."""
-    toksed = docs.select(
+    from model_presto_spark.io import spread
+
+    # spread first: the tokenize + bigram-concat + per-occurrence md5
+    # pass is the dominant CPU and must not inherit a small scan's
+    # single partition (io.spread docstring; round-5 pathology #3)
+    toksed = spread(docs).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     )
     feats = toksed.select(

@@ -370,12 +370,17 @@ _Q244_ORACLE = f"""
     "LSH (q40) / IVF as the uncapped scale paths.",
 )
 def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.io import spread
     from model_presto_spark.operators.knn import knn_join
 
-    emb = (
-        _t(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") < _Q244_CAP)
-        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    # raw float arrays (NO upfront array<double> cast — CollapseProject
+    # would inline the cast into the distance fold and re-cast the
+    # whole vector per element; _distance casts per element already)
+    # + spread: the candidate side streams the crossJoin, and the
+    # single-file embeddings scan would otherwise score all 450x450
+    # pairs on one task
+    emb = spread(
+        _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < _Q244_CAP)
     )
     nn = knn_join(
         emb.withColumnRenamed("vec_id", "probe_id"),

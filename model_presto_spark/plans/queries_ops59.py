@@ -316,9 +316,14 @@ _Q491_ORACLE = """
     "(q40/q468) costs, with a fully reproducible 'random' matrix.",
 )
 def q491(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.io import spread
+
+    # spread before the checkpoint: the pairwise zip_with folds below
+    # (~5M interpreted lambda frames) inherit the checkpoint's
+    # partitioning, and the single-file embeddings scan is 1 partition
+    # at sf0.1 (the round-5 pathology #3)
     e = (
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % 5 == 0)
+        spread(_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .localCheckpoint(eager=False)
     )
