@@ -50,7 +50,11 @@ def doc_token_counts(
     avoids the InferFiltersFromGenerate double-evaluation of the
     tokenize expression (see verify-skill gotchas); whitespace-only
     docs yield a null token row that is filtered right after."""
-    toks = docs.select(
+    from model_presto_spark.io import spread
+
+    # spread: tokenize+explode is the pre-shuffle CPU of every LM
+    # family query and must not inherit a 1-partition scan
+    toks = spread(docs).select(
         id_col, F.explode_outer(T.tokens(F.col(text_col))).alias("token")
     ).where(F.col("token").isNotNull())
     return toks.groupBy(id_col, "token").agg(F.count("*").alias("cnt"))
@@ -293,7 +297,10 @@ def bigram_positions(
     """(doc_id, prev, token, cnt) — bigram occurrences per document
     (the first token of a doc has no bigram position). Same
     explode_outer discipline as doc_token_counts."""
-    toksed = docs.select(id_col, T.tokens(F.col(text_col)).alias("toks"))
+    from model_presto_spark.io import spread
+
+    # spread: same pre-shuffle tokenize guard as doc_token_counts
+    toksed = spread(docs).select(id_col, T.tokens(F.col(text_col)).alias("toks"))
     n = F.size("toks")
     idx = F.when(n >= 2, F.sequence(F.lit(2), n)).otherwise(
         F.array().cast("array<int>")

@@ -64,7 +64,12 @@ def gopher_quality_flags(
     token-multiset analog of the paper's character-fraction
     definitions (same signals as q61).
     """
-    base = docs.select(
+    from model_presto_spark.io import spread
+
+    # spread first: the rule bundle below (token folds + gram sorts +
+    # regex passes) is pure CPU and must not inherit a small scan's
+    # single partition (round-5 pathology #3)
+    base = spread(docs).select(
         id_col,
         F.col(text_col).alias("__t"),
         tokens(F.col(text_col)).alias("__toks"),
@@ -154,7 +159,10 @@ def c4_quality_flags(
     has_lorem, has_brace, r_sentences, r_terminal, r_short_lines,
     r_lorem, r_brace, c4_pass).
     """
-    base = docs.select(
+    from model_presto_spark.io import spread
+
+    # spread: same CPU-on-one-scan-partition guard as gopher above
+    base = spread(docs).select(
         id_col,
         F.col(text_col).alias("__t"),
         F.filter(
