@@ -41,7 +41,11 @@ def ngram_contamination(
     document. ``contamination`` = n_overlap / n_grams (distinct-gram
     Jaccard containment of the document in the benchmark gram pool).
     """
-    corpus_grams = corpus.select(
+    from model_presto_spark.io import spread
+
+    # spread: the corpus tokenize+ngram pass is the dominant CPU and
+    # must not inherit a single-file scan's one partition
+    corpus_grams = spread(corpus).select(
         F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks")
     ).select("__id", word_ngrams(F.col("__toks"), n).alias("__grams"))
 

@@ -49,8 +49,11 @@ def segment_by_delimiter(
     """(id, line_no, line): split on a literal delimiter, keeping
     original order; empty/whitespace-only lines are dropped (they are
     never content and would dominate doc frequency)."""
+    from model_presto_spark.io import spread
+
     parts = F.split(F.col(text_col), F.lit(delimiter), -1)
-    out = docs.select(
+    # spread: split+explode is pre-shuffle CPU (1-partition scans)
+    out = spread(docs).select(
         id_col, F.posexplode(parts).alias("line_no", "line")
     )
     return out.where(F.trim("line") != "")
@@ -65,7 +68,10 @@ def segment_by_width(
     """(id, line_no, line): consecutive NON-overlapping ``width``-token
     windows (the delimiter-free segmentation; the final short remnant
     is kept as its own line). line_no is 0-based."""
-    toksed = docs.select(id_col, tokens(F.col(text_col)).alias("toks"))
+    from model_presto_spark.io import spread
+
+    # spread: tokenize + window segmentation is pre-shuffle CPU
+    toksed = spread(docs).select(id_col, tokens(F.col(text_col)).alias("toks"))
     n = F.size("toks")
     # Empty docs are dropped by an EXPLICIT cheap filter so the
     # explode can be _outer: a plain explode would get an inferred

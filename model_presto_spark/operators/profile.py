@@ -251,7 +251,10 @@ def token_divergence(
     # that re-tokenizes every document a second time; outer emits one
     # NULL token for empty/null docs instead, dropped right after
     # (cheap column-ref filter, not a re-tokenize).
-    tok = docs.select(
+    from model_presto_spark.io import spread
+
+    # spread: tokenize+explode is pre-shuffle CPU (1-partition scans)
+    tok = spread(docs).select(
         F.col(group_col).alias("grp"),
         F.explode_outer(tokens(F.col(text_col))).alias("t"),
     ).filter(F.col("t").isNotNull())
