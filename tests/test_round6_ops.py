@@ -262,3 +262,66 @@ def test_twap_equals_mean_on_regular_grid(spark):
     # held values are the first three (last has no next observation)
     assert abs(out[0].twap - 30.0) < 1e-6
     assert out[0].n_intervals == 3
+
+
+def test_spread_mode_knob(spark, sf_dir):
+    """spark.model_presto.spread.mode=never makes spread() an exact
+    no-op (the wide-scan deployment knob); the default repartitions
+    to cluster parallelism."""
+    from model_presto_spark.io import load_table, spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert spread(docs) is not docs
+    assert (
+        spread(docs).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    spark.conf.set("spark.model_presto.spread.mode", "never")
+    try:
+        assert spread(docs) is docs
+    finally:
+        spark.conf.unset("spark.model_presto.spread.mode")
+    # explicit num_partitions still honored in default mode
+    assert spread(docs, 7).rdd.getNumPartitions() == 7
+
+
+def test_dedup_auto_min_docs_boundary(spark):
+    """The auto heuristic flips exactly at auto_min_docs: n-1 docs
+    stay on the exact path (pair-identical to the pinned call), n
+    docs land on the scale path (still finds the planted twin)."""
+    from model_presto_spark.operators.dedup import minhash_lsh_pairs
+
+    def corpus(n):
+        rows = [
+            (i, f"alpha beta gamma delta epsilon zeta eta theta {i % 9}")
+            for i in range(n - 2)
+        ] + [
+            (900, "the quick brown fox jumps over the lazy dog tonight"),
+            (901, "the quick brown fox jumps over the lazy dog tonight!"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    n = 40
+    below = corpus(n)  # n rows total, auto_min_docs = n+1 -> exact
+    auto_pairs = sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            below, "doc_id", "text", threshold=0.5, auto_min_docs=n + 1
+        ).collect()
+    )
+    exact_pairs = sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            below, "doc_id", "text", threshold=0.5, signature_screen=None
+        ).collect()
+    )
+    assert auto_pairs == exact_pairs
+    # at the boundary (count == auto_min_docs): scale path engages
+    at = corpus(n)
+    scaled = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            at, "doc_id", "text", threshold=0.5, auto_min_docs=n
+        ).collect()
+    }
+    assert (900, 901) in scaled
