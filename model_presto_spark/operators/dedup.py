@@ -1278,35 +1278,33 @@ def winnow_fingerprints(
     wh = window_hashes(docs, k, text_col, id_col, fast_hash).where(
         F.col("whash").isNotNull()
     )
-    n_w = wh.groupBy(id_col).agg(F.max("i").alias("n_starts"))
-    base = wh.join(n_w, id_col)
-    # window starts that contain position i: [i-w+1, i] clamped to
-    # [1, n_starts - w + 1] (windows of w consecutive hash positions)
-    # a doc with fewer than w hash positions still yields ONE
-    # fingerprint (its global min): the last window start clamps to 1
-    starts = F.sequence(
-        F.greatest(F.col("i") - F.lit(w - 1), F.lit(1)),
-        F.least(
-            F.col("i"), F.greatest(F.col("n_starts") - F.lit(w - 1), F.lit(1))
-        ),
-    )
-    expanded = base.select(
+    # ONE shuffle by doc id: the doc length and the per-start sliding
+    # min both come from windows over the same partitioning. This
+    # replaces the previous start-set explode + (id, start) groupBy,
+    # which shuffled w rows per hash position (w x the corpus).
+    # Positions i are dense consecutive ints per doc (window_hashes
+    # emits 1..n-k+1), so the w-ROW frame IS the w-position window.
+    dwin = Window.partitionBy(id_col)
+    slide = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, w - 1)
+    # min struct = minimal hash; tie -> smallest -i = RIGHTMOST i
+    pick = F.min(
+        F.struct(F.col("whash").alias("h"), (-F.col("i")).alias("negi"))
+    ).over(slide)
+    # valid window starts: 1 .. n_starts - w + 1, clamped to 1 so a
+    # doc with fewer than w hash positions still yields ONE
+    # fingerprint (its global min — the frame covers the whole doc)
+    starts = wh.select(
         id_col,
         "i",
-        "whash",
-        F.explode_outer(starts).alias("s"),
-    ).where(F.col("s").isNotNull())
-    picked = expanded.groupBy(id_col, "s").agg(
-        F.max_by(
-            F.struct(F.col("i"), F.col("whash")),
-            # minimal hash wins; ties -> rightmost position
-            F.struct(-F.col("whash"), F.col("i")),
-        ).alias("sel")
+        pick.alias("pk"),
+        F.max("i").over(dwin).alias("n_starts"),
+    ).where(
+        F.col("i") <= F.greatest(F.col("n_starts") - F.lit(w - 1), F.lit(1))
     )
-    return picked.select(
+    return starts.select(
         id_col,
-        F.col("sel.i").alias("pos"),
-        F.col("sel.whash").alias("whash"),
+        (-F.col("pk.negi")).alias("pos"),
+        F.col("pk.h").alias("whash"),
     ).distinct()
 
 
