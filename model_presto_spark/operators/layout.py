@@ -194,6 +194,64 @@ def ordered_run_counts(
     )
 
 
+def ordered_positions(
+    df: DataFrame,
+    order_cols: list[str],
+    bucket: Column,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Global 1-based positions under a total sort order WITHOUT a
+    single-task global window.
+
+    ``Window.orderBy(...)`` with no partition key funnels the whole
+    relation through one task — fine on a pre-aggregated summary,
+    a scale-killer on a raw stream (assigning trace positions to a
+    100 TB event log through one sorter). Same contract as
+    ``ordered_run_counts``: ``bucket`` must be MONOTONE NON-DECREASING
+    in the leading sort key(s) (e.g. ``to_date(ts)`` for a ts-ordered
+    stream, ``floor(id/k)`` for an id-ordered one). Then
+
+    - local ranks come from a window PARTITIONED by bucket (one hash
+      shuffle, parallel across buckets);
+    - bucket offsets are an exclusive running sum over the per-bucket
+      counts — a window over the TINY bucket-summary relation;
+    - ``pos = offset + local_rank``.
+
+    ``order_cols`` must form a total order (unique key) or positions
+    among ties are arbitrary. Output: the input columns + ``pos_col``.
+    """
+    from pyspark.sql import Window
+
+    clash = [c for c in df.columns if c.startswith("__opos_")]
+    if clash:
+        raise ValueError(
+            f"ordered_positions: input columns collide with internal "
+            f"__opos_ namespace: {clash}"
+        )
+    d = df.withColumn("__opos_b", bucket)
+    w_in = Window.partitionBy("__opos_b").orderBy(*order_cols)
+    ranked = d.withColumn("__opos_rn", F.row_number().over(w_in))
+    counts = ranked.groupBy("__opos_b").agg(
+        F.count(F.lit(1)).alias("__opos_n")
+    )
+    w_b = Window.orderBy("__opos_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__opos_b",
+        F.coalesce(F.sum("__opos_n").over(w_b), F.lit(0)).alias(
+            "__opos_off"
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__opos_b")
+        .withColumn(
+            pos_col, (F.col("__opos_off") + F.col("__opos_rn"))
+        )
+        .drop("__opos_b", "__opos_rn", "__opos_off")
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

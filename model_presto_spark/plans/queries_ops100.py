@@ -294,12 +294,10 @@ def q697(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp")
     )
     pop = (
-        c.select(
-            "c_custkey",
-            "c_acctbal",
-            F.row_number().over(Window.orderBy("c_custkey")).alias("rn"),
-        )
-        .filter(F.col("rn") <= 300)
+        # first-300-by-key via TakeOrderedAndProject, not a global window
+        c.select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+        .limit(300)
         .join(firsts, F.col("c_custkey") == F.col("ck"), "left")
         .select(
             F.col("c_custkey").alias("u"),

@@ -406,12 +406,12 @@ def q703(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sample(prio: str, nm: str) -> DataFrame:
         return (
+            # first-200-by-key via TakeOrderedAndProject (per-partition
+            # heaps), not a single-task global row_number window
             o.filter(F.col("o_orderpriority") == prio)
-            .select(
-                "o_totalprice",
-                F.row_number().over(Window.orderBy("o_orderkey")).alias("rn"),
-            )
-            .filter(F.col("rn") <= 200)
+            .select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey")
+            .limit(200)
             .select(F.round("o_totalprice").alias(nm))
         )
 
@@ -532,13 +532,10 @@ def q705(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     raw = (
-        c.select(
-            "c_custkey",
-            "c_acctbal",
-            "c_mktsegment",
-            F.row_number().over(Window.orderBy("c_custkey")).alias("rn"),
-        )
-        .filter(F.col("rn") <= 200)
+        # first-200-by-key via TakeOrderedAndProject, not a global window
+        c.select("c_custkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+        .limit(200)
         .join(o, F.col("c_custkey") == o.o_custkey, "left")
         .groupBy("c_custkey", "c_acctbal", "c_mktsegment")
         .agg(F.count("o_orderkey").alias("xb"))

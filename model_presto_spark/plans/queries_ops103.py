@@ -190,12 +190,10 @@ def q712(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     sta = (
-        c.select(
-            "c_custkey",
-            "c_acctbal",
-            F.row_number().over(Window.orderBy("c_custkey")).alias("rn"),
-        )
-        .filter(F.col("rn") <= 20)
+        # first-20-by-key via TakeOrderedAndProject, not a global window
+        c.select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+        .limit(20)
         .join(o, F.col("c_custkey") == o.o_custkey, "left")
         .groupBy("c_custkey", "c_acctbal")
         .agg(
@@ -286,11 +284,10 @@ _Q713_ORACLE = """
 def q713(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     v = (
-        o.select(
-            "o_totalprice",
-            F.row_number().over(Window.orderBy("o_orderkey")).alias("rn"),
-        )
-        .filter(F.col("rn") <= 500)
+        # first-500-by-key via TakeOrderedAndProject, not a global window
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(500)
         .select((F.round(F.col("o_totalprice") * 100) / 100).alias("x"))
     )
     s = v.agg(

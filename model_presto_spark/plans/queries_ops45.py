@@ -272,10 +272,17 @@ def q421(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_us.alias("t_us"),
         (t_us - F.lag(t_us).over(uw)).alias("gap_us"),
     ).filter(F.col("gap_us") > 0)
-    gg = g.select(
-        "gap_us",
-        F.row_number().over(Window.orderBy("gap_us", "user_id", "t_us")).alias("i"),
-    )
+    from model_presto_spark.operators.layout import ordered_positions
+
+    # global gap ranks via layout.ordered_positions (log-bucketed —
+    # monotone in the gap_us leading key) instead of a single-task
+    # global row_number over every event gap in the corpus
+    gg = ordered_positions(
+        g.select("gap_us", "user_id", "t_us"),
+        ["gap_us", "user_id", "t_us"],
+        F.floor(F.log10("gap_us") * 8),
+        pos_col="i",
+    ).select("gap_us", "i")
     n_tot = gg.agg(F.count(F.lit(1)).alias("n_all"))
     xy = gg.crossJoin(F.broadcast(n_tot)).select(
         F.log(F.col("gap_us") / F.lit(3.6e9)).alias("x"),

@@ -70,10 +70,25 @@ _Q424_BLOCK = 64
     "id — cache-planning analysis as relational ops.",
 )
 def q424(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.layout import ordered_positions
+
     ev = _t(spark, sf_dir, "events").filter(F.dayofmonth("ts") <= 7)
-    a = ev.select(
-        "user_id",
-        F.row_number().over(Window.orderBy("ts", "event_id")).alias("i"),
+    # global trace positions WITHOUT the single-task global window:
+    # bucketed by calendar day (monotone in the ts leading key) —
+    # layout.ordered_positions; a raw event stream is exactly the
+    # relation that must never funnel through one sorter
+    a = (
+        ordered_positions(
+            ev.select("user_id", "ts", "event_id"),
+            ["ts", "event_id"],
+            F.to_date("ts"),
+            pos_col="i",
+        )
+        .select("user_id", "i")
+        # lineage cut: the positioned trace feeds the per-user window,
+        # the window list, and the totals — without it the bucketed
+        # position machinery reruns per branch
+        .localCheckpoint(eager=False)
     )
     uw = Window.partitionBy("user_id").orderBy("i")
     nx = a.select(

@@ -263,10 +263,17 @@ _Q495_ORACLE = """
     "'have we seen every shard/source yet' completeness checks.",
 )
 def q495(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.operators.layout import ordered_positions
+
     docs = _t(spark, sf_dir, "documents")
-    seq = docs.select(
-        "source", F.row_number().over(Window.orderBy("doc_id")).alias("pos")
-    )
+    # draw positions via layout.ordered_positions (bucketed global
+    # row_number — no single-task window over the raw doc stream)
+    seq = ordered_positions(
+        docs.select("source", "doc_id"),
+        ["doc_id"],
+        F.floor(F.col("doc_id") / 1000),
+        pos_col="pos",
+    ).select("source", "pos")
     firsts = seq.groupBy("source").agg(F.min("pos").alias("first_pos")).localCheckpoint(eager=False)
     th = firsts.agg(F.count(F.lit(1)).alias("n"))
     harm = th.select(

@@ -161,3 +161,34 @@ def test_ordered_run_counts_guards(spark):
         ordered_run_counts(
             df, ["k"], ["v"], F.col("k") % 4, check_monotone=True
         ).collect()
+
+
+def test_ordered_positions_matches_global_window(spark):
+    """Bucketed global positions == the single-task global window's
+    row_number, including single-row and empty-leading buckets."""
+    import random
+
+    from pyspark.sql import Window
+
+    from model_presto_spark.operators.layout import ordered_positions
+
+    rng = random.Random(13)
+    rows = [(k, rng.randrange(100)) for k in rng.sample(range(1000), 200)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    brute = {
+        r.k: r.pos
+        for r in df.select(
+            "k", F.row_number().over(Window.orderBy("k")).alias("pos")
+        ).collect()
+    }
+    got = {
+        r.k: r.pos
+        for r in ordered_positions(
+            df, ["k"], F.floor(F.col("k") / 37)
+        ).collect()
+    }
+    assert got == brute
+    with __import__("pytest").raises(ValueError, match="__opos_"):
+        ordered_positions(
+            df.withColumn("__opos_b", F.lit(1)), ["k"], F.floor(F.col("k") / 37)
+        )
