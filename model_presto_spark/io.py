@@ -108,6 +108,14 @@ def spread(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     per query.
     """
     mode = df.sparkSession.conf.get("spark.model_presto.spread.mode", "always")
+    if mode not in ("always", "never"):
+        # a typo ('Never', 'off') must not silently fall through to
+        # the full-repartition default on a wide-scan deployment —
+        # that is the exact cost the knob exists to avoid
+        raise ValueError(
+            f"spark.model_presto.spread.mode must be 'always' or "
+            f"'never': {mode!r}"
+        )
     if mode == "never":
         return df
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism

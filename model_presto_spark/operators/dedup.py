@@ -23,8 +23,12 @@ for the exact-key pattern.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 from model_presto_spark.io import spread
 from model_presto_spark.functions.text import (
@@ -97,6 +101,7 @@ def minhash_lsh_pairs(
     max_bucket_size: int = 2000,
     signature_screen: float | None | str = "auto",
     auto_min_docs: int = 20000,
+    approx_docs: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash LSH, verified with
     exact Jaccard over shingle sets.
@@ -114,6 +119,9 @@ def minhash_lsh_pairs(
     land on the sublinear path. Pass ``signature_screen=None``
     explicitly where exact candidate semantics are contractual
     (the q32/q169 oracles), or a float to pin the screen level.
+    ``approx_docs`` is a caller-supplied corpus-size hint that skips
+    the probe job (pipelines often already know the count); routing
+    is identical either way.
 
     ``signature_screen`` as a float (explicit scale knob): estimate
     Jaccard from the ALREADY-computed MinHash signatures (fraction of
@@ -162,12 +170,27 @@ def minhash_lsh_pairs(
                 f"signature_screen must be 'auto', None, or a float: "
                 f"{signature_screen!r}"
             )
-        # one cheap probe job (count only — no text materialization);
-        # at corpus scale its cost is noise next to the n² candidate
-        # flood it prevents
-        signature_screen = (
-            max(0.0, threshold - 0.25) if df.count() >= auto_min_docs else None
-        )
+        # ``approx_docs`` (caller-supplied size hint, e.g. from a
+        # pipeline that already counted) skips the probe job entirely;
+        # otherwise one cheap count-only job — no text materialization,
+        # and at corpus scale its cost is noise next to the n²
+        # candidate flood it prevents. Note the probe re-runs the
+        # upstream lineage; pass the hint (or persist upstream) when
+        # ``df`` is an expensive derived relation.
+        n_docs = approx_docs if approx_docs is not None else df.count()
+        if n_docs >= auto_min_docs:
+            signature_screen = max(0.0, threshold - 0.25)
+            _LOG.info(
+                "minhash_lsh_pairs: auto routed %d docs to the "
+                "screened candidate path (screen=%.2f; ~0.3%% "
+                "false-negative screen on near-threshold+0.3 pairs "
+                "at 16 hashes). Pass signature_screen=None to pin "
+                "exact candidate semantics.",
+                n_docs,
+                signature_screen,
+            )
+        else:
+            signature_screen = None
     rows_per_band = num_hashes // bands
     # Spread rows first: shingling + hashing are CPU-bound and must
     # not inherit a small scan's partitioning (io.spread docstring).
@@ -732,6 +755,9 @@ def dedup_corpus(
             fast_hash=fast_hash, **kwargs,
         )
     elif method == "ngram":
+        # ngram_jaccard_pairs routes by threshold, not corpus size —
+        # it has no probe job, so the size hint is irrelevant there
+        kwargs.pop("approx_docs", None)
         pairs = ngram_jaccard_pairs(
             df, id_col, text_col, threshold=threshold,
             fast_hash=fast_hash, **kwargs,
@@ -916,6 +942,8 @@ def ngram_containment_pairs(
     bands: int = 64,
     max_bucket_size: int = 2000,
     auto_min_docs: int = 20000,
+    approx_docs: int | None = None,
+    skew_ratio_floor: float = 0.30,
 ) -> DataFrame:
     """Shingle-CONTAINMENT near-dup pairs (Broder's second measure).
 
@@ -932,13 +960,30 @@ def ngram_containment_pairs(
     always exact (array_intersect over the per-doc eligible gram
     arrays), so PRECISION is exact in both modes. ``candidates``
     picks the generator; the DEFAULT ``"auto"`` routes by corpus
-    size (one ``df.count()`` probe job): ``"lsh"`` at
-    ``auto_min_docs`` or more — the inverted index's Ω(Σ_g df_g²)
-    floor is where a saturating corpus goes superlinear (measured
-    s10→s30 exponent 1.49 exact vs 0.703 lsh, recall 1.0 on the
-    stress corpus) — and ``"index"`` below it, where exact recall is
-    free. Pin ``candidates="index"`` where exact candidate semantics
-    are contractual (the q104 oracle).
+    size AND length skew in ONE probe job (count + approximate
+    p10/p90 of ``length(text)``; skipped entirely when
+    ``approx_docs`` says the corpus is under ``auto_min_docs``):
+
+    - under ``auto_min_docs`` docs → ``"index"`` (exact recall is
+      free at that size);
+    - at/over it with p10/p90 length ratio < ``skew_ratio_floor``
+      (default 0.30) → ``"index"`` — a length-skewed corpus is
+      exactly where doc-inside-doc (ρ≪1) pairs live, and the LSH
+      path's measured recall collapses there (0.40–0.44 at ρ≈0.1,
+      STRESS_r12), so auto must NOT hand the operator's flagship
+      use case to the lossy generator. Scale note: with the
+      ``max_doc_freq`` stop-gram cutoff the index path's
+      Σ_g df_g² ≤ max_doc_freq · Σ_g df_g — LINEAR in corpus size
+      with a (large) constant, so this routing is slower-but-safe
+      at 100 TB, not a blow-up;
+    - otherwise → ``"lsh"`` (measured s10→s30 exponent 0.703 vs
+      1.49 exact on the saturating stress corpus, recall ≈1.0 on
+      its near-uniform lengths), with an INFO log stating the
+      recall trade so the semantics switch is never silent.
+
+    Pin ``candidates="index"`` where exact candidate semantics are
+    contractual (the q104 oracle) or when hunting deep
+    doc-inside-doc pairs regardless of corpus shape.
 
     - ``"index"`` (exact recall): prefix-filtered inverted
       index — the asymmetric variant of the PPJoin lemma used by
@@ -980,7 +1025,47 @@ def ngram_containment_pairs(
     Output: (id_a, id_b, n_common, containment), id_a < id_b.
     """
     if candidates == "auto":
-        candidates = "lsh" if df.count() >= auto_min_docs else "index"
+        if approx_docs is not None and approx_docs < auto_min_docs:
+            candidates = "index"  # size hint: no probe job at all
+        else:
+            # ONE probe job: count + approximate length deciles.
+            # char length is a cheap proxy for distinct-gram count —
+            # routing needs the p10/p90 RATIO, not exact sizes.
+            probe = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.percentile_approx(
+                    F.length(F.col(text_col)).cast("double"),
+                    [0.1, 0.9],
+                ).alias("pp"),
+            ).first()
+            n_docs = approx_docs if approx_docs is not None else probe["n"]
+            p10, p90 = (probe["pp"] or [0.0, 0.0])[:2]
+            ratio = (p10 / p90) if p90 else 1.0
+            if n_docs < auto_min_docs:
+                candidates = "index"
+            elif ratio < skew_ratio_floor:
+                candidates = "index"
+                _LOG.info(
+                    "ngram_containment_pairs: auto kept %d docs on the "
+                    "exact index path — length p10/p90 ratio %.2f < "
+                    "%.2f implies doc-inside-doc (rho<<1) pairs, where "
+                    "the LSH generator's measured recall collapses "
+                    "(0.40-0.44 at rho~0.1).",
+                    n_docs,
+                    ratio,
+                    skew_ratio_floor,
+                )
+            else:
+                candidates = "lsh"
+                _LOG.info(
+                    "ngram_containment_pairs: auto routed %d docs "
+                    "(length p10/p90 ratio %.2f) to the LSH candidate "
+                    "path — recall ~1.0 for near-same-size pairs but "
+                    "0.40-0.44 at rho~0.1; pin candidates='index' for "
+                    "deep doc-inside-doc hunting.",
+                    n_docs,
+                    ratio,
+                )
     if candidates not in ("index", "lsh"):
         raise ValueError(
             f"candidates must be 'index', 'lsh', or 'auto': {candidates}"

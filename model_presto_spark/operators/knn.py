@@ -26,18 +26,41 @@ _METRICS = ("sqeuclidean", "cosine", "dot")
 
 
 def _distance(qv, cv, metric: str):
+    # Per-ELEMENT double casts inside the lambdas: callers pass raw
+    # float arrays (an upfront array<double> cast would be inlined by
+    # CollapseProject into the fold and re-cast the whole vector per
+    # element), and the per-element cast keeps products/norms in
+    # double precision so near-tie top-k rank boundaries agree with
+    # a double-precision oracle.
     if metric == "sqeuclidean":
         return F.aggregate(
-            F.zip_with(qv, cv, lambda a, b: (a - b) * (a - b)),
+            F.zip_with(
+                qv,
+                cv,
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-    dot = F.aggregate(F.zip_with(qv, cv, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
+    dot = F.aggregate(
+        F.zip_with(qv, cv, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
     if metric == "dot":
         return -dot  # larger dot = nearer
     if metric == "cosine":
-        nq = F.sqrt(F.aggregate(qv, F.lit(0.0), lambda a, x: a + x * x))
-        nc = F.sqrt(F.aggregate(cv, F.lit(0.0), lambda a, x: a + x * x))
+        nq = F.sqrt(
+            F.aggregate(
+                qv, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+            )
+        )
+        nc = F.sqrt(
+            F.aggregate(
+                cv, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+            )
+        )
         return 1.0 - dot / (nq * nc)
     raise ValueError(f"metric must be one of {_METRICS}")
 

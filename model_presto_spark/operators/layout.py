@@ -231,7 +231,10 @@ def ordered_positions(
     d = df.withColumn("__opos_b", bucket)
     w_in = Window.partitionBy("__opos_b").orderBy(*order_cols)
     ranked = d.withColumn("__opos_rn", F.row_number().over(w_in))
-    counts = ranked.groupBy("__opos_b").agg(
+    # counts come from the PRE-rank input: deriving them from
+    # ``ranked`` would evaluate the window subtree twice (Spark has
+    # no cross-branch CSE), doubling the pass over the raw stream
+    counts = d.groupBy("__opos_b").agg(
         F.count(F.lit(1)).alias("__opos_n")
     )
     w_b = Window.orderBy("__opos_b").rowsBetween(

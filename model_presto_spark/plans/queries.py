@@ -1519,6 +1519,62 @@ _ADJUDICATION_TAIL = [
     "q207_target_encoding",
     "q208_table_checksums",
     "q209_delta_method",
+    # ---- Round-7 (driver round 7) START rotation -----------------------
+    # CORRECTNESS_r06 landed: 50/50 green on the exact r06 head
+    # (q210-q259). Per the documented queue, those 50 park here and
+    # q260-q309 become the head-50. Rotation queue ahead:
+    # r08 head := q310-q359; r09 := q360-q409; ... until the
+    # never-adjudicated backlog (q260-q723 at round-7 start) is gone.
+    "q210_cuped",
+    "q211_hill_tail",
+    "q212_good_turing",
+    "q213_chao1_richness",
+    "q214_tpch_q7",
+    "q215_tpch_q13",
+    "q216_tpch_q17",
+    "q217_tpch_q18",
+    "q218_tpch_q22",
+    "q219_drawdown",
+    "q220_rsi",
+    "q221_forecast_accuracy",
+    "q222_assortativity",
+    "q223_eb_source_quality",
+    "q224_unpivot_profile",
+    "q225_heaps_law",
+    "q226_woe_iv",
+    "q227_cmh_odds",
+    "q228_hexbin",
+    "q229_cohens_kappa",
+    "q230_embedding_diversity",
+    "q231_dim_energy",
+    "q232_cronbach_alpha",
+    "q233_wilson_ci",
+    "q234_sprt",
+    "q235_did",
+    "q236_rich_club",
+    "q237_segmented_trend",
+    "q238_gumbel_maxima",
+    "q239_within_estimator",
+    "q240_stationary_dist",
+    "q241_jsd_matrix",
+    "q242_markov_attribution",
+    "q243_modularity",
+    "q244_hubness",
+    "q245_holt_winters",
+    "q246_anova_levene",
+    "q247_wasserstein",
+    "q248_mann_kendall",
+    "q249_best_split",
+    "q250_qte",
+    "q251_source_ablation_kl",
+    "q252_cross_correlation",
+    "q253_decision_stump",
+    "q254_fellegi_sunter",
+    "q255_interarrival_fit",
+    "q256_waterfill_budget",
+    "q257_interpolation_join",
+    "q258_overdispersion",
+    "q259_meta_analysis",
 ]
 
 

@@ -375,7 +375,8 @@ def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # raw float arrays (NO upfront array<double> cast — CollapseProject
     # would inline the cast into the distance fold and re-cast the
-    # whole vector per element; _distance casts per element already)
+    # whole vector per element; knn._distance casts per ELEMENT inside
+    # its lambdas, so products/norms still accumulate in double)
     # + spread: the candidate side streams the crossJoin, and the
     # single-file embeddings scan would otherwise score all 450x450
     # pairs on one task

@@ -117,12 +117,20 @@ def touched_queries(git_range: str, queries) -> set[str]:
             if base in pkg_files:
                 hits.add(base)
             for a in node.names:
-                if a.asname and a.asname.startswith("_"):
+                if (
+                    a.asname
+                    and a.asname.startswith("_queries")
+                    and file_mod.endswith("plans.queries")
+                ):
                     # registration side-effect import (the queries.py
                     # aggregator's `import queries_X as _queries_X`
                     # convention) — NOT a code dependency of this
                     # module's own plans, so it must not make every
-                    # plans-file change fan out to all 723 queries
+                    # plans-file change fan out to all 723 queries.
+                    # Scoped to the aggregator file + naming
+                    # convention: a genuine dependency imported
+                    # `as _x` elsewhere stays in the reverse closure
+                    # (the closure over-approximates on purpose).
                     continue
                 sub = f"{base}.{a.name}" if base else a.name
                 if sub in pkg_files:
@@ -175,6 +183,9 @@ def main() -> int:
     git_range = None
     if "--touched" in argv:
         i = argv.index("--touched")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            print("--touched requires a git range argument", file=sys.stderr)
+            return 2
         git_range = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
