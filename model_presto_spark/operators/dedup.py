@@ -928,6 +928,72 @@ def remove_dup_spans(
     )
 
 
+def containment_auto_route(
+    df: DataFrame,
+    text_col: str,
+    n: int = 3,
+    auto_min_docs: int = 20000,
+    approx_docs: int | None = None,
+    skew_ratio_floor: float = 0.30,
+) -> str:
+    """Routing decision for ``ngram_containment_pairs(candidates=
+    "auto")``: returns ``"index"`` or ``"lsh"``.
+
+    The rule is recall-provable rather than heuristic: LSH is chosen
+    ONLY when min_len/max_len over gram-viable docs (char length >=
+    2n-1, the shortest text that can hold one n-token gram — shorter
+    docs have no grams and can join no pair) is at least
+    ``skew_ratio_floor``. Then every possible pair has size ratio
+    ρ >= ~floor, which keeps the banded generator inside its measured
+    high-recall band (≈0.98–1.0 at ρ≥0.33). Any corpus that COULD
+    contain a ρ < floor pair — including one single long outlier doc,
+    which can contain many short ones — routes to the exact index
+    path. Conservative by design: the operator exists for
+    doc-inside-doc detection, so auto errs toward recall; deployments
+    that know their workload pin ``candidates=`` explicitly.
+
+    Cost: one agg job (count + conditional min + max of
+    ``length(text)``); zero jobs when ``approx_docs`` already rules
+    the corpus under ``auto_min_docs``. The probe re-runs the
+    upstream lineage — pass ``approx_docs`` or persist upstream when
+    ``df`` is an expensive derived relation.
+    """
+    if approx_docs is not None and approx_docs < auto_min_docs:
+        return "index"  # size hint: no probe job at all
+    viable = F.length(F.col(text_col)) >= (2 * n - 1)
+    probe = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.when(viable, F.length(F.col(text_col)))).alias("lo"),
+        F.max(F.when(viable, F.length(F.col(text_col)))).alias("hi"),
+    ).first()
+    n_docs = approx_docs if approx_docs is not None else probe["n"]
+    lo, hi = probe["lo"], probe["hi"]
+    ratio = (lo / hi) if lo and hi else 1.0
+    if n_docs < auto_min_docs:
+        return "index"
+    if ratio < skew_ratio_floor:
+        _LOG.info(
+            "ngram_containment_pairs: auto kept %d docs on the exact "
+            "index path — viable-length min/max ratio %.3f < %.2f "
+            "admits doc-inside-doc (rho<<1) pairs, where the LSH "
+            "generator's measured recall collapses (0.40-0.44 at "
+            "rho~0.1).",
+            n_docs,
+            ratio,
+            skew_ratio_floor,
+        )
+        return "index"
+    _LOG.info(
+        "ngram_containment_pairs: auto routed %d docs to the LSH "
+        "candidate path — viable-length min/max ratio %.3f >= %.2f "
+        "bounds every pair's size ratio inside the measured "
+        "high-recall band (~0.98-1.0 at rho>=0.33).",
+        n_docs,
+        ratio,
+    )
+    return "lsh"
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     id_col: str,
@@ -960,30 +1026,32 @@ def ngram_containment_pairs(
     always exact (array_intersect over the per-doc eligible gram
     arrays), so PRECISION is exact in both modes. ``candidates``
     picks the generator; the DEFAULT ``"auto"`` routes by corpus
-    size AND length skew in ONE probe job (count + approximate
-    p10/p90 of ``length(text)``; skipped entirely when
-    ``approx_docs`` says the corpus is under ``auto_min_docs``):
+    size AND length skew via ``containment_auto_route`` (ONE probe
+    job; skipped entirely when ``approx_docs`` says the corpus is
+    under ``auto_min_docs``):
 
     - under ``auto_min_docs`` docs → ``"index"`` (exact recall is
       free at that size);
-    - at/over it with p10/p90 length ratio < ``skew_ratio_floor``
-      (default 0.30) → ``"index"`` — a length-skewed corpus is
-      exactly where doc-inside-doc (ρ≪1) pairs live, and the LSH
-      path's measured recall collapses there (0.40–0.44 at ρ≈0.1,
-      STRESS_r12), so auto must NOT hand the operator's flagship
-      use case to the lossy generator. Scale note: with the
-      ``max_doc_freq`` stop-gram cutoff the index path's
-      Σ_g df_g² ≤ max_doc_freq · Σ_g df_g — LINEAR in corpus size
-      with a (large) constant, so this routing is slower-but-safe
-      at 100 TB, not a blow-up;
-    - otherwise → ``"lsh"`` (measured s10→s30 exponent 0.703 vs
-      1.49 exact on the saturating stress corpus, recall ≈1.0 on
-      its near-uniform lengths), with an INFO log stating the
-      recall trade so the semantics switch is never silent.
+    - ``"lsh"`` only when the gram-viable min/max length ratio is
+      at least ``skew_ratio_floor`` (default 0.30) — then NO pair
+      in the corpus can have size ratio ρ below the floor, so the
+      LSH path operates strictly inside its measured high-recall
+      band (≈0.98–1.0 at ρ≥0.33, STRESS_r12);
+    - any corpus whose lengths span more than 1/``skew_ratio_floor``
+      → ``"index"``: a doc-inside-doc (ρ≪1) pair is POSSIBLE there,
+      and the LSH path's measured recall collapses on exactly those
+      pairs (0.40–0.44 at ρ≈0.1) — auto must not hand the
+      operator's flagship use case to the lossy generator. Scale
+      note: with the ``max_doc_freq`` stop-gram cutoff the index
+      path's Σ_g df_g² ≤ max_doc_freq · Σ_g df_g — LINEAR in corpus
+      size with a (large) constant, so this routing is
+      slower-but-safe at 100 TB, not a blow-up.
 
-    Pin ``candidates="index"`` where exact candidate semantics are
-    contractual (the q104 oracle) or when hunting deep
-    doc-inside-doc pairs regardless of corpus shape.
+    Both outcomes log an INFO line (with the measured ratio) so the
+    routing decision is never silent. Pin ``candidates="index"``
+    where exact candidate semantics are contractual (the q104
+    oracle); pin ``candidates="lsh"`` when throughput matters more
+    than extreme-containment recall on a skewed corpus.
 
     - ``"index"`` (exact recall): prefix-filtered inverted
       index — the asymmetric variant of the PPJoin lemma used by
@@ -1025,47 +1093,14 @@ def ngram_containment_pairs(
     Output: (id_a, id_b, n_common, containment), id_a < id_b.
     """
     if candidates == "auto":
-        if approx_docs is not None and approx_docs < auto_min_docs:
-            candidates = "index"  # size hint: no probe job at all
-        else:
-            # ONE probe job: count + approximate length deciles.
-            # char length is a cheap proxy for distinct-gram count —
-            # routing needs the p10/p90 RATIO, not exact sizes.
-            probe = df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.percentile_approx(
-                    F.length(F.col(text_col)).cast("double"),
-                    [0.1, 0.9],
-                ).alias("pp"),
-            ).first()
-            n_docs = approx_docs if approx_docs is not None else probe["n"]
-            p10, p90 = (probe["pp"] or [0.0, 0.0])[:2]
-            ratio = (p10 / p90) if p90 else 1.0
-            if n_docs < auto_min_docs:
-                candidates = "index"
-            elif ratio < skew_ratio_floor:
-                candidates = "index"
-                _LOG.info(
-                    "ngram_containment_pairs: auto kept %d docs on the "
-                    "exact index path — length p10/p90 ratio %.2f < "
-                    "%.2f implies doc-inside-doc (rho<<1) pairs, where "
-                    "the LSH generator's measured recall collapses "
-                    "(0.40-0.44 at rho~0.1).",
-                    n_docs,
-                    ratio,
-                    skew_ratio_floor,
-                )
-            else:
-                candidates = "lsh"
-                _LOG.info(
-                    "ngram_containment_pairs: auto routed %d docs "
-                    "(length p10/p90 ratio %.2f) to the LSH candidate "
-                    "path — recall ~1.0 for near-same-size pairs but "
-                    "0.40-0.44 at rho~0.1; pin candidates='index' for "
-                    "deep doc-inside-doc hunting.",
-                    n_docs,
-                    ratio,
-                )
+        candidates = containment_auto_route(
+            df,
+            text_col,
+            n=n,
+            auto_min_docs=auto_min_docs,
+            approx_docs=approx_docs,
+            skew_ratio_floor=skew_ratio_floor,
+        )
     if candidates not in ("index", "lsh"):
         raise ValueError(
             f"candidates must be 'index', 'lsh', or 'auto': {candidates}"

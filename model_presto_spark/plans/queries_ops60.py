@@ -124,12 +124,13 @@ def q494(spark: SparkSession, sf_dir: str) -> DataFrame:
     # config (bands) column: one candidate equi-join on (bands, band,
     # bucket) and one exact-verify pass over DISTINCT pairs, instead
     # of a per-config trio of joins + checkpoints (fewer jobs, ~10%
-    # fewer intersects). Measured floor at sf0.1 (~7 s steady): the
-    # md5 shingle pass plus exactly-verifying the b=8 config's
-    # candidate flood (412k pairs = 13% of all pairs at 2.5k docs,
-    # r=2 rows/band) — which is the sweep's point: it MEASURES the
-    # over-loose config's cost; stage bisect: sh 4.3s/cand 1.6s/
-    # verify 4.7s first-run including codegen.
+    # fewer intersects). Measured floor at sf0.1 (~3.5-4 s steady
+    # after the round-7 spread fix below): the md5 shingle pass
+    # (~2.2 s, oracle parity) plus exactly-verifying the b=8
+    # config's candidate flood (412k pairs = 13% of all pairs at
+    # 2.5k docs, r=2 rows/band) — which is the sweep's point: it
+    # MEASURES the over-loose config's cost. Steady stage bisect:
+    # sh 2.2s / cand 0.5s / verify 0.8s / stats 1.2s.
     banded = None
     for b in (2, 4, 8):
         r = 16 // b
@@ -159,9 +160,14 @@ def q494(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ~300-element shingle arrays through a shuffle once per pair
     # is GBs, while the per-doc relation itself is a few MB — the
     # candidate stream never moves its array payloads at all.
+    # spread() the distinct pair stream first: its shuffle output is
+    # small in BYTES (two ids/row), so AQE coalesces it to ~3
+    # partitions — and the 412k array-intersects downstream would run
+    # on 3 cores (measured 4.8 s; spread makes it 0.8 s). Same
+    # CPU-vs-bytes mismatch as the scan-inheritance case in
+    # io.spread's docstring, shuffle-side.
     scored = (
-        cand.select("id_a", "id_b")
-        .distinct()
+        spread(cand.select("id_a", "id_b").distinct())
         .join(F.broadcast(hs_a), "id_a")
         .join(F.broadcast(hs_b), "id_b")
         .select("id_a", "id_b", jac.alias("j"))

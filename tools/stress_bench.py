@@ -24,7 +24,7 @@ import numpy as np
 
 # bumped r6: corpus gained the size-skewed containment plants below —
 # stale cached parquet from earlier rounds must not be reused
-SCRATCH = "/tmp/stress_sf1_r6"
+SCRATCH = "/tmp/stress_sf1_r7"
 
 WORDS = (
     "batch part spark line column order small sort fast value scan hash slow "
@@ -373,13 +373,69 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
             round(len(lsh_pairs & denom) / len(denom), 4) if denom else None
         )
 
-    # defaults-routing probe (same contract as minhash_default)
+    # minhash screened recall on the SKEWED-size family (round-6
+    # verdict item 7: the 0.999 headline recall is measured on the
+    # benign near-same-size corpus only). A rho~0.33 containment pair
+    # has Jaccard ~0.33, so measure at threshold 0.3 where those
+    # pairs are true minhash pairs: screened-vs-unscreened recall
+    # restricted to the planted rho03 set. (rho~0.1 pairs have J~0.09
+    # — below any practical resemblance threshold, so they are the
+    # containment operator's job, not minhash's.)
+    # Band collision and the signature screen are per-PAIR decisions,
+    # so measuring on the planted subcorpus (last 200 ids) is exact
+    # for these pairs while avoiding the full-corpus t=0.3 pair flood
+    # (the 36-word-vocab corpus is shingle-dense: random-pair J at
+    # t=0.3 would materialize millions of rows just to discard them).
+    planted_docs = docs.where(F.col("doc_id") >= pbase)
+    mh_lo_fast = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            planted_docs, "doc_id", "text", threshold=0.3, fast_hash=True,
+            signature_screen=None,
+        ).collect()
+        if (r["id_a"], r["id_b"]) in planted["rho03"]
+    }
+    mh_lo_scr = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            planted_docs, "doc_id", "text", threshold=0.3, fast_hash=True,
+            signature_screen=0.05,
+        ).collect()
+        if (r["id_a"], r["id_b"]) in planted["rho03"]
+    }
+    mh_scr_recall_rho03 = (
+        round(len(mh_lo_scr & mh_lo_fast) / len(mh_lo_fast), 4)
+        if mh_lo_fast
+        else None
+    )
+    spark.catalog.clearCache()
+
+    # defaults-routing probe (same contract as minhash_default).
+    # Round 7: the auto route is skew-aware (containment_auto_route,
+    # viable min/max length ratio) — record WHICH path the default
+    # picked on this corpus and the default call's recall on the
+    # planted doc-inside-doc families, the round-6 verdict's ask:
+    # the default must not land extreme-containment workloads on the
+    # 0.40-recall LSH path.
+    from model_presto_spark.operators.dedup import containment_auto_route
+
+    cont_route = containment_auto_route(docs, "text", n=3)
     t0 = time.time()
-    n_cont_def = ngram_containment_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=500,
-        fast_hash=True,
-    ).count()
+    def_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=500,
+            fast_hash=True,
+        ).collect()
+    }
     timings["containment_default"] = time.time() - t0
+    n_cont_def = len(def_pairs)
+    cont_def_recall_rho = {}
+    for band, pset in planted.items():
+        denom = exact_pairs & pset
+        cont_def_recall_rho[band] = (
+            round(len(def_pairs & denom) / len(denom), 4) if denom else None
+        )
     spark.catalog.clearCache()
 
     t0 = time.time()
@@ -550,6 +606,8 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         "minhash_pairs": n_mh,
         "minhash_screened_pairs": len(mh_scr),
         "minhash_screened_recall": round(mh_recall, 4),
+        "minhash_screened_recall_rho03": mh_scr_recall_rho03,
+        "minhash_rho03_found_unscreened": len(mh_lo_fast),
         "hits_nodes": n_hits,
         "overlap_pairs": n_overlap,
         "wm_groups": n_wm,
@@ -564,9 +622,15 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         "containment_lsh_recall_rho03": cont_recall_rho["rho03"],
         "minhash_default_pairs": n_mh_def,
         "containment_default_pairs": n_cont_def,
+        "containment_default_recall_rho01": cont_def_recall_rho["rho01"],
+        "containment_default_recall_rho03": cont_def_recall_rho["rho03"],
         "auto_routing": {
             "minhash": "screened" if n_total_docs >= 20000 else "exact",
-            "containment": "lsh" if n_total_docs >= 20000 else "index",
+            # round 7: skew-aware — the ACTUAL decision the default
+            # call takes on this corpus (size AND viable min/max
+            # length ratio; the planted long containers push the
+            # ratio under 0.30, so >=20k docs route to index here)
+            "containment": cont_route,
         },
         "dsir_kept": n_dsir,
         "semantic_dups": n_sem,
@@ -652,7 +716,10 @@ def run_light_suite(spark, sf_dir: str) -> dict[str, float]:
     timings["containment_lsh"] = time.time() - t0
     spark.catalog.clearCache()
 
-    # defaults must route a 150k-doc corpus to the lsh path
+    # round 7: the skew-aware auto routes THIS corpus (planted long
+    # containers trip the viable min/max guard) to the exact index
+    # path at every size — containment_default's s10->s30 exponent is
+    # the index path's, the deliberate recall-over-throughput trade
     t0 = time.time()
     ngram_containment_pairs(
         docs, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=500,
@@ -769,18 +836,38 @@ def main() -> int:
             "corpus scale (q32's oracle keeps the exact unscreened "
             "semantics)",
             "defaults": "minhash_default / containment_default call "
-            "the operators with DEFAULT mode args: the size-aware "
-            "auto heuristic routes >= 20k docs to screened/lsh (see "
-            "counts.auto_routing). Their s1->s10 exponent is "
-            "mode-mixed by design (exact at 5k, scale path at 50k); "
-            "the s10->s30 exponent is the pure scale-path number.",
+            "the operators with DEFAULT mode args: minhash auto "
+            "routes >= 20k docs to the screened path; containment "
+            "auto (round 7) is SKEW-AWARE — lsh only when the "
+            "viable min/max length ratio >= 0.30 bounds every "
+            "pair's size ratio inside the measured high-recall "
+            "band, else the exact index path (see "
+            "counts.auto_routing for the actual decision and "
+            "containment_default_recall_rho01/rho03 for the "
+            "default call's recall on the planted doc-inside-doc "
+            "families). On THIS corpus the planted 300-word "
+            "containers trip the skew guard, so containment_default "
+            "measures the exact index path at every size — its "
+            "exponent is the index path's (see containment_s30 "
+            "note), the deliberate recall-over-throughput trade.",
             "containment_recall_rho": "containment_lsh_recall_rho01/"
             "rho03 measure the lsh twin on planted doc-inside-doc "
             "pairs at size ratio ~0.1 / ~0.33 (last 200 ids of the "
             "corpus): implied J = t*rho/(1+rho-t*rho) collapses as "
             "rho -> 0, so LOW rho01 recall is the honest recorded "
-            "trade, not a regression — pin candidates='index' where "
-            "extreme doc-inside-doc recall is required.",
+            "trade, not a regression — and why the round-7 auto "
+            "routing refuses the lsh path on any corpus that could "
+            "contain such pairs (containment_default_recall_rho01 "
+            "must read 1.0 whenever auto_routing.containment is "
+            "'index').",
+            "minhash_screened_recall_rho03": "screened-vs-unscreened "
+            "minhash recall restricted to the planted rho~0.33 "
+            "containment family at threshold 0.3 (where J~0.33 makes "
+            "them true resemblance pairs), measured on the planted "
+            "subcorpus — the skewed-size counterpart to the benign "
+            "near-same-size minhash_screened_recall headline. rho~0.1 "
+            "pairs (J~0.09) are below any practical resemblance "
+            "threshold: containment's job, not minhash's.",
         },
     }
     with open(out_json, "w") as f:
