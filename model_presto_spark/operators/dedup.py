@@ -543,8 +543,13 @@ def ngram_jaccard_pairs(
         F.col("n_grams").alias("n_b"),
     )
     n_common = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    # spread the pair stream before the verify joins: its shuffle
+    # output is small in BYTES (two ids/row) so AQE coalesces it to a
+    # few partitions, and the per-pair array_intersect work downstream
+    # would run on those few cores (the q494 pathology, measured 6x
+    # there) — one skinny re-shuffle buys full-width verify
     return (
-        cand.join(ga, "id_a")
+        spread(cand).join(ga, "id_a")
         .join(gb, "id_b")
         .select(
             "id_a",
@@ -1262,8 +1267,10 @@ def _containment_verify(
         F.col("n_grams").alias("n_b"),
     )
     n_common = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    # spread: same skinny-pair-stream AQE-collapse guard as the
+    # jaccard verify above (the q494 pathology)
     return (
-        cand.join(ga, "id_a")
+        spread(cand).join(ga, "id_a")
         .join(gb, "id_b")
         .select(
             "id_a",
