@@ -982,7 +982,8 @@ def containment_auto_route(
             "index path — viable-length min/max ratio %.3f < %.2f "
             "admits doc-inside-doc (rho<<1) pairs, where the LSH "
             "generator's measured recall collapses (0.40-0.44 at "
-            "rho~0.1).",
+            "rho~0.1). For a sublinear skewed-corpus path at ~0.9 "
+            "recall, pin candidates='lsh_ensemble'.",
             n_docs,
             ratio,
             skew_ratio_floor,
@@ -1015,6 +1016,7 @@ def ngram_containment_pairs(
     auto_min_docs: int = 20000,
     approx_docs: int | None = None,
     skew_ratio_floor: float = 0.30,
+    max_gap: int = 4,
 ) -> DataFrame:
     """Shingle-CONTAINMENT near-dup pairs (Broder's second measure).
 
@@ -1094,6 +1096,20 @@ def ngram_containment_pairs(
       lsh-vs-index recall on its planted corpus alongside the
       scaling exponent, so the trade is recorded per round, not
       asserted.
+    - ``"lsh_ensemble"`` (skewed-corpus scale path, opt-in):
+      length-bucketed asymmetric banding (LSH Ensemble — Zhu,
+      Nargesian, Miller, VLDB 2016) — docs land in log2-size
+      buckets and each bucket GAP gets a banding tuned to the
+      worst-case Jaccard a containment-t pair can have across that
+      gap (``_ensemble_band_plan``), so a ρ≈0.1 doc-inside-doc pair
+      collides with ≥ ~0.9 probability where single-banding lsh
+      measured 0.40. Posting volume ~8.5x the lsh mode (still
+      linear in corpus size); pairs with ρ below ~2^-(``max_gap``+1)
+      (~0.03 at the default) are out of coverage — that regime
+      stays the index path's. The sublinear choice when a skewed
+      corpus is too large for the index path and ~0.9 recall is
+      acceptable (recall measured per round in STRESS alongside the
+      lsh twin's).
 
     Output: (id_a, id_b, n_common, containment), id_a < id_b.
     """
@@ -1106,9 +1122,10 @@ def ngram_containment_pairs(
             approx_docs=approx_docs,
             skew_ratio_floor=skew_ratio_floor,
         )
-    if candidates not in ("index", "lsh"):
+    if candidates not in ("index", "lsh", "lsh_ensemble"):
         raise ValueError(
-            f"candidates must be 'index', 'lsh', or 'auto': {candidates}"
+            f"candidates must be 'index', 'lsh', 'lsh_ensemble', or "
+            f"'auto': {candidates}"
         )
     toksed = spread(df).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
@@ -1160,6 +1177,11 @@ def ngram_containment_pairs(
     if candidates == "lsh":
         cand = _containment_lsh_candidates(
             grams, num_hashes, bands, max_bucket_size
+        )
+        return _containment_verify(cand, edoc, threshold)
+    if candidates == "lsh_ensemble":
+        cand = _containment_ensemble_candidates(
+            grams, num_hashes, max_bucket_size, threshold, max_gap
         )
         return _containment_verify(cand, edoc, threshold)
     # required overlap c = smallest integer >= t*n. floor(t*n - eps)+1
@@ -1246,6 +1268,192 @@ def _containment_lsh_candidates(
     return (
         buckets.select(F.explode_outer(pair_arr).alias("pr"))
         .select(F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _ensemble_band_plan(
+    threshold: float,
+    num_hashes: int,
+    max_gap: int,
+    target_recall: float = 0.9,
+) -> list[tuple[int, int, int]]:
+    """Per-size-gap banding table for the LSH-Ensemble-style
+    containment generator: ``[(gap, bands, rows_per_band), ...]``.
+
+    For docs in log2-size buckets i and j = i+gap, the worst-case
+    Jaccard a containment-t pair can have is
+    ``J_min = t / (1 + 2^(gap+1) - t)`` (smallest doc at the bucket-i
+    floor, largest at the bucket-j ceiling). Pick the LARGEST rows r
+    (most selective against random collisions) whose banding of the
+    num_hashes signature still collides a J_min pair with probability
+    >= target_recall; fall back to (num_hashes, 1) — the loosest
+    banding possible — when even r=1 cannot reach the target.
+    """
+    plan = []
+    for g in range(max_gap + 1):
+        j_min = threshold / (1.0 + 2.0 ** (g + 1) - threshold)
+        bands, rows = num_hashes, 1
+        for r in range(8, 0, -1):
+            b = num_hashes // r
+            if b < 1:
+                continue
+            p = 1.0 - (1.0 - j_min**r) ** b
+            if p >= target_recall:
+                bands, rows = b, r
+                break
+        plan.append((g, bands, rows))
+    return plan
+
+
+def _containment_ensemble_candidates(
+    grams: DataFrame,
+    num_hashes: int,
+    max_bucket_size: int,
+    threshold: float,
+    max_gap: int = 4,
+) -> DataFrame:
+    """Length-bucketed asymmetric-banded candidate pairs for
+    containment over SIZE-SKEWED corpora — the LSH Ensemble idea
+    (Zhu, Nargesian, Miller, VLDB 2016: partition sets by size, tune
+    the MinHash banding per partition to the Jaccard the containment
+    threshold implies there), recast as one all-pairs DataFrame plan:
+
+    - docs land in log2(|grams|) size buckets;
+    - for every bucket gap g <= max_gap there is a banding (b_g, r_g)
+      from ``_ensemble_band_plan`` — wide gaps (small implied J) get
+      looser banding (fewer rows per band, more bands), so a rho~0.1
+      doc-inside-doc pair still collides with >= ~0.9 probability
+      where the single-banding 'lsh' mode measured 0.40;
+    - each doc emits band keys once per gap: as the LOW side of
+      (bkt, bkt+g) and as the HIGH side of (bkt-g, bkt) — candidate
+      groups are (gap, low-bucket, band, bucket-hash), and pairs only
+      form across the two sides (within the bucket for g=0);
+    - pair volume per group is capped by ``max_bucket_size`` with the
+      consecutive-chain fallback (same cluster-recovery semantics as
+      every other generator here).
+
+    Posting volume is sum_g (2 - [g=0]) * b_g keys per doc —
+    ~8.5x the plain lsh mode at the defaults, still LINEAR in corpus
+    size; pairs found are exactly verified downstream, so precision
+    is unaffected. Coverage floor: pairs with size ratio below
+    ~2^-(max_gap+1) (rho ~0.03 at the default) never share a gap and
+    are missed — that regime is the exact index path's.
+    """
+    plan = _ensemble_band_plan(threshold, num_hashes, max_gap)
+    sized = grams.filter(F.size("grams") > 0).select(
+        "id",
+        "grams",
+        F.floor(
+            F.log2(F.size("grams").cast("double")) + F.lit(1e-12)
+        )
+        .cast("int")
+        .alias("bkt"),
+    )
+    sig = sized.select(
+        "id", "bkt", minhash_signature(F.col("grams"), num_hashes).alias("sig")
+    # the 128-minima fold feeds 2*max_gap+1 key branches below —
+    # cut the lineage so it computes once, not per branch
+    ).localCheckpoint(eager=False)
+    parts = []
+    for g, b, r in plan:
+        keys = F.explode_outer(lsh_band_keys(F.col("sig"), b, r)).alias("bk")
+        lo = sig.select(
+            F.lit(g).alias("gap"),
+            F.col("bkt").alias("blo"),
+            F.lit(0).alias("side"),
+            "id",
+            keys,
+        )
+        parts.append(lo)
+        if g > 0:
+            hi = sig.select(
+                F.lit(g).alias("gap"),
+                (F.col("bkt") - g).alias("blo"),
+                F.lit(1).alias("side"),
+                "id",
+                keys,
+            )
+            parts.append(hi)
+    allk = parts[0]
+    for p in parts[1:]:
+        allk = allk.unionAll(p)
+    allk = allk.select(
+        "gap",
+        "blo",
+        "side",
+        "id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bucket").alias("bucket"),
+    )
+    groups = (
+        allk.groupBy("gap", "blo", "band", "bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("side"), F.col("id")))
+            ).alias("ms")
+        )
+        .select(
+            "gap",
+            F.transform(
+                F.filter(F.col("ms"), lambda s: s["side"] == 0),
+                lambda s: s["id"],
+            ).alias("los"),
+            F.transform(
+                F.filter(F.col("ms"), lambda s: s["side"] == 1),
+                lambda s: s["id"],
+            ).alias("his"),
+        )
+    )
+    los, his = F.col("los"), F.col("his")
+    # g = 0: C(d,2) within the bucket; g > 0: lo x hi cross pairs
+    # (side sets are disjoint doc populations — bkt differs by g)
+    within = F.flatten(
+        F.transform(
+            F.slice(los, 1, F.greatest(F.size(los) - 1, F.lit(0))),
+            lambda a, i: F.transform(
+                F.slice(los, i + 2, F.greatest(F.size(los), F.lit(1))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    cross = F.flatten(
+        F.transform(
+            los,
+            lambda a: F.transform(
+                his,
+                lambda b: F.struct(
+                    F.least(a, b).alias("id_a"),
+                    F.greatest(a, b).alias("id_b"),
+                ),
+            ),
+        )
+    )
+    n_pairs = F.when(
+        F.col("gap") == 0,
+        (F.size(los) * (F.size(los) - 1) / 2).cast("long"),
+    ).otherwise((F.size(los) * F.size(his)).cast("long"))
+    all_ids = F.array_sort(F.concat(los, his))
+    chain = F.transform(
+        F.slice(all_ids, 1, F.size(all_ids) - 1),
+        lambda a, i: F.struct(
+            a.alias("id_a"), F.element_at(all_ids, i + 2).alias("id_b")
+        ),
+    )
+    pair_arr = F.when(
+        n_pairs > max_bucket_size, chain
+    ).otherwise(F.when(F.col("gap") == 0, within).otherwise(cross))
+    return (
+        groups.filter(
+            (
+                (F.col("gap") == 0) & (F.size(los) > 1)
+            )
+            | ((F.col("gap") > 0) & (F.size(los) > 0) & (F.size(his) > 0))
+        )
+        .select(F.explode_outer(pair_arr).alias("pr"))
+        .select(
+            F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b")
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
 

@@ -124,6 +124,51 @@ def test_approx_docs_hint_skips_probe_and_matches(spark):
     assert ct_hint == ct_probe
 
 
+def test_containment_lsh_ensemble_mode(spark):
+    """The opt-in LSH-Ensemble generator (length-bucketed per-gap
+    banding): candidates are a subset of the exact index path's pairs
+    with identical scores (verify is shared), and the planted
+    rho~0.1 doc-inside-doc pair — the case single-banding lsh is
+    measured to lose — is found (deterministic minhash seeds)."""
+    from model_presto_spark.operators.dedup import (
+        _ensemble_band_plan,
+        ngram_containment_pairs,
+    )
+
+    # band plan sanity: gap 0 keeps multi-row bands; wide gaps fall
+    # back to the loosest r=1 banding to hold the recall target
+    plan = _ensemble_band_plan(0.6, 128, 4)
+    assert plan[0][2] >= 2 and plan[-1] == (4, 128, 1)
+
+    container_words = [f"w{j}" for j in range(240)]
+    rows = [
+        (i, " ".join(f"tok{(i * 7 + j) % 53}" for j in range(12)))
+        for i in range(200)
+    ]
+    rows += [
+        (900, " ".join(container_words)),
+        (901, " ".join(container_words[40:64])),     # rho ~ 0.1
+        (902, " ".join(container_words[100:180])),   # rho ~ 0.33
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(
+            docs, "doc_id", "text", threshold=0.6, candidates="index"
+        ).collect()
+    }
+    ens = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(
+            docs, "doc_id", "text", threshold=0.6,
+            candidates="lsh_ensemble",
+        ).collect()
+    }
+    assert set(ens) <= set(idx)
+    assert all(abs(ens[k] - idx[k]) < 1e-12 for k in ens)
+    assert (900, 901) in ens and (900, 902) in ens
+
+
 def test_near_dedup_stage_accepts_approx_docs(spark):
     """Pipeline near_dedup stage forwards the size hint (and the ngram
     method tolerates it by dropping it)."""

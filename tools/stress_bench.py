@@ -373,6 +373,31 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
             round(len(lsh_pairs & denom) / len(denom), 4) if denom else None
         )
 
+    # round-7 skewed-corpus scale twin: LSH-Ensemble-style
+    # length-bucketed asymmetric banding — the opt-in generator whose
+    # per-gap banding keeps doc-inside-doc recall high where the
+    # single-banding lsh twin collapses. Recall per rho band RECORDED
+    # beside the lsh twin's.
+    t0 = time.time()
+    ens_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=500,
+            fast_hash=True, candidates="lsh_ensemble",
+        ).collect()
+    }
+    timings["containment_ensemble"] = time.time() - t0
+    cont_ens_recall_rho = {}
+    for band, pset in planted.items():
+        denom = exact_pairs & pset
+        cont_ens_recall_rho[band] = (
+            round(len(ens_pairs & denom) / len(denom), 4) if denom else None
+        )
+    cont_ens_recall = (
+        len(ens_pairs & exact_pairs) / n_cont if n_cont else 1.0
+    )
+    spark.catalog.clearCache()
+
     # minhash screened recall on the SKEWED-size family (round-6
     # verdict item 7: the 0.999 headline recall is measured on the
     # benign near-same-size corpus only). A rho~0.33 containment pair
@@ -620,6 +645,10 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         "containment_lsh_recall": round(cont_recall, 4),
         "containment_lsh_recall_rho01": cont_recall_rho["rho01"],
         "containment_lsh_recall_rho03": cont_recall_rho["rho03"],
+        "containment_ensemble_pairs": len(ens_pairs),
+        "containment_ensemble_recall": round(cont_ens_recall, 4),
+        "containment_ensemble_recall_rho01": cont_ens_recall_rho["rho01"],
+        "containment_ensemble_recall_rho03": cont_ens_recall_rho["rho03"],
         "minhash_default_pairs": n_mh_def,
         "containment_default_pairs": n_cont_def,
         "containment_default_recall_rho01": cont_def_recall_rho["rho01"],
@@ -716,6 +745,14 @@ def run_light_suite(spark, sf_dir: str) -> dict[str, float]:
     timings["containment_lsh"] = time.time() - t0
     spark.catalog.clearCache()
 
+    t0 = time.time()
+    ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=500,
+        fast_hash=True, candidates="lsh_ensemble",
+    ).count()
+    timings["containment_ensemble"] = time.time() - t0
+    spark.catalog.clearCache()
+
     # round 7: the skew-aware auto routes THIS corpus (planted long
     # containers trip the viable min/max guard) to the exact index
     # path at every size — containment_default's s10->s30 exponent is
@@ -771,6 +808,7 @@ def main() -> int:
         "hits",
         "containment",
         "containment_lsh",
+        "containment_ensemble",
         "line_boilerplate",
         "semantic_dedup",
         "source_overlap",
@@ -860,6 +898,14 @@ def main() -> int:
             "contain such pairs (containment_default_recall_rho01 "
             "must read 1.0 whenever auto_routing.containment is "
             "'index').",
+            "containment_ensemble": "opt-in LSH-Ensemble-style "
+            "generator (length-bucketed per-gap banding, round 7): "
+            "containment_ensemble_recall_rho01/rho03 measure it on "
+            "the same planted doc-inside-doc families as the lsh "
+            "twin — the sublinear path for skewed corpora too large "
+            "for the exact index route, with the ~0.9 worst-case "
+            "recall its band plan targets (vs lsh's 0.40 at "
+            "rho~0.1).",
             "minhash_screened_recall_rho03": "screened-vs-unscreened "
             "minhash recall restricted to the planted rho~0.33 "
             "containment family at threshold 0.3 (where J~0.33 makes "
