@@ -886,8 +886,13 @@ def main() -> int:
             "families). On THIS corpus the planted 300-word "
             "containers trip the skew guard, so containment_default "
             "measures the exact index path at every size — its "
-            "exponent is the index path's (see containment_s30 "
-            "note), the deliberate recall-over-throughput trade.",
+            "s10->s30 exponent (~2) IS the Sum(df^2) floor the "
+            "containment_s30 note predicts for any exact gram-keyed "
+            "method on the saturating 36-word-vocab corpus (dfs "
+            "still under the stop-gram cap at 150k docs): the "
+            "deliberate recall-over-throughput trade. "
+            "candidates='lsh_ensemble' is the sublinear alternative "
+            "that keeps doc-inside-doc recall (measured 1.0 here).",
             "containment_recall_rho": "containment_lsh_recall_rho01/"
             "rho03 measure the lsh twin on planted doc-inside-doc "
             "pairs at size ratio ~0.1 / ~0.33 (last 200 ids of the "
