@@ -1354,7 +1354,7 @@ def _containment_ensemble_candidates(
         "id", "bkt", minhash_signature(F.col("grams"), num_hashes).alias("sig")
     # the 128-minima fold feeds 2*max_gap+1 key branches below —
     # cut the lineage so it computes once, not per branch
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     parts = []
     for g, b, r in plan:
         keys = F.explode_outer(lsh_band_keys(F.col("sig"), b, r)).alias("bk")
