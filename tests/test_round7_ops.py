@@ -185,6 +185,33 @@ def test_near_dedup_stage_accepts_approx_docs(spark):
         assert pipe.run(docs).count() > 0
 
 
+def test_containment_auto_empty_and_degenerate(spark):
+    """Empty corpus routes safely (index, no probe error). Sub-n-token
+    docs: word_ngrams emits the whole short doc as its single gram, so
+    IDENTICAL short docs are containment dups (C(5,2) pairs at 1.0) —
+    and since a sub-n doc's gram can never equal a full n-gram of a
+    longer doc, such docs are rightly EXCLUDED from the routing
+    probe's min/max (they cannot create a cross-size pair)."""
+    from model_presto_spark.operators.dedup import (
+        containment_auto_route,
+        ngram_containment_pairs,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert containment_auto_route(empty, "text") == "index"
+    assert ngram_containment_pairs(
+        empty, "doc_id", "text", threshold=0.6
+    ).count() == 0
+    short = spark.createDataFrame(
+        [(i, "x") for i in range(5)], "doc_id long, text string"
+    )
+    assert containment_auto_route(short, "text") == "index"
+    rows = ngram_containment_pairs(
+        short, "doc_id", "text", threshold=0.6
+    ).collect()
+    assert len(rows) == 10 and all(r.containment == 1.0 for r in rows)
+
+
 def test_spread_mode_typo_raises(spark):
     from model_presto_spark.io import spread
 
