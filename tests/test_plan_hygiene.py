@@ -210,3 +210,35 @@ def test_percolation_is_a_fold_not_join_rounds(spark):
     plan = _plan(QUERIES["q556_percolation"].fn(spark, _SF))
     assert "Window" not in plan
     assert plan.count("Exchange") <= 12  # agg + join shuffles only
+
+
+def test_dedup_verify_joins_spread_the_pair_stream(spark):
+    """Pathology #4 (round 7): AQE coalesces the skinny candidate-pair
+    shuffle by BYTES, so the per-pair array_intersect verify work would
+    run on ~3 partitions. The verify joins must keep a RoundRobin
+    re-spread of the pair stream (the input spread is hidden behind the
+    grams persist/checkpoint, so exactly this exchange pins the fix —
+    removing the verify spread() drops the count to zero)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta eps zeta"),
+            (2, "alpha beta gamma delta eps zeta eta"),
+            (3, "x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    from model_presto_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    for df in (
+        ngram_containment_pairs(
+            docs, "doc_id", "text", threshold=0.6, candidates="index"
+        ),
+        ngram_containment_pairs(
+            docs, "doc_id", "text", threshold=0.6, candidates="lsh"
+        ),
+        ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8),
+    ):
+        assert "RoundRobinPartitioning" in _plan(df)
