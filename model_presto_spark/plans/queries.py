@@ -1575,6 +1575,63 @@ _ADJUDICATION_TAIL = [
     "q257_interpolation_join",
     "q258_overdispersion",
     "q259_meta_analysis",
+    # ---- Round-8 (driver round 8) START rotation -----------------------
+    # CORRECTNESS_r07 landed: 50/50 green on the exact r07 head
+    # (q260-q309), and the round-7 judge additionally ran the FULL
+    # 723-query corpus against the DuckDB oracle (723/723). Per the
+    # documented queue, those 50 park here and q310-q359 become the
+    # head-50. Rotation queue ahead: r09 head := q360-q409;
+    # r10 := q410-q459; ... until the backlog is gone.
+    "q260_qini",
+    "q261_bass_diffusion",
+    "q262_runs_test",
+    "q263_permutation_entropy",
+    "q264_hurst",
+    "q265_periodogram",
+    "q266_apportionment",
+    "q267_token_bucket",
+    "q268_lloyd_step",
+    "q269_silhouette",
+    "q270_mahalanobis",
+    "q271_dkw_bands",
+    "q272_control_chart",
+    "q273_price_index",
+    "q274_naive_bayes",
+    "q275_hhi",
+    "q276_chain_ladder",
+    "q277_als_step",
+    "q278_ipf_raking",
+    "q279_huber_mean",
+    "q280_conformal",
+    "q281_granger",
+    "q282_engle_granger",
+    "q283_kalman",
+    "q284_seasonal_strength",
+    "q285_outlier_votes",
+    "q286_sax_word",
+    "q287_matrix_profile",
+    "q288_l_diversity",
+    "q289_ess",
+    "q290_fleiss_kappa",
+    "q291_iv_2sls",
+    "q292_power",
+    "q293_shard_balance",
+    "q294_growth_decomp",
+    "q295_rolling_origin",
+    "q296_kneser_ney",
+    "q297_span_corruption",
+    "q298_knapsack_curation",
+    "q299_group_sequential",
+    "q300_bloom_planner",
+    "q301_abc_xyz",
+    "q302_entry_exit",
+    "q303_slo_burn",
+    "q304_fd_discovery",
+    "q305_bin_planner",
+    "q306_double_charge",
+    "q307_peaks",
+    "q308_ljung_box",
+    "q309_median_polish",
 ]
 
 
