@@ -547,7 +547,16 @@ def ngram_jaccard_pairs(
     # output is small in BYTES (two ids/row) so AQE coalesces it to a
     # few partitions, and the per-pair array_intersect work downstream
     # would run on those few cores (the q494 pathology, measured 6x
-    # there) — one skinny re-shuffle buys full-width verify
+    # there) — one skinny re-shuffle buys full-width verify. Regime
+    # note: this guard targets the BROADCAST regime (gram sides small
+    # enough for AQE to convert — where the pair stream's partitioning
+    # IS the verify stage's). When both joins stay sort-merge, the
+    # join's own hashpartitioning(id_a) exchange supersedes the
+    # RoundRobin one (the spread is then a redundant-but-cheap skinny
+    # shuffle) and AQE sizes the verify stage from the FAT gram-side
+    # shuffle bytes, which keeps it wide without our help — so both
+    # regimes end up parallel; the spread exists for the one AQE
+    # would otherwise collapse.
     return (
         spread(cand).join(ga, "id_a")
         .join(gb, "id_b")
@@ -940,50 +949,94 @@ def containment_auto_route(
     auto_min_docs: int = 20000,
     approx_docs: int | None = None,
     skew_ratio_floor: float = 0.30,
+    ensemble_min_docs: int = 100_000,
+    approx_gram_ratio: float | None = None,
 ) -> str:
     """Routing decision for ``ngram_containment_pairs(candidates=
-    "auto")``: returns ``"index"`` or ``"lsh"``.
+    "auto")``: returns ``"index"``, ``"lsh"``, or ``"lsh_ensemble"``.
 
     The rule is recall-provable rather than heuristic: LSH is chosen
-    ONLY when min_len/max_len over gram-viable docs (char length >=
-    2n-1, the shortest text that can hold one n-token gram — shorter
-    docs have no grams and can join no pair) is at least
-    ``skew_ratio_floor``. Then every possible pair has size ratio
-    ρ >= ~floor, which keeps the banded generator inside its measured
-    high-recall band (≈0.98–1.0 at ρ≥0.33). Any corpus that COULD
-    contain a ρ < floor pair — including one single long outlier doc,
-    which can contain many short ones — routes to the exact index
-    path. Conservative by design: the operator exists for
-    doc-inside-doc detection, so auto errs toward recall; deployments
-    that know their workload pin ``candidates=`` explicitly.
+    ONLY when the min/max GRAM-count ratio over gram-viable docs
+    (token count >= n — shorter docs have no grams and can join no
+    pair) is at least ``skew_ratio_floor``. Then every possible pair
+    has size ratio ρ >= floor, which keeps the banded generator
+    inside its measured high-recall band (≈0.98–1.0 at ρ≥0.33). The
+    probe measures ``size(tokens(text)) - n + 1`` — the same gram
+    count the recall curve's ρ is defined over — NOT char length:
+    char length does not bound gram count (10 ten-char tokens vs 60
+    one-char tokens have char ratio ~0.92 but gram ratio ~0.14, which
+    a length probe would route squarely into the collapsed-recall
+    regime). Any corpus that COULD contain a ρ < floor pair —
+    including one single long outlier doc, which can contain many
+    short ones — routes AWAY from plain lsh:
 
-    Cost: one agg job (count + conditional min + max of
-    ``length(text)``); zero jobs when ``approx_docs`` already rules
-    the corpus under ``auto_min_docs``. The probe re-runs the
-    upstream lineage — pass ``approx_docs`` or persist upstream when
-    ``df`` is an expensive derived relation.
+    - skewed and under ``ensemble_min_docs``: the exact ``"index"``
+      path (exact recall; its Σ df² cost is affordable there);
+    - skewed and ``ensemble_min_docs`` or more: ``"lsh_ensemble"`` —
+      the screened length-bucketed generator, measured (STRESS_r14)
+      recall 1.0 on the planted ρ≈0.1/0.33 doc-inside-doc families
+      with a sublinear s10→s30 exponent where the index path's
+      adversarial-corpus exponent reads ~2.0. Coverage floor ρ≈0.03
+      (pairs deeper than ``max_gap`` buckets apart are missed) —
+      pin ``candidates="index"`` when those must be found at any
+      throughput cost.
+
+    Conservative by design: the operator exists for doc-inside-doc
+    detection, so auto errs toward recall; deployments that know
+    their workload pin ``candidates=`` explicitly. Every lossy
+    routing decision logs an INFO line with the measured ratio.
+
+    Cost: one agg job (count + conditional min + max of the token
+    count); zero jobs when ``approx_docs`` already rules the corpus
+    under ``auto_min_docs``, or when BOTH ``approx_docs`` and
+    ``approx_gram_ratio`` (caller-supplied min/max gram-count ratio
+    bound) are given. The probe re-runs the upstream lineage — pass
+    the hints or persist upstream when ``df`` is an expensive
+    derived relation.
     """
     if approx_docs is not None and approx_docs < auto_min_docs:
         return "index"  # size hint: no probe job at all
-    viable = F.length(F.col(text_col)) >= (2 * n - 1)
-    probe = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(F.when(viable, F.length(F.col(text_col)))).alias("lo"),
-        F.max(F.when(viable, F.length(F.col(text_col)))).alias("hi"),
-    ).first()
-    n_docs = approx_docs if approx_docs is not None else probe["n"]
-    lo, hi = probe["lo"], probe["hi"]
-    ratio = (lo / hi) if lo and hi else 1.0
+    if approx_docs is not None and approx_gram_ratio is not None:
+        n_docs, ratio = approx_docs, approx_gram_ratio
+    else:
+        toks = F.size(tokens(F.col(text_col)))
+        gcnt = toks - n + 1
+        probe = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.when(toks >= n, gcnt)).alias("lo"),
+            F.max(F.when(toks >= n, gcnt)).alias("hi"),
+        ).first()
+        n_docs = approx_docs if approx_docs is not None else probe["n"]
+        lo, hi = probe["lo"], probe["hi"]
+        ratio = (lo / hi) if lo and hi else 1.0
     if n_docs < auto_min_docs:
         return "index"
     if ratio < skew_ratio_floor:
+        if n_docs >= ensemble_min_docs:
+            _LOG.info(
+                "ngram_containment_pairs: auto routed %d docs to the "
+                "screened lsh_ensemble path — gram-count min/max "
+                "ratio %.3f < %.2f admits doc-inside-doc (rho<<1) "
+                "pairs (plain-lsh recall collapses there, 0.40-0.44 "
+                "at rho~0.1) and the corpus is too large for the "
+                "exact index path's Sum(df^2) cost (adversarial "
+                "s10->s30 exponent ~2.0). Ensemble recall on the "
+                "planted rho~0.1/0.33 families: 1.0 (STRESS_r14); "
+                "coverage floor rho~0.03. Pin candidates='index' for "
+                "exact recall regardless of cost.",
+                n_docs,
+                ratio,
+                skew_ratio_floor,
+            )
+            return "lsh_ensemble"
         _LOG.info(
             "ngram_containment_pairs: auto kept %d docs on the exact "
-            "index path — viable-length min/max ratio %.3f < %.2f "
+            "index path — gram-count min/max ratio %.3f < %.2f "
             "admits doc-inside-doc (rho<<1) pairs, where the LSH "
             "generator's measured recall collapses (0.40-0.44 at "
-            "rho~0.1). For a sublinear skewed-corpus path at ~0.9 "
-            "recall, pin candidates='lsh_ensemble'.",
+            "rho~0.1). For a sublinear skewed-corpus path at "
+            "measured-1.0 planted-family recall, pin "
+            "candidates='lsh_ensemble'.",
             n_docs,
             ratio,
             skew_ratio_floor,
@@ -991,7 +1044,7 @@ def containment_auto_route(
         return "index"
     _LOG.info(
         "ngram_containment_pairs: auto routed %d docs to the LSH "
-        "candidate path — viable-length min/max ratio %.3f >= %.2f "
+        "candidate path — gram-count min/max ratio %.3f >= %.2f "
         "bounds every pair's size ratio inside the measured "
         "high-recall band (~0.98-1.0 at rho>=0.33).",
         n_docs,
@@ -1017,6 +1070,9 @@ def ngram_containment_pairs(
     approx_docs: int | None = None,
     skew_ratio_floor: float = 0.30,
     max_gap: int = 4,
+    ensemble_min_docs: int = 100_000,
+    approx_gram_ratio: float | None = None,
+    ensemble_screen: float | None | str = "auto",
 ) -> DataFrame:
     """Shingle-CONTAINMENT near-dup pairs (Broder's second measure).
 
@@ -1039,20 +1095,28 @@ def ngram_containment_pairs(
 
     - under ``auto_min_docs`` docs → ``"index"`` (exact recall is
       free at that size);
-    - ``"lsh"`` only when the gram-viable min/max length ratio is
-      at least ``skew_ratio_floor`` (default 0.30) — then NO pair
+    - ``"lsh"`` only when the gram-viable min/max GRAM-COUNT ratio
+      is at least ``skew_ratio_floor`` (default 0.30) — then NO pair
       in the corpus can have size ratio ρ below the floor, so the
       LSH path operates strictly inside its measured high-recall
       band (≈0.98–1.0 at ρ≥0.33, STRESS_r12);
-    - any corpus whose lengths span more than 1/``skew_ratio_floor``
-      → ``"index"``: a doc-inside-doc (ρ≪1) pair is POSSIBLE there,
+    - a skewed corpus (gram counts span more than
+      1/``skew_ratio_floor``) under ``ensemble_min_docs`` →
+      ``"index"``: a doc-inside-doc (ρ≪1) pair is POSSIBLE there,
       and the LSH path's measured recall collapses on exactly those
       pairs (0.40–0.44 at ρ≈0.1) — auto must not hand the
       operator's flagship use case to the lossy generator. Scale
-      note: with the ``max_doc_freq`` stop-gram cutoff the index
-      path's Σ_g df_g² ≤ max_doc_freq · Σ_g df_g — LINEAR in corpus
-      size with a (large) constant, so this routing is
-      slower-but-safe at 100 TB, not a blow-up.
+      note: the ``max_doc_freq`` stop-gram cutoff bounds the index
+      path's Σ_g df_g² ≤ max_doc_freq · Σ_g df_g, but below the cap
+      a saturating gram space still measures ~quadratic
+      (adversarial s10→s30 exponent ~2.0, STRESS_r13 — every df
+      grows with n until it crosses the cap), which is why size
+      matters in this branch;
+    - a skewed corpus of ``ensemble_min_docs`` or more →
+      ``"lsh_ensemble"`` (screened): the sublinear skewed-corpus
+      generator, measured recall 1.0 on the planted ρ≈0.1/0.33
+      doc-inside-doc families (STRESS_r14) with a documented
+      coverage floor at ρ≈0.03.
 
     Both outcomes log an INFO line (with the measured ratio) so the
     routing decision is never silent. Pin ``candidates="index"``
@@ -1096,20 +1160,29 @@ def ngram_containment_pairs(
       lsh-vs-index recall on its planted corpus alongside the
       scaling exponent, so the trade is recorded per round, not
       asserted.
-    - ``"lsh_ensemble"`` (skewed-corpus scale path, opt-in):
-      length-bucketed asymmetric banding (LSH Ensemble — Zhu,
-      Nargesian, Miller, VLDB 2016) — docs land in log2-size
-      buckets and each bucket GAP gets a banding tuned to the
-      worst-case Jaccard a containment-t pair can have across that
-      gap (``_ensemble_band_plan``), so a ρ≈0.1 doc-inside-doc pair
+    - ``"lsh_ensemble"`` (skewed-corpus scale path): length-bucketed
+      asymmetric banding (LSH Ensemble — Zhu, Nargesian, Miller,
+      VLDB 2016) — docs land in log2-size buckets and each bucket
+      GAP gets a banding tuned to the worst-case Jaccard a
+      containment-t pair can have across that gap
+      (``_ensemble_band_plan``), so a ρ≈0.1 doc-inside-doc pair
       collides with ≥ ~0.9 probability where single-banding lsh
-      measured 0.40. Posting volume ~8.5x the lsh mode (still
-      linear in corpus size); pairs with ρ below ~2^-(``max_gap``+1)
-      (~0.03 at the default) are out of coverage — that regime
-      stays the index path's. The sublinear choice when a skewed
-      corpus is too large for the index path and ~0.9 recall is
-      acceptable (recall measured per round in STRESS alongside the
-      lsh twin's).
+      measured 0.40. The wide-gap bandings bottom out at r=1, whose
+      random collisions flood ~n² on a saturating corpus (measured
+      unscreened s10→s30 exponent 1.35, STRESS_r13), so
+      ``ensemble_screen`` (default ``"auto"`` = threshold − 0.25)
+      estimates each potential pair's containment from the MinHash
+      signatures + exact gram counts INSIDE the pair expansion and
+      drops the flood before it materializes — the same structural
+      guard as ``minhash_lsh_pairs(signature_screen=...)``; per-gap
+      recall + the screened exponent are re-measured per round in
+      STRESS. Pass ``ensemble_screen=None`` for the unscreened
+      (exact-candidate) semantics. Pairs with ρ below
+      ~2^-(``max_gap``+1) (~0.03 at the default) are out of coverage
+      — that regime stays the index path's. ``auto`` routes here
+      when the corpus is BOTH skewed (could hold a ρ<floor pair)
+      and at least ``ensemble_min_docs`` — too large for the index
+      path's Σ df² floor.
 
     Output: (id_a, id_b, n_common, containment), id_a < id_b.
     """
@@ -1121,6 +1194,8 @@ def ngram_containment_pairs(
             auto_min_docs=auto_min_docs,
             approx_docs=approx_docs,
             skew_ratio_floor=skew_ratio_floor,
+            ensemble_min_docs=ensemble_min_docs,
+            approx_gram_ratio=approx_gram_ratio,
         )
     if candidates not in ("index", "lsh", "lsh_ensemble"):
         raise ValueError(
@@ -1180,8 +1255,20 @@ def ngram_containment_pairs(
         )
         return _containment_verify(cand, edoc, threshold)
     if candidates == "lsh_ensemble":
+        if isinstance(ensemble_screen, str):
+            if ensemble_screen != "auto":
+                raise ValueError(
+                    f"ensemble_screen must be 'auto', None, or a "
+                    f"float: {ensemble_screen!r}"
+                )
+            ensemble_screen = max(0.0, threshold - 0.25)
         cand = _containment_ensemble_candidates(
-            grams, num_hashes, max_bucket_size, threshold, max_gap
+            grams,
+            num_hashes,
+            max_bucket_size,
+            threshold,
+            max_gap,
+            screen=ensemble_screen,
         )
         return _containment_verify(cand, edoc, threshold)
     # required overlap c = smallest integer >= t*n. floor(t*n - eps)+1
@@ -1312,6 +1399,7 @@ def _containment_ensemble_candidates(
     max_bucket_size: int,
     threshold: float,
     max_gap: int = 4,
+    screen: float | None = None,
 ) -> DataFrame:
     """Length-bucketed asymmetric-banded candidate pairs for
     containment over SIZE-SKEWED corpora — the LSH Ensemble idea
@@ -1334,9 +1422,29 @@ def _containment_ensemble_candidates(
       every other generator here).
 
     Posting volume is sum_g (2 - [g=0]) * b_g keys per doc —
-    ~8.5x the plain lsh mode at the defaults, still LINEAR in corpus
-    size; pairs found are exactly verified downstream, so precision
-    is unaffected. Coverage floor: pairs with size ratio below
+    ~8.5x the plain lsh mode at the defaults and linear in corpus
+    size. Posting volume is NOT the scale hazard here: the wide-gap
+    bandings bottom out at r=1 (a single MinHash value per band key),
+    whose random-collision probability is the raw background Jaccard
+    — on a gram-saturating corpus the candidate-PAIR volume therefore
+    scales ~n² (measured: STRESS_r13 s10→s30 exponent 1.35 unscreened,
+    205 s at 150k docs). ``screen`` is the guard: carry each doc's
+    gram COUNT and MinHash signature into the bucket groups, estimate
+    Ĵ = matches/num_hashes per potential pair INSIDE the pair-
+    expansion lambda, convert to an estimated containment with the
+    pair's exact sizes — Ĉ = Ĵ·(n_a+n_b) / ((1+Ĵ)·min(n_a,n_b)), from
+    |A∩B| = J·(|A|+|B|)/(1+J) — and never materialize a pair whose
+    Ĉ falls below the screen. Same structural trick as
+    ``minhash_lsh_pairs(signature_screen=...)`` (which measured
+    1.401→0.744 on its own flood): the background flood costs pure
+    codegen integer compares inside the bucket row instead of rows
+    through dropDuplicates + two array-payload verify joins. The
+    trade is recall at the margin (a true pair at C≈t can estimate
+    low; at 128 hashes the Ĵ std is ≈0.02–0.04 so a 0.25 margin
+    false-rejects only the deep-rho borderline tail); precision is
+    unaffected — survivors are exactly verified downstream. Pairs
+    found are exactly verified downstream, so precision is unaffected
+    in both modes. Coverage floor: pairs with size ratio below
     ~2^-(max_gap+1) (rho ~0.03 at the default) never share a gap and
     are missed — that regime is the exact index path's.
     """
@@ -1351,69 +1459,97 @@ def _containment_ensemble_candidates(
         .alias("bkt"),
     )
     sig = sized.select(
-        "id", "bkt", minhash_signature(F.col("grams"), num_hashes).alias("sig")
+        "id",
+        "bkt",
+        F.size("grams").alias("ng"),
+        minhash_signature(F.col("grams"), num_hashes).alias("sig"),
     # the 128-minima fold feeds 2*max_gap+1 key branches below —
     # cut the lineage so it computes once, not per branch
     ).localCheckpoint(eager=True)
+    carry_sig = screen is not None
     parts = []
     for g, b, r in plan:
         keys = F.explode_outer(lsh_band_keys(F.col("sig"), b, r)).alias("bk")
-        lo = sig.select(
+        cols = [
             F.lit(g).alias("gap"),
             F.col("bkt").alias("blo"),
             F.lit(0).alias("side"),
             "id",
-            keys,
-        )
+            "ng",
+        ]
+        if carry_sig:
+            cols.append("sig")
+        lo = sig.select(*cols, keys)
         parts.append(lo)
         if g > 0:
-            hi = sig.select(
-                F.lit(g).alias("gap"),
-                (F.col("bkt") - g).alias("blo"),
-                F.lit(1).alias("side"),
-                "id",
-                keys,
-            )
+            hi_cols = list(cols)
+            hi_cols[1] = (F.col("bkt") - g).alias("blo")
+            hi_cols[2] = F.lit(1).alias("side")
+            hi = sig.select(*hi_cols, keys)
             parts.append(hi)
     allk = parts[0]
     for p in parts[1:]:
         allk = allk.unionAll(p)
+    member = [F.col("side"), F.col("id"), F.col("ng")]
+    if carry_sig:
+        member.append(F.col("sig"))
     allk = allk.select(
         "gap",
         "blo",
-        "side",
-        "id",
         F.col("bk.band").alias("band"),
         F.col("bk.bucket").alias("bucket"),
+        F.struct(*member).alias("m"),
     )
+    # struct sorts field-lexicographic; (side, id) first => los block
+    # in id order, then his block in id order
     groups = (
         allk.groupBy("gap", "blo", "band", "bucket")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("side"), F.col("id")))
-            ).alias("ms")
-        )
+        .agg(F.array_sort(F.collect_list("m")).alias("ms"))
         .select(
             "gap",
-            F.transform(
-                F.filter(F.col("ms"), lambda s: s["side"] == 0),
-                lambda s: s["id"],
-            ).alias("los"),
-            F.transform(
-                F.filter(F.col("ms"), lambda s: s["side"] == 1),
-                lambda s: s["id"],
-            ).alias("his"),
+            F.filter(F.col("ms"), lambda s: s["side"] == 0).alias("los"),
+            F.filter(F.col("ms"), lambda s: s["side"] == 1).alias("his"),
         )
     )
     los, his = F.col("los"), F.col("his")
+
+    def screened(arr, a):
+        # Ĉ >= screen, cleared of divisions:
+        #   (m/nh)(n_a+n_b) >= screen * (1 + m/nh) * min(n_a, n_b)
+        #   ⇔ m(n_a+n_b)    >= screen * (nh + m) * min(n_a, n_b)
+        if not carry_sig:
+            return arr
+
+        def keep(b):
+            m = F.aggregate(
+                F.zip_with(
+                    a["sig"],
+                    b["sig"],
+                    lambda x, y: F.when(x == y, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).cast("double")
+            tot = (a["ng"] + b["ng"]).cast("double")
+            mn = F.least(a["ng"], b["ng"]).cast("double")
+            return m * tot >= F.lit(float(screen)) * (
+                F.lit(num_hashes) + m
+            ) * mn
+
+        return F.filter(arr, keep)
+
     # g = 0: C(d,2) within the bucket; g > 0: lo x hi cross pairs
     # (side sets are disjoint doc populations — bkt differs by g)
     within = F.flatten(
         F.transform(
             F.slice(los, 1, F.greatest(F.size(los) - 1, F.lit(0))),
             lambda a, i: F.transform(
-                F.slice(los, i + 2, F.greatest(F.size(los), F.lit(1))),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                screened(
+                    F.slice(los, i + 2, F.greatest(F.size(los), F.lit(1))), a
+                ),
+                lambda b: F.struct(
+                    a["id"].alias("id_a"), b["id"].alias("id_b")
+                ),
             ),
         )
     )
@@ -1421,19 +1557,28 @@ def _containment_ensemble_candidates(
         F.transform(
             los,
             lambda a: F.transform(
-                his,
+                screened(his, a),
                 lambda b: F.struct(
-                    F.least(a, b).alias("id_a"),
-                    F.greatest(a, b).alias("id_b"),
+                    F.least(a["id"], b["id"]).alias("id_a"),
+                    F.greatest(a["id"], b["id"]).alias("id_b"),
                 ),
             ),
         )
     )
+    # long BEFORE multiply: a hot band bucket with ~46k+ members per
+    # side overflows 32-bit pair counts (wrapping negative bypasses
+    # the cap check — the exact mega-bucket blow-up it exists to stop)
+    sz_lo = F.size(los).cast("long")
+    sz_hi = F.size(his).cast("long")
     n_pairs = F.when(
-        F.col("gap") == 0,
-        (F.size(los) * (F.size(los) - 1) / 2).cast("long"),
-    ).otherwise((F.size(los) * F.size(his)).cast("long"))
-    all_ids = F.array_sort(F.concat(los, his))
+        F.col("gap") == 0, (sz_lo * (sz_lo - F.lit(1)) / 2).cast("long")
+    ).otherwise(sz_lo * sz_hi)
+    all_ids = F.array_sort(
+        F.concat(
+            F.transform(los, lambda s: s["id"]),
+            F.transform(his, lambda s: s["id"]),
+        )
+    )
     chain = F.transform(
         F.slice(all_ids, 1, F.size(all_ids) - 1),
         lambda a, i: F.struct(
@@ -1476,7 +1621,10 @@ def _containment_verify(
     )
     n_common = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
     # spread: same skinny-pair-stream AQE-collapse guard as the
-    # jaccard verify above (the q494 pathology)
+    # jaccard verify above (the q494 pathology) — and the same regime
+    # note: it delivers in the broadcast-join regime; under sort-merge
+    # the join's hashpartitioning supersedes it and the fat gram-side
+    # shuffle bytes keep AQE's stage width honest on their own.
     return (
         spread(cand).join(ga, "id_a")
         .join(gb, "id_b")

@@ -374,10 +374,15 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         )
 
     # round-7 skewed-corpus scale twin: LSH-Ensemble-style
-    # length-bucketed asymmetric banding — the opt-in generator whose
+    # length-bucketed asymmetric banding — the generator whose
     # per-gap banding keeps doc-inside-doc recall high where the
-    # single-banding lsh twin collapses. Recall per rho band RECORDED
-    # beside the lsh twin's.
+    # single-banding lsh twin collapses. Round 8: the DEFAULT is now
+    # SCREENED (per-pair containment estimate from the signatures +
+    # exact gram counts, screen = t - 0.25) — the round-7 unscreened
+    # flood measured s10->s30 exponent 1.35 / 205 s at 150k docs, so
+    # both twins are timed here and the recall fields record the
+    # screened default (the path auto now routes skewed+huge corpora
+    # to).
     t0 = time.time()
     ens_pairs = {
         (r["id_a"], r["id_b"])
@@ -396,6 +401,14 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     cont_ens_recall = (
         len(ens_pairs & exact_pairs) / n_cont if n_cont else 1.0
     )
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    n_ens_unscr = ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=500,
+        fast_hash=True, candidates="lsh_ensemble", ensemble_screen=None,
+    ).count()
+    timings["containment_ensemble_unscreened"] = time.time() - t0
     spark.catalog.clearCache()
 
     # minhash screened recall on the SKEWED-size family (round-6
@@ -646,6 +659,7 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         "containment_lsh_recall_rho01": cont_recall_rho["rho01"],
         "containment_lsh_recall_rho03": cont_recall_rho["rho03"],
         "containment_ensemble_pairs": len(ens_pairs),
+        "containment_ensemble_unscreened_pairs": n_ens_unscr,
         "containment_ensemble_recall": round(cont_ens_recall, 4),
         "containment_ensemble_recall_rho01": cont_ens_recall_rho["rho01"],
         "containment_ensemble_recall_rho03": cont_ens_recall_rho["rho03"],
@@ -753,10 +767,22 @@ def run_light_suite(spark, sf_dir: str) -> dict[str, float]:
     timings["containment_ensemble"] = time.time() - t0
     spark.catalog.clearCache()
 
-    # round 7: the skew-aware auto routes THIS corpus (planted long
-    # containers trip the viable min/max guard) to the exact index
-    # path at every size — containment_default's s10->s30 exponent is
-    # the index path's, the deliberate recall-over-throughput trade
+    t0 = time.time()
+    ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=500,
+        fast_hash=True, candidates="lsh_ensemble", ensemble_screen=None,
+    ).count()
+    timings["containment_ensemble_unscreened"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    # round 8: the auto route is THREE-way — this corpus is skewed
+    # (planted long containers trip the gram-ratio guard) at every
+    # size, so 50k docs route to the exact index path and 150k docs
+    # (>= ensemble_min_docs) to the SCREENED ensemble. The
+    # containment_default s10->s30 "exponent" therefore spans a
+    # deliberate regime switch (index@50k -> ensemble@150k); the pure
+    # per-path exponents are containment (index, pinned) and
+    # containment_ensemble above.
     t0 = time.time()
     ngram_containment_pairs(
         docs, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=500,
@@ -809,6 +835,7 @@ def main() -> int:
         "containment",
         "containment_lsh",
         "containment_ensemble",
+        "containment_ensemble_unscreened",
         "line_boilerplate",
         "semantic_dedup",
         "source_overlap",
@@ -829,6 +856,7 @@ def main() -> int:
     # whose two-point exponent is near/above linear
     exponents_s30 = {}
     s30_timings = {}
+    route_s30 = None
     if not small:
         n30 = sizes[1][0] * 3
         sf30 = materialize(n30, 2_000, "s30")
@@ -837,6 +865,20 @@ def main() -> int:
             r = t30 / max(results[big_tag][op], 1e-9)
             exponents_s30[op] = round(math.log(r) / math.log(3.0), 3)
         s30_timings = {k: round(v, 3) for k, v in s30_timings.items()}
+        # the three-way routing decision at the skewed+large point
+        # (round-8 contract: skewed AND >= ensemble_min_docs must
+        # land on the screened ensemble, whose planted-family recall
+        # is recorded at s10 — band collision and the screen are
+        # per-PAIR decisions, so the recall transfers across corpus
+        # size like the minhash screened twin's)
+        from model_presto_spark.operators.dedup import (
+            containment_auto_route,
+        )
+
+        docs30 = spark.read.parquet(
+            os.path.join(sf30, "documents.parquet")
+        )
+        route_s30 = containment_auto_route(docs30, "text", n=3)
 
     summary = {
         "sizes": {small_tag: sizes[0][0], big_tag: sizes[1][0]},
@@ -845,6 +887,7 @@ def main() -> int:
         "scaling_exponent": exponents,
         "scaling_exponent_s10_to_s30": exponents_s30,
         "timings_s30": s30_timings,
+        "auto_routing_s30": {"containment": route_s30},
         "pass_subquadratic": all(e < 1.7 for e in exponents.values()),
         # Interpretation guard for the s10->s30 table: the planted
         # corpus draws from a 36-word vocab, so its 3-gram space is
@@ -876,23 +919,24 @@ def main() -> int:
             "defaults": "minhash_default / containment_default call "
             "the operators with DEFAULT mode args: minhash auto "
             "routes >= 20k docs to the screened path; containment "
-            "auto (round 7) is SKEW-AWARE — lsh only when the "
-            "viable min/max length ratio >= 0.30 bounds every "
+            "auto (round 8) is SKEW-AWARE and THREE-WAY — lsh only "
+            "when the gram-count min/max ratio >= 0.30 bounds every "
             "pair's size ratio inside the measured high-recall "
-            "band, else the exact index path (see "
-            "counts.auto_routing for the actual decision and "
-            "containment_default_recall_rho01/rho03 for the "
-            "default call's recall on the planted doc-inside-doc "
-            "families). On THIS corpus the planted 300-word "
-            "containers trip the skew guard, so containment_default "
-            "measures the exact index path at every size — its "
-            "s10->s30 exponent (~2) IS the Sum(df^2) floor the "
-            "containment_s30 note predicts for any exact gram-keyed "
-            "method on the saturating 36-word-vocab corpus (dfs "
-            "still under the stop-gram cap at 150k docs): the "
-            "deliberate recall-over-throughput trade. "
-            "candidates='lsh_ensemble' is the sublinear alternative "
-            "that keeps doc-inside-doc recall (measured 1.0 here).",
+            "band; a skewed corpus under ensemble_min_docs (100k) "
+            "takes the exact index path; a skewed corpus at or over "
+            "it takes the SCREENED lsh_ensemble (see "
+            "counts.auto_routing / auto_routing_s30 for the actual "
+            "decisions and containment_default_recall_rho01/rho03 "
+            "for the default call's recall on the planted "
+            "doc-inside-doc families). On THIS corpus the planted "
+            "300-word containers trip the skew guard at every size: "
+            "containment_default measures the exact index path at "
+            "5k/50k docs (its s10 exponent ~2 IS the Sum(df^2) "
+            "floor the containment_s30 note predicts on the "
+            "saturating 36-word-vocab corpus) and the screened "
+            "ensemble at 150k — the s10->s30 row therefore spans a "
+            "deliberate regime switch; read the per-path exponents "
+            "from containment / containment_ensemble instead.",
             "containment_recall_rho": "containment_lsh_recall_rho01/"
             "rho03 measure the lsh twin on planted doc-inside-doc "
             "pairs at size ratio ~0.1 / ~0.33 (last 200 ids of the "
@@ -903,14 +947,29 @@ def main() -> int:
             "contain such pairs (containment_default_recall_rho01 "
             "must read 1.0 whenever auto_routing.containment is "
             "'index').",
-            "containment_ensemble": "opt-in LSH-Ensemble-style "
-            "generator (length-bucketed per-gap banding, round 7): "
-            "containment_ensemble_recall_rho01/rho03 measure it on "
-            "the same planted doc-inside-doc families as the lsh "
-            "twin — the sublinear path for skewed corpora too large "
-            "for the exact index route, with the ~0.9 worst-case "
-            "recall its band plan targets (vs lsh's 0.40 at "
-            "rho~0.1).",
+            "containment_ensemble": "LSH-Ensemble-style generator "
+            "(length-bucketed per-gap banding, round 7; SCREENED by "
+            "default since round 8 — per-pair containment estimate "
+            "from the MinHash signatures + exact gram counts inside "
+            "the pair expansion, screen = t - 0.25): "
+            "containment_ensemble_recall_rho01/rho03 measure the "
+            "screened default on the same planted doc-inside-doc "
+            "families as the lsh twin. The unscreened twin "
+            "(containment_ensemble_unscreened) is timed alongside: "
+            "its wide-gap r=1 bandings collide at the background-"
+            "Jaccard rate, so its candidate volume floods ~n^2 on "
+            "this saturating corpus (round-7 measurement: s10->s30 "
+            "exponent 1.35, 205 s at 150k docs) — the screen turns "
+            "that flood into in-bucket codegen compares, the same "
+            "structural fix minhash_lsh_screened measured 1.401 -> "
+            "0.744 with.",
+            "auto_routing_s30": "the containment route at the "
+            "skewed+large point (150k docs >= ensemble_min_docs "
+            "100k): must read 'lsh_ensemble' — skewed corpora too "
+            "large for the index path's Sum(df^2) floor land on the "
+            "screened ensemble, whose planted-family recall is the "
+            "containment_ensemble_recall_rho01/rho03 fields (per-"
+            "pair decisions, size-transferable).",
             "minhash_screened_recall_rho03": "screened-vs-unscreened "
             "minhash recall restricted to the planted rho~0.33 "
             "containment family at threshold 0.3 (where J~0.33 makes "
