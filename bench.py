@@ -60,12 +60,42 @@ HEADLINE = [
 ]
 
 
+# Contention calibration (round 8): three trivial, long-untouched
+# queries with pinned idle-box steady floors (best-of-steady at sf0.1
+# from the quiet-era BENCH_r05/r07 runs). They are re-timed before
+# AND after the headline loop; a sentinel reading >25% above its
+# floor means the host was contended during this bench, and the
+# artifact says so itself instead of needing a BENCHNOTES companion
+# (the r06/r07 host-drift record showed identical code benching
+# 30.4-37.9 s within one session, with UNTOUCHED trivial queries
+# drifting +40-60% — these three are exactly that class).
+SENTINELS = {
+    "q03_filter_sum": 0.29,
+    "q06_bitmask": 0.21,
+    "q13_asof_join": 0.49,
+}
+SENTINEL_TOLERANCE = 1.25
+
+
 def run_once(spark, spec, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = spec.fn(spark, sf_dir)
     # Force full execution without driver materialization cost dominating.
     df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
+
+
+def probe_sentinels(spark) -> dict[str, float]:
+    """Steady best-of-3 (first run discarded: codegen compile) for
+    each sentinel query; keys are short (q03/q06/q13) to keep the
+    JSON line small."""
+    out = {}
+    for name in SENTINELS:
+        spec = QUERIES.get(name)
+        runs = [run_once(spark, spec, SF_DIR) for _ in range(3)]
+        out[name.split("_")[0]] = round(min(runs[1:]), 4)
+        spark.catalog.clearCache()
+    return out
 
 
 def main() -> None:
@@ -77,6 +107,8 @@ def main() -> None:
 
     for df in load_tables(spark, SF_DIR).values():
         df.count()
+
+    sent_pre = probe_sentinels(spark)
 
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -104,6 +136,12 @@ def main() -> None:
         # every prior round), but dead entries no longer pile up heap
         # pressure / GC pauses for the 60 queries that follow.
         spark.catalog.clearCache()
+
+    sent_post = probe_sentinels(spark)
+    floors = {k.split("_")[0]: v for k, v in SENTINELS.items()}
+    worst_ratio = max(
+        max(sent_pre[k], sent_post[k]) / floors[k] for k in floors
+    )
 
     total = round(sum(t for t in times.values() if t == t), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -135,6 +173,19 @@ def main() -> None:
                 # fastest run).
                 "spread_max": max(heavy.values()) if heavy else None,
                 "spread_worst": worst,
+                # Sentinel calibration: pinned idle floors vs the
+                # pre-/post-loop steady readings of three untouched
+                # trivial queries. contended=true when any reading
+                # exceeds its floor by >25% — per-query regressions
+                # in THIS artifact are then suspect (host noise),
+                # per the r06/r07 drift record.
+                "sentinels": {
+                    "floors": floors,
+                    "pre": sent_pre,
+                    "post": sent_post,
+                    "worst_ratio": round(worst_ratio, 2),
+                },
+                "contended": worst_ratio > SENTINEL_TOLERANCE,
             }
         )
     )
