@@ -1407,51 +1407,63 @@ def _containment_ensemble_candidates(
     the MinHash banding per partition to the Jaccard the containment
     threshold implies there), recast as one all-pairs DataFrame plan:
 
-    - docs land in log2(|grams|) size buckets;
-    - for every bucket gap g <= max_gap there is a banding (b_g, r_g)
-      from ``_ensemble_band_plan`` — wide gaps (small implied J) get
-      looser banding (fewer rows per band, more bands), so a rho~0.1
-      doc-inside-doc pair still collides with >= ~0.9 probability
-      where the single-banding 'lsh' mode measured 0.40;
-    - each doc emits band keys once per gap: as the LOW side of
-      (bkt, bkt+g) and as the HIGH side of (bkt-g, bkt) — candidate
-      groups are (gap, low-bucket, band, bucket-hash), and pairs only
-      form across the two sides (within the bucket for g=0);
-    - pair volume per group is capped by ``max_bucket_size`` with the
-      consecutive-chain fallback (same cluster-recovery semantics as
-      every other generator here).
+    - docs land in log2(|grams|) size buckets (bkt);
+    - every bucket gap g <= max_gap gets a banding (b_g, r_g) from
+      ``_ensemble_band_plan`` — wide gaps (small implied J) get
+      looser banding, so a rho~0.1 doc-inside-doc pair still
+      collides with >= ~0.9 probability where the single-banding
+      'lsh' mode measured 0.40;
+    - gaps sharing a banding share ONE posting family (at the
+      defaults every gap >= 1 bottoms out at r=1, i.e. all wide
+      gaps band identically): each doc emits b keys per family —
+      (band, bucket-hash, id, bkt, n_grams), never a signature or
+      gram body — and pairs form inside a bucket between members
+      whose bkt difference is one of the family's gaps. This is
+      candidate-set-identical to the round-7 per-(gap, side) key
+      emission (same banding ⇒ same collisions) at ~5.7x fewer
+      posting rows, and it is what makes the screen below free:
+      FOR r=1 BANDINGS A BAND COLLISION *IS* A SIGNATURE-POSITION
+      MATCH, so counting the bands a pair collides in recovers the
+      pair's exact MinHash match count m out of num_hashes — the
+      same statistic ``minhash_lsh_pairs``'s signature screen
+      computes via zip_with, with ZERO signature payload shipped.
+    - pair volume per bucket is capped by ``max_bucket_size`` with
+      the consecutive-chain fallback (same cluster-recovery
+      semantics as every other generator; the potential-pair count
+      is computed in long — 32-bit products wrap negative on ~46k-
+      member buckets and would bypass the cap).
 
-    Posting volume is sum_g (2 - [g=0]) * b_g keys per doc —
-    ~8.5x the plain lsh mode at the defaults and linear in corpus
-    size. Posting volume is NOT the scale hazard here: the wide-gap
-    bandings bottom out at r=1 (a single MinHash value per band key),
-    whose random-collision probability is the raw background Jaccard
-    — on a gram-saturating corpus the candidate-PAIR volume therefore
-    scales ~n² (measured: STRESS_r13 s10→s30 exponent 1.35 unscreened,
-    205 s at 150k docs). ``screen`` is the guard: carry each doc's
-    gram COUNT and MinHash signature into the bucket groups, estimate
-    Ĵ = matches/num_hashes per potential pair INSIDE the pair-
-    expansion lambda, convert to an estimated containment with the
-    pair's exact sizes — Ĉ = Ĵ·(n_a+n_b) / ((1+Ĵ)·min(n_a,n_b)), from
-    |A∩B| = J·(|A|+|B|)/(1+J) — and never materialize a pair whose
-    Ĉ falls below the screen. Same structural trick as
-    ``minhash_lsh_pairs(signature_screen=...)`` (which measured
-    1.401→0.744 on its own flood): the background flood costs pure
-    codegen integer compares inside the bucket row instead of rows
-    through dropDuplicates + two array-payload verify joins. The
-    trade is recall at the margin (a true pair at C≈t can estimate
-    low; at 128 hashes the Ĵ std is ≈0.02–0.04 so a 0.25 margin
-    false-rejects only the deep-rho borderline tail); precision is
-    unaffected — survivors are exactly verified downstream. Pairs
-    found are exactly verified downstream, so precision is unaffected
-    in both modes. Coverage floor: pairs with size ratio below
-    ~2^-(max_gap+1) (rho ~0.03 at the default) never share a gap and
-    are missed — that regime is the exact index path's.
+    ``screen`` (the round-8 scale guard): the round-7 unscreened
+    generator measured s10→s30 exponent 1.35 / 205 s at 150k docs —
+    wide-gap r=1 bands collide random pairs at the background-
+    Jaccard rate, so the candidate-PAIR stream (not the postings)
+    floods ~n² on a saturating corpus, and every flood pair paid the
+    dropDuplicates shuffle plus two gram-array verify joins. Now the
+    exploded pair stream (ids + gram counts only, ~24 B/row) is
+    aggregated per pair — m = count of colliding bands — and pairs
+    from r=1 families are kept only when the estimated containment
+    Ĉ = Ĵ·(n_a+n_b) / ((1+Ĵ)·min(n_a,n_b))  with  Ĵ = m/num_hashes
+    (from |A∩B| = J·(|A|+|B|)/(1+J)) clears ``screen``; division-
+    free form m·(n_a+n_b) >= screen·(num_hashes+m)·min. Only
+    survivors reach the gram-array verify. r>1 families (gap 0 at
+    the defaults) are self-screening — background pairs need J^r
+    per band to collide at all — and chain pairs bypass the screen
+    (cluster recovery). The trade is recall at the margin (a true
+    pair at C≈t can estimate low; at 128 observed positions the
+    planted ρ≈0.1 C=1.0 family needs only m ≥ 4 of E[m]≈12, a
+    ~0.2% tail); precision is unaffected — survivors are exactly
+    verified downstream. Coverage floor: pairs with size ratio
+    below ~2^-(``max_gap``+1) (rho ~0.03 at the default) never
+    share a gap and are missed — that regime is the index path's.
     """
     plan = _ensemble_band_plan(threshold, num_hashes, max_gap)
+    families: dict[tuple[int, int], list[int]] = {}
+    for g, b, r in plan:
+        families.setdefault((b, r), []).append(g)
     sized = grams.filter(F.size("grams") > 0).select(
         "id",
         "grams",
+        F.size("grams").alias("ng"),
         F.floor(
             F.log2(F.size("grams").cast("double")) + F.lit(1e-12)
         )
@@ -1461,146 +1473,105 @@ def _containment_ensemble_candidates(
     sig = sized.select(
         "id",
         "bkt",
-        F.size("grams").alias("ng"),
+        "ng",
         minhash_signature(F.col("grams"), num_hashes).alias("sig"),
-    # the 128-minima fold feeds 2*max_gap+1 key branches below —
+    # the num_hashes-minima fold feeds one key branch per family —
     # cut the lineage so it computes once, not per branch
     ).localCheckpoint(eager=True)
-    carry_sig = screen is not None
     parts = []
-    for g, b, r in plan:
+    for fam_i, ((b, r), gaps) in enumerate(sorted(families.items())):
         keys = F.explode_outer(lsh_band_keys(F.col("sig"), b, r)).alias("bk")
-        cols = [
-            F.lit(g).alias("gap"),
-            F.col("bkt").alias("blo"),
-            F.lit(0).alias("side"),
-            "id",
-            "ng",
-        ]
-        if carry_sig:
-            cols.append("sig")
-        lo = sig.select(*cols, keys)
-        parts.append(lo)
-        if g > 0:
-            hi_cols = list(cols)
-            hi_cols[1] = (F.col("bkt") - g).alias("blo")
-            hi_cols[2] = F.lit(1).alias("side")
-            hi = sig.select(*hi_cols, keys)
-            parts.append(hi)
-    allk = parts[0]
-    for p in parts[1:]:
-        allk = allk.unionAll(p)
-    member = [F.col("side"), F.col("id"), F.col("ng")]
-    if carry_sig:
-        member.append(F.col("sig"))
-    allk = allk.select(
-        "gap",
-        "blo",
-        F.col("bk.band").alias("band"),
-        F.col("bk.bucket").alias("bucket"),
-        F.struct(*member).alias("m"),
-    )
-    # struct sorts field-lexicographic; (side, id) first => los block
-    # in id order, then his block in id order
-    groups = (
-        allk.groupBy("gap", "blo", "band", "bucket")
-        .agg(F.array_sort(F.collect_list("m")).alias("ms"))
-        .select(
-            "gap",
-            F.filter(F.col("ms"), lambda s: s["side"] == 0).alias("los"),
-            F.filter(F.col("ms"), lambda s: s["side"] == 1).alias("his"),
+        posting = sig.select(
+            F.lit(fam_i).alias("fam"), "id", "bkt", "ng", keys
+        ).select(
+            "fam",
+            F.col("bk.band").alias("band"),
+            F.col("bk.bucket").alias("bucket"),
+            # id leads so array_sort yields id order (ids unique)
+            F.struct("id", "bkt", "ng").alias("m"),
         )
-    )
-    los, his = F.col("los"), F.col("his")
-
-    def screened(arr, a):
-        # Ĉ >= screen, cleared of divisions:
-        #   (m/nh)(n_a+n_b) >= screen * (1 + m/nh) * min(n_a, n_b)
-        #   ⇔ m(n_a+n_b)    >= screen * (nh + m) * min(n_a, n_b)
-        if not carry_sig:
-            return arr
-
-        def keep(b):
-            m = F.aggregate(
-                F.zip_with(
-                    a["sig"],
-                    b["sig"],
-                    lambda x, y: F.when(x == y, 1).otherwise(0),
-                ),
-                F.lit(0),
-                lambda acc, v: acc + v,
-            ).cast("double")
-            tot = (a["ng"] + b["ng"]).cast("double")
-            mn = F.least(a["ng"], b["ng"]).cast("double")
-            return m * tot >= F.lit(float(screen)) * (
-                F.lit(num_hashes) + m
-            ) * mn
-
-        return F.filter(arr, keep)
-
-    # g = 0: C(d,2) within the bucket; g > 0: lo x hi cross pairs
-    # (side sets are disjoint doc populations — bkt differs by g)
-    within = F.flatten(
-        F.transform(
-            F.slice(los, 1, F.greatest(F.size(los) - 1, F.lit(0))),
-            lambda a, i: F.transform(
-                screened(
-                    F.slice(los, i + 2, F.greatest(F.size(los), F.lit(1))), a
-                ),
-                lambda b: F.struct(
-                    a["id"].alias("id_a"), b["id"].alias("id_b")
-                ),
-            ),
+        groups = (
+            posting.groupBy("fam", "band", "bucket")
+            .agg(F.array_sort(F.collect_list("m")).alias("ms"))
+            .filter(F.size("ms") > 1)
         )
-    )
-    cross = F.flatten(
-        F.transform(
-            los,
-            lambda a: F.transform(
-                screened(his, a),
-                lambda b: F.struct(
-                    F.least(a["id"], b["id"]).alias("id_a"),
-                    F.greatest(a["id"], b["id"]).alias("id_b"),
+        ms = F.col("ms")
+        gap_lits = F.array(*[F.lit(g) for g in gaps])
+        # screenable: r=1 observes every signature position, so the
+        # per-pair band-collision count IS the match count m
+        scr = F.lit(r == 1)
+
+        def viable(a, b_):
+            # Column.isin is unusable inside HOF lambdas (pyspark
+            # parses extra args as lambda vars) — literal array +
+            # array_contains instead
+            return F.array_contains(gap_lits, F.abs(a["bkt"] - b_["bkt"]))
+
+        pair_struct = lambda a, b_, chain: F.struct(  # noqa: E731
+            a["id"].alias("id_a"),
+            b_["id"].alias("id_b"),
+            a["ng"].alias("ng_a"),
+            b_["ng"].alias("ng_b"),
+            F.lit(chain).alias("chain"),
+            scr.alias("scr"),
+        )
+        pairs = F.flatten(
+            F.transform(
+                F.slice(ms, 1, F.greatest(F.size(ms) - 1, F.lit(0))),
+                lambda a, i: F.transform(
+                    F.filter(
+                        F.slice(ms, i + 2, F.greatest(F.size(ms), F.lit(1))),
+                        lambda b_: viable(a, b_),
+                    ),
+                    lambda b_: pair_struct(a, b_, False),
                 ),
-            ),
-        )
-    )
-    # long BEFORE multiply: a hot band bucket with ~46k+ members per
-    # side overflows 32-bit pair counts (wrapping negative bypasses
-    # the cap check — the exact mega-bucket blow-up it exists to stop)
-    sz_lo = F.size(los).cast("long")
-    sz_hi = F.size(his).cast("long")
-    n_pairs = F.when(
-        F.col("gap") == 0, (sz_lo * (sz_lo - F.lit(1)) / 2).cast("long")
-    ).otherwise(sz_lo * sz_hi)
-    all_ids = F.array_sort(
-        F.concat(
-            F.transform(los, lambda s: s["id"]),
-            F.transform(his, lambda s: s["id"]),
-        )
-    )
-    chain = F.transform(
-        F.slice(all_ids, 1, F.size(all_ids) - 1),
-        lambda a, i: F.struct(
-            a.alias("id_a"), F.element_at(all_ids, i + 2).alias("id_b")
-        ),
-    )
-    pair_arr = F.when(
-        n_pairs > max_bucket_size, chain
-    ).otherwise(F.when(F.col("gap") == 0, within).otherwise(cross))
-    return (
-        groups.filter(
-            (
-                (F.col("gap") == 0) & (F.size(los) > 1)
             )
-            | ((F.col("gap") > 0) & (F.size(los) > 0) & (F.size(his) > 0))
         )
-        .select(F.explode_outer(pair_arr).alias("pr"))
-        .select(
-            F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b")
+        chain = F.transform(
+            F.slice(ms, 1, F.size(ms) - 1),
+            lambda a, i: pair_struct(a, F.element_at(ms, i + 2), True),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # potential-pair upper bound C(d,2) in LONG (overflow guard);
+        # oversized buckets emit the d-1 consecutive-chain pairs —
+        # O(d) rows, cluster recovered by CC downstream
+        d = F.size(ms).cast("long")
+        pair_arr = F.when(
+            d * (d - F.lit(1)) / 2 > max_bucket_size, chain
+        ).otherwise(pairs)
+        parts.append(
+            groups.select(F.explode_outer(pair_arr).alias("pr"))
+            # a bucket whose members all sit at non-covered gaps
+            # (e.g. equal bkt inside an r=1 family) yields an EMPTY
+            # pair array and explode_outer emits one null row for it
+            .filter(F.col("pr").isNotNull())
+            .select("pr.*")
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionAll(p)
+    # one row per candidate pair; m = number of colliding bands.
+    # A pair belongs to exactly ONE family (its bkt gap picks it),
+    # and within a family a pair collides at most once per band —
+    # so count(*) == m and the output needs no further dedup.
+    agg = allp.groupBy("id_a", "id_b", "ng_a", "ng_b").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.max("chain").alias("chain"),
+        F.max("scr").alias("scr"),
     )
+    if screen is not None:
+        md = F.col("m").cast("double")
+        tot = (F.col("ng_a") + F.col("ng_b")).cast("double")
+        mn = F.least("ng_a", "ng_b").cast("double")
+        agg = agg.filter(
+            F.col("chain")
+            | ~F.col("scr")
+            | (
+                md * tot
+                >= F.lit(float(screen)) * (F.lit(num_hashes) + md) * mn
+            )
+        )
+    return agg.select("id_a", "id_b")
+
 
 
 def _containment_verify(
