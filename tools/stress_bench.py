@@ -807,7 +807,15 @@ def main() -> int:
     for n_docs, n_vecs, tag in sizes:
         sf_dir = materialize(n_docs, n_vecs, tag)
         results[tag] = {"n_docs": n_docs, **run_suite(spark, sf_dir)}
-        print(tag, json.dumps(results[tag]))
+        print(tag, json.dumps(results[tag]), flush=True)
+        # fresh JVM per size suite: ~40 single-run ops leave eager
+        # localCheckpoint blocks + codegen caches behind that
+        # clearCache() cannot reclaim, and the accumulated heap
+        # eventually OOMs the fixed 8g driver mid-measurement (seen
+        # round 8 in the s30 light suite). Per-size isolation also
+        # means each exponent point starts from the same clean heap.
+        spark.stop()
+        spark = get_spark("stress-bench")
 
     (small_tag, big_tag) = (sizes[0][2], sizes[1][2])
     ratio_n = sizes[1][0] / sizes[0][0]
