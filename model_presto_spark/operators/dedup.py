@@ -974,9 +974,9 @@ def containment_auto_route(
       path (exact recall; its Σ df² cost is affordable there);
     - skewed and ``ensemble_min_docs`` or more: ``"lsh_ensemble"`` —
       the screened length-bucketed generator, measured (STRESS_r14)
-      recall 1.0 on the planted ρ≈0.1/0.33 doc-inside-doc families
-      with a sublinear s10→s30 exponent where the index path's
-      adversarial-corpus exponent reads ~2.0. Coverage floor ρ≈0.03
+      recall 0.98/1.0 on the planted ρ≈0.1/0.33 doc-inside-doc
+      families with s10→s30 exponent 0.945 where the index path's
+      adversarial-corpus exponent reads 1.6-2.0. Coverage floor ρ≈0.03
       (pairs deeper than ``max_gap`` buckets apart are missed) —
       pin ``candidates="index"`` when those must be found at any
       throughput cost.
@@ -1021,7 +1021,8 @@ def containment_auto_route(
                 "at rho~0.1) and the corpus is too large for the "
                 "exact index path's Sum(df^2) cost (adversarial "
                 "s10->s30 exponent ~2.0). Ensemble recall on the "
-                "planted rho~0.1/0.33 families: 1.0 (STRESS_r14); "
+                "planted rho~0.1/0.33 families: 0.98/1.0 (STRESS_r14, "
+                "s10->s30 exponent 0.945); "
                 "coverage floor rho~0.03. Pin candidates='index' for "
                 "exact recall regardless of cost.",
                 n_docs,
@@ -1035,7 +1036,7 @@ def containment_auto_route(
             "admits doc-inside-doc (rho<<1) pairs, where the LSH "
             "generator's measured recall collapses (0.40-0.44 at "
             "rho~0.1). For a sublinear skewed-corpus path at "
-            "measured-1.0 planted-family recall, pin "
+            "measured 0.98/1.0 planted-family recall, pin "
             "candidates='lsh_ensemble'.",
             n_docs,
             ratio,
@@ -1114,9 +1115,9 @@ def ngram_containment_pairs(
       matters in this branch;
     - a skewed corpus of ``ensemble_min_docs`` or more →
       ``"lsh_ensemble"`` (screened): the sublinear skewed-corpus
-      generator, measured recall 1.0 on the planted ρ≈0.1/0.33
-      doc-inside-doc families (STRESS_r14) with a documented
-      coverage floor at ρ≈0.03.
+      generator, measured recall 0.98/1.0 on the planted ρ≈0.1/0.33
+      doc-inside-doc families at s10→s30 exponent 0.945
+      (STRESS_r14) with a documented coverage floor at ρ≈0.03.
 
     Both outcomes log an INFO line (with the measured ratio) so the
     routing decision is never silent. Pin ``candidates="index"``
