@@ -181,3 +181,65 @@ def test_ensemble_screen_validates(spark):
             docs, "doc_id", "text", candidates="lsh_ensemble",
             ensemble_screen="bogus",
         )
+
+
+def test_auto_route_decision_property(spark):
+    """Property sweep of the hinted decision space: for every
+    (approx_docs, approx_gram_ratio, floors) combination the route
+    matches the documented three-way rule, with exact boundary
+    semantics (ratio == floor is NOT skewed; docs == ensemble_min_docs
+    IS huge) — and never runs a Spark job (poisoned df)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from model_presto_spark.operators.dedup import containment_auto_route
+
+    poisoned = _skewed_corpus(spark).select(
+        "doc_id", F.assert_true(F.lit(False)).alias("text")
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        n_docs=st.integers(min_value=0, max_value=10_000_000),
+        ratio=st.floats(min_value=0.0, max_value=1.0,
+                        allow_nan=False, allow_infinity=False),
+        auto_min=st.integers(min_value=1, max_value=100_000),
+        floor=st.floats(min_value=0.01, max_value=0.99,
+                        allow_nan=False, allow_infinity=False),
+        ens_min=st.integers(min_value=1, max_value=1_000_000),
+    )
+    def check(n_docs, ratio, auto_min, floor, ens_min):
+        got = containment_auto_route(
+            poisoned, "text",
+            auto_min_docs=auto_min,
+            approx_docs=n_docs,
+            skew_ratio_floor=floor,
+            ensemble_min_docs=ens_min,
+            approx_gram_ratio=ratio,
+        )
+        if n_docs < auto_min:
+            want = "index"
+        elif ratio < floor:
+            want = "lsh_ensemble" if n_docs >= ens_min else "index"
+        else:
+            want = "lsh"
+        assert got == want, (n_docs, ratio, auto_min, floor, ens_min)
+
+    check()
+
+    # pinned boundary cases (hypothesis floats rarely land exactly)
+    assert containment_auto_route(
+        poisoned, "text", auto_min_docs=10, approx_docs=100,
+        skew_ratio_floor=0.30, ensemble_min_docs=1000,
+        approx_gram_ratio=0.30,
+    ) == "lsh"  # ratio == floor: provably inside the band, not skewed
+    assert containment_auto_route(
+        poisoned, "text", auto_min_docs=10, approx_docs=1000,
+        skew_ratio_floor=0.30, ensemble_min_docs=1000,
+        approx_gram_ratio=0.29,
+    ) == "lsh_ensemble"  # docs == ensemble_min_docs: huge
+    assert containment_auto_route(
+        poisoned, "text", auto_min_docs=100, approx_docs=99,
+        skew_ratio_floor=0.30, ensemble_min_docs=50,
+        approx_gram_ratio=0.01,
+    ) == "index"  # under auto_min wins over everything (probe-free exit)
