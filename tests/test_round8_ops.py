@@ -243,3 +243,37 @@ def test_auto_route_decision_property(spark):
         skew_ratio_floor=0.30, ensemble_min_docs=50,
         approx_gram_ratio=0.01,
     ) == "index"  # under auto_min wins over everything (probe-free exit)
+
+
+def test_ensemble_mega_bucket_guard(spark):
+    """The lsh_ensemble bucket cap (C(d,2) computed in LONG before
+    the max_bucket_size compare — the round-8 overflow fix) degrades
+    a mega bucket to chain pairs, and transitive clustering still
+    recovers the full duplicate cluster."""
+    from model_presto_spark.operators.dedup import ngram_containment_pairs
+    from model_presto_spark.operators.graph import dedup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base) for i in range(30)]
+    rows += [(100, "completely unrelated text body one flag word"),
+             (101, "another different document entirely two side term")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    full = ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6,
+        candidates="lsh_ensemble", max_bucket_size=2000,
+    )
+    capped = ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6,
+        candidates="lsh_ensemble", max_bucket_size=10,
+    )
+    n_full, n_capped = full.count(), capped.count()
+    assert n_full == 30 * 29 // 2
+    assert n_capped < n_full
+    assert n_capped >= 29
+
+    cl = dedup_clusters(docs.select("doc_id"), capped, "doc_id")
+    sizes = {r.cluster: r.n for r in cl.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes[0] == 30
+    assert sizes[100] == 1 and sizes[101] == 1
