@@ -118,7 +118,17 @@ def connected_components(
             > 0
         )
 
-    prev_sum = None
+    # Seed the convergence probe from the INITIAL labels: one scalar
+    # agg over the just-checkpointed table (~one empty-shuffle job).
+    # Graphs whose init labels are already the fixpoint — star edge
+    # lists (q55-style blocking keys emit hub->member stars, diameter
+    # 2, and min(n, min neighbor) is the hub immediately) — then exit
+    # after ONE confirmation round instead of two full rounds; the
+    # non-numeric-id path below always had this (its round-1 diff is
+    # against the init labels), the sum probe just never did. General
+    # graphs keep the same round count and pay only the seed agg
+    # (measured: q55 CC stage 2.10 -> 1.30 s best-of-3 at sf0.1).
+    prev_sum = _comp_sum(labels) if numeric_ids else None
     for _ in range(max_iter):
         # propagate: every node's component <- min over its neighbors'
         # components (self label re-enters via the union below, so one
