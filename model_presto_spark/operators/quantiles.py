@@ -56,6 +56,7 @@ def exact_grouped_quantiles(
     group_cols: Sequence[str],
     quantiles: Sequence[tuple[str, float, str]],
     accuracy: int = 10_000,
+    extra_aggs: Sequence = (),
 ) -> DataFrame:
     """Exact interpolated quantiles per group, without O(group) buffers.
 
@@ -67,6 +68,15 @@ def exact_grouped_quantiles(
         [0, 1].  Several probs per column share one sketch in pass 1.
     accuracy : ``approx_percentile`` accuracy — rank error ±n/accuracy,
         refine-slice size ~8·n/accuracy per group per column.
+    extra_aggs : additional aliased aggregate Columns (e.g. rounded
+        avg/stddev) computed IN the refine pass and appended to the
+        output.  The refine pass already aggregates every row of every
+        group (the bracket join is an inner broadcast join on the
+        group key, total over groups), so moments ride the same
+        map-side-combined aggregation instead of costing the caller a
+        third full scan plus a join — the per-partition row sets (and
+        hence the partial-aggregate merge tree) are the ones a direct
+        ``df.groupBy(...).agg(...)`` would see.
 
     Returns one row per group: ``group_cols + [out_name...]`` (double,
     NULL for empty/all-null groups), bit-identical to
@@ -136,6 +146,7 @@ def exact_grouped_quantiles(
                 ).alias(f"__sl_{tag}")
             )
         refine_aggs.append(F.first(f"__n_{c}").alias(f"__n_{c}"))
+    refine_aggs.extend(extra_aggs)
     refined = joined.groupBy(*group_cols).agg(*refine_aggs)
 
     out_cols = [F.col(g) for g in group_cols]
@@ -164,6 +175,14 @@ def exact_grouped_quantiles(
             g > 0, (F.lit(1.0) - g) * v_lo + g * v_hi
         ).otherwise(v_lo)
         out_cols.append(F.when(n > 0, val).alias(out_name))
+    # extra_aggs outputs: every refined column that is neither
+    # internal (__-prefixed: brackets/counts/slices) nor a group key.
+    base = set(group_cols)
+    out_cols.extend(
+        F.col(c)
+        for c in refined.columns
+        if not c.startswith("__") and c not in base
+    )
     # Empty groups never reach pass 2 (inner join keeps them, but a
     # group whose rows are all-NULL in c still appears with n=0) —
     # n=0 yields NULL like percentile().

@@ -619,6 +619,10 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q25/q50/q75 share ONE rank sketch per group (exact via bracket
     refine — see q14); mean/std ride the same refine aggregation."""
     o = _t(spark, sf_dir, "orders")
+    # moments ride the refine pass (extra_aggs): the refine aggregation
+    # already sees every row of every group, so avg/stddev cost no
+    # third scan of orders and no extra join — 3 scans + 1 broadcast
+    # join -> 2 scans, 0 joins beyond the bracket broadcast (r08 opt).
     quant = exact_grouped_quantiles(
         o,
         ["o_orderpriority"],
@@ -627,12 +631,12 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("o_totalprice", 0.50, "q50"),
             ("o_totalprice", 0.75, "q75"),
         ],
+        extra_aggs=[
+            F.round(F.avg("o_totalprice") + 5e-10, 4).alias("mean_price"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
+        ],
     )
-    moments = o.groupBy("o_orderpriority").agg(
-        F.round(F.avg("o_totalprice") + 5e-10, 4).alias("mean_price"),
-        F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
-    )
-    return quant.join(moments, "o_orderpriority").select(
+    return quant.select(
         "o_orderpriority",
         F.round("q25", 4).alias("q25"),
         F.round("q50", 4).alias("q50"),

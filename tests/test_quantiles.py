@@ -149,3 +149,51 @@ def test_bit_parity_with_percentile_no_tolerance(spark):
         for k in exp:
             for f in ("x10", "x25", "x50", "x90", "ym"):
                 assert got[k][f] == exp[k][f], (accuracy, k, f)
+
+
+def test_extra_aggs_ride_refine_pass(spark):
+    """extra_aggs (moments fused into the refine aggregation, r08
+    optimization) must equal a direct groupBy().agg() over the input —
+    on both the whole-group and bracket paths — and must not disturb
+    the quantile outputs."""
+    rng = random.Random(41)
+    rows = [
+        (f"g{i % 4}", rng.uniform(-100, 100), float(rng.randint(0, 9)))
+        for i in range(2000)
+    ]
+    rows.append(("z", None, None))  # all-null group still gets moments row
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    exp = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            F.avg("x").alias("mx"),
+            F.stddev_samp("x").alias("sx"),
+            F.expr("percentile(x, 0.5)").alias("xm"),
+        )
+        .collect()
+    }
+    for accuracy in (100, 10_000):  # bracket path / whole-group path
+        got = {
+            r["g"]: r
+            for r in exact_grouped_quantiles(
+                df,
+                ["g"],
+                [("x", 0.5, "xm")],
+                accuracy=accuracy,
+                extra_aggs=[
+                    F.avg("x").alias("mx"),
+                    F.stddev_samp("x").alias("sx"),
+                ],
+            ).collect()
+        }
+        assert set(got) == set(exp)
+        for k in exp:
+            for f in ("mx", "sx", "xm"):
+                e, a = exp[k][f], got[k][f]
+                if e is None:
+                    assert a is None, (accuracy, k, f, a)
+                else:
+                    assert math.isclose(a, e, rel_tol=0, abs_tol=1e-9), (
+                        accuracy, k, f, e, a,
+                    )
