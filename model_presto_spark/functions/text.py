@@ -199,10 +199,27 @@ def simhash60_from_hashes(hashes_sql: str) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two distinct-element arrays."""
-    inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = (F.size(a) + F.size(b)).cast("double") - inter
-    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    """Exact Jaccard similarity of two distinct-element arrays.
+
+    The intersection size is bound ONCE as an ``aggregate`` input
+    (single-element array -> lambda variable) instead of appearing as
+    three textual copies inside the when/div tree: a naive
+    ``when(union > 0, inter / union)`` expands to three
+    ``array_intersect`` subtrees, and when a caller filters on the
+    result the pushed-down predicate duplicates all of them into the
+    join condition — measured SIX intersect evaluations per verified
+    pair in the q32 plan.  With the binding, each expression instance
+    evaluates the intersect exactly once (plan shows 2: once in the
+    pushed filter, once in the surviving-row projection).  Arithmetic
+    is unchanged (same casts, same when-guard), so results are
+    bit-identical.
+    """
+    sizes = (F.size(a) + F.size(b)).cast("double")
+    return F.aggregate(
+        F.array(F.size(F.array_intersect(a, b)).cast("double")),
+        F.lit(0.0),
+        lambda _, i: F.when(sizes - i > 0, i / (sizes - i)).otherwise(F.lit(0.0)),
+    )
 
 
 def token_count(text: Column) -> Column:

@@ -251,8 +251,15 @@ def minhash_lsh_pairs(
         pair_arr = F.when(
             F.size("ids") <= max_bucket_size, _pairs_within("ids")
         ).otherwise(_chain_pairs("ids"))
+        # spread the bucket rows before the pair expansion: the bucket
+        # aggregation's shuffle output is tiny in BYTES (a few thousand
+        # rows of band/bucket/id-array), so AQE coalesces its read to
+        # ~1 partition — and the C(d,2) Generate plus the dedup
+        # partial-aggregate downstream would run on that one core (the
+        # generator-side twin of the r07 verify-stream collapse). One
+        # skinny shuffle of the bucket rows buys full-width expansion.
         cand = (
-            buckets.select(F.explode_outer(pair_arr).alias("pr"))
+            spread(buckets).select(F.explode_outer(pair_arr).alias("pr"))
             .select(F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
@@ -321,8 +328,11 @@ def minhash_lsh_pairs(
         pair_arr = F.when(F.size(ms) <= max_bucket_size, match_pairs).otherwise(
             chain
         )
+        # same generator-side spread as the unscreened path — the
+        # in-bucket signature-screen comparisons are exactly the CPU
+        # work that must not run on an AQE-coalesced single partition
         cand = (
-            buckets.select(F.explode_outer(pair_arr).alias("pr"))
+            spread(buckets).select(F.explode_outer(pair_arr).alias("pr"))
             .select(F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
@@ -442,8 +452,12 @@ def ngram_jaccard_pairs(
         )
         common = (
             # explode_outer: same inferred-filter double-compute guard
-            # as the minhash candidate stage.
-            buckets.select(F.explode_outer(_pairs_within("ids")).alias("pr"))
+            # as the minhash candidate stage. spread: the C(df,2) pair
+            # Generate and the co-occurrence count's partial aggregate
+            # must not run on the AQE-coalesced (tiny-bytes) read of
+            # the inverted-index shuffle — see the minhash candidate
+            # stage note.
+            spread(buckets).select(F.explode_outer(_pairs_within("ids")).alias("pr"))
             .groupBy(
                 F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b")
             )
@@ -557,17 +571,22 @@ def ngram_jaccard_pairs(
     # shuffle bytes, which keeps it wide without our help — so both
     # regimes end up parallel; the spread exists for the one AQE
     # would otherwise collapse.
+    # n_common bound ONCE as an aggregate input: a plain
+    # inter/(na+nb-inter) projection carries two array_intersect
+    # subtrees, and the threshold filter's pushdown copies them into
+    # the join condition (see functions.text.jaccard — measured 6
+    # intersect evals/pair there). Same int-subtract-then-cast
+    # arithmetic as before, so results are bit-identical.
+    jac = F.aggregate(
+        F.array(n_common),
+        F.lit(0.0),
+        lambda _, i: i.cast("double")
+        / (F.col("n_a") + F.col("n_b") - i).cast("double"),
+    )
     return (
         spread(cand).join(ga, "id_a")
         .join(gb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                n_common.cast("double")
-                / (F.col("n_a") + F.col("n_b") - n_common).cast("double")
-            ).alias("jaccard_sim"),
-        )
+        .select("id_a", "id_b", jac.alias("jaccard_sim"))
         .filter(F.col("jaccard_sim") >= threshold)
     )
 
@@ -1353,8 +1372,9 @@ def _containment_lsh_candidates(
     pair_arr = F.when(
         F.size("ids") <= max_bucket_size, _pairs_within("ids")
     ).otherwise(_chain_pairs("ids"))
+    # generator-side spread: see the minhash candidate stage note
     return (
-        buckets.select(F.explode_outer(pair_arr).alias("pr"))
+        spread(buckets).select(F.explode_outer(pair_arr).alias("pr"))
         .select(F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -1540,7 +1560,11 @@ def _containment_ensemble_candidates(
             d * (d - F.lit(1)) / 2 > max_bucket_size, chain
         ).otherwise(pairs)
         parts.append(
-            groups.select(F.explode_outer(pair_arr).alias("pr"))
+            # generator-side spread: the in-bucket gap-viability scan
+            # and pair-struct expansion must not run on the AQE-
+            # coalesced (tiny-bytes) read of the posting shuffle —
+            # see the minhash candidate stage note
+            spread(groups).select(F.explode_outer(pair_arr).alias("pr"))
             # a bucket whose members all sit at non-covered gaps
             # (e.g. equal bkt inside an r=1 family) yields an EMPTY
             # pair array and explode_outer emits one null row for it
@@ -1597,6 +1621,17 @@ def _containment_verify(
     # note: it delivers in the broadcast-join regime; under sort-merge
     # the join's hashpartitioning supersedes it and the fat gram-side
     # shuffle bytes keep AQE's stage width honest on their own.
+    # containment bound once per expression instance (aggregate-input
+    # binding — see ngram_jaccard_pairs' verify): the threshold
+    # filter's pushdown otherwise copies the full intersect tree into
+    # the join condition. The n_common output column shares the same
+    # unconditional array_intersect subtree, which codegen CSE dedups
+    # within the projection. Arithmetic unchanged.
+    cont = F.aggregate(
+        F.array(n_common),
+        F.lit(0.0),
+        lambda _, i: i.cast("double") / F.least("n_a", "n_b").cast("double"),
+    )
     return (
         spread(cand).join(ga, "id_a")
         .join(gb, "id_b")
@@ -1604,10 +1639,7 @@ def _containment_verify(
             "id_a",
             "id_b",
             n_common.cast("bigint").alias("n_common"),
-            (
-                n_common.cast("double")
-                / F.least("n_a", "n_b").cast("double")
-            ).alias("containment"),
+            cont.alias("containment"),
         )
         .filter(F.col("containment") >= threshold)
     )
