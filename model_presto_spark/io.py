@@ -42,10 +42,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``nanosAsLong``) and truncate to microseconds — the same
     truncation DuckDB applies internally, so oracle comparisons on
     derived time fields agree.
+
+    The lazy DataFrame (an unexecuted logical plan) is memoized per
+    ``(session, sf_dir, name)``: a fresh ``spark.read.parquet`` costs
+    ~130 ms of driver work per call (reader construction, file
+    listing, footer schema read) plus ~40 ms of ``conf.set`` py4j
+    round-trips, repeated for every query build even though the
+    resolved relation is identical.  The memo holds ONLY the plan —
+    no rows, no persisted partitions; every action on it still scans
+    the parquet files — and lives on the Python session object, so a
+    new session (or process) starts cold.  Catalog paths are static
+    per session (tests and the driver never rewrite a table in
+    place); anything needing a re-list can open a new session or
+    read directly.
     """
+    try:
+        cache = spark._mps_table_plans
+    except AttributeError:
+        cache = spark._mps_table_plans = {}
+    key = (os.path.abspath(sf_dir), name)
+    df = cache.get(key)
+    if df is not None:
+        return df
     # Pin UTC regardless of who built the session (the driver's own
     # SparkSession has no engine configs): date/timestamp extraction
-    # must agree with DuckDB's naive-UTC semantics.
+    # must agree with DuckDB's naive-UTC semantics.  Pinned on the
+    # memo miss — nothing in the engine un-pins it afterwards.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -54,8 +76,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    cache[key] = df
+    return df
 
 
 def read_csv(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
