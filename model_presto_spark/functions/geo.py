@@ -162,6 +162,56 @@ def utm_forward(lat: Column, lon: Column) -> Column:
     )
 
 
+def utm_forward_sql(lat: str, lon: str) -> str:
+    """``utm_forward`` as ONE generated SQL string for ``F.expr``.
+
+    Why this twin exists: building the Krüger series through the
+    Column API costs ~1,459 py4j round-trips (~0.4 ms apiece — ~0.6 s
+    of driver time per plan build, measured on q56); the identical
+    expression as a SQL string is one round-trip plus a JVM-side
+    parse.  Every operation and operand order mirrors
+    ``transverse_mercator``/``utm_forward`` exactly (literals rendered
+    with ``repr`` and a ``D`` suffix so nothing parses as DECIMAL), so
+    the computed doubles are bit-identical — pinned by
+    tests/test_utm.py::test_utm_forward_sql_bit_identical.  The SQL is
+    textually large (subexpressions inline where the Column tree
+    shares node instances), but Catalyst analysis walks the shared
+    Column DAG per path anyway — the analyzed cost is the same shape.
+    ``lat``/``lon`` are SQL fragments (column names or expressions).
+    """
+    zone = f"CAST(FLOOR((({lon}) + 180.0D) / 6.0D) % 60 + 1 AS INT)"
+    lon0 = f"(CAST({zone} AS DOUBLE) * 6.0D - 183.0D)"
+    phi = f"radians({lat})"
+    lam = f"radians(({lon}) - {lon0})"
+    sphi = f"sin({phi})"
+    e = f"{_E!r}D"
+    atanh_sphi = f"(ln((1.0D + {sphi}) / (1.0D - {sphi})) / 2.0D)"
+    esphi = f"({e} * {sphi})"
+    atanh_esphi = f"(ln((1.0D + {esphi}) / (1.0D - {esphi})) / 2.0D)"
+    t = f"sinh({atanh_sphi} - {e} * {atanh_esphi})"
+    xi_p = f"atan2({t}, cos({lam}))"
+    asinh_x = f"(sin({lam}) / sqrt({t} * {t} + cos({lam}) * cos({lam})))"
+    eta_p = f"ln({asinh_x} + sqrt({asinh_x} * {asinh_x} + 1.0D))"
+    xi = xi_p
+    eta = eta_p
+    for j, a in enumerate(_ALPHA, start=1):
+        c = repr(2.0 * j)
+        xi = f"({xi} + {a!r}D * sin({c}D * {xi_p}) * cosh({c}D * {eta_p}))"
+        eta = f"({eta} + {a!r}D * cos({c}D * {xi_p}) * sinh({c}D * {eta_p}))"
+    scale = f"{UTM_K0 * _A_BAR!r}D"
+    easting = f"({UTM_FALSE_EASTING!r}D + {scale} * {eta})"
+    northing0 = f"(0.0D + {scale} * {xi})"
+    northern = f"(({lat}) >= 0.0D)"
+    northing = (
+        f"(CASE WHEN {northern} THEN {northing0} "
+        f"ELSE {northing0} + {UTM_FALSE_NORTHING_SOUTH!r}D END)"
+    )
+    return (
+        f"named_struct('zone', {zone}, 'northern', {northern}, "
+        f"'easting', {easting}, 'northing', {northing})"
+    )
+
+
 def utm_inverse(
     easting: Column, northing: Column, zone: Column, northern: Column
 ) -> Column:

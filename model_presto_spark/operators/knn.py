@@ -81,11 +81,20 @@ def knn_join(
     Deterministic: ties broken by ascending candidate id. ``dist`` is
     squared L2 / cosine distance / negative dot per ``metric``.
     """
+    from model_presto_spark.io import spread
+
     p = probes.select(
         F.col(probe_id).alias("__pid"), F.col(probe_vec).alias("__pvec")
     )
-    c = candidates.select(
-        F.col(cand_id).alias("__cid"), F.col(cand_vec).alias("__cvec")
+    # spread the candidate side: the per-pair distance folds run in
+    # the candidate scan's stage (the probe side is broadcast), and a
+    # single-file scan would serialize all O(n_cand * n_probe * dim)
+    # fold work onto one core (io.spread docstring; same class as the
+    # dedup hashing passes). Honors spark.model_presto.spread.mode.
+    c = spread(
+        candidates.select(
+            F.col(cand_id).alias("__cid"), F.col(cand_vec).alias("__cvec")
+        )
     )
     pairs = c.crossJoin(F.broadcast(p))
     if exclude_self:
@@ -292,16 +301,24 @@ def ann_lsh_join(
     fan-out (multi-probe) or run multiple tables for higher recall.
     """
     from model_presto_spark.functions.vectors import cosine_similarity
+    from model_presto_spark.io import spread
 
     p = probes.select(
         F.col(probe_id).alias("__pid"),
         F.col(probe_vec).alias("__pvec"),
         F.expr(_hyperplane_bucket_sql(probe_vec, dim, planes)).alias("__bucket"),
     )
-    c = candidates.select(
-        F.col(cand_id).alias("__cid"),
-        F.col(cand_vec).alias("__cvec"),
-        F.expr(_hyperplane_bucket_sql(cand_vec, dim, planes)).alias("__bucket"),
+    # spread BEFORE the bucket projection: the planes*dim hyperplane
+    # fold is the heavy per-row work and must not inherit a
+    # single-file scan's one-task partitioning (io.spread docstring).
+    c = spread(
+        candidates.select(
+            F.col(cand_id).alias("__cid"), F.col(cand_vec).alias("__cvec")
+        )
+    ).select(
+        "__cid",
+        "__cvec",
+        F.expr(_hyperplane_bucket_sql("__cvec", dim, planes)).alias("__bucket"),
     )
     pairs = c.join(p, "__bucket").filter(F.col("__pid") != F.col("__cid"))
     sim = cosine_similarity(F.col("__pvec"), F.col("__cvec"))

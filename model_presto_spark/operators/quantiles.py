@@ -123,26 +123,34 @@ def exact_grouped_quantiles(
     joined = df.join(F.broadcast(br), cond, "inner").drop(
         *[f"__g_{g}" for g in group_cols]
     )
+    # Aggregate/output expressions are generated as SQL strings and
+    # parsed JVM-side in ONE py4j round-trip each: building the same
+    # trees through the Column API costs ~45 py4j round-trips (~0.4 ms
+    # apiece) per (column, prob) — measured 1,874 round-trips ≈ 0.6 s
+    # of driver time per q17 build.  The parsed trees are semantically
+    # identical (same functions, same operand order, `D`-suffixed
+    # double literals so nothing parses as DECIMAL);
+    # tests/test_quantiles.py pins bit-equality vs percentile().
     refine_aggs = []
     for c in vcols:
-        small = F.col(f"__n_{c}") <= F.lit(accuracy)
+        small = f"(`__n_{c}` <= {accuracy})"
         for i, p in enumerate(probs_by_col[c]):
-            lo = F.col(f"__br_{c}")[2 * i]
-            hi = F.col(f"__br_{c}")[2 * i + 1]
-            v = F.col(c)
+            lo = f"`__br_{c}`[{2 * i}]"
+            hi = f"`__br_{c}`[{2 * i + 1}]"
             tag = f"{c}_{i}"
             refine_aggs.append(
-                F.sum(F.when(~small & v.isNotNull() & (v < lo), 1).otherwise(0))
-                .cast("long")
-                .alias(f"__lt_{tag}")
+                F.expr(
+                    f"CAST(SUM(CASE WHEN (NOT {small}) AND `{c}` IS NOT NULL "
+                    f"AND `{c}` < {lo} THEN 1 ELSE 0 END) AS BIGINT)"
+                ).alias(f"__lt_{tag}")
             )
             refine_aggs.append(
-                F.sort_array(
-                    F.collect_list(
-                        # double like percentile() (an int column would
-                        # otherwise surface int order statistics at g=0)
-                        F.when(small | ((v >= lo) & (v <= hi)), v).cast("double")
-                    )
+                # double like percentile() (an int column would
+                # otherwise surface int order statistics at g=0)
+                F.expr(
+                    f"sort_array(collect_list(CAST(CASE WHEN {small} OR "
+                    f"(`{c}` >= {lo} AND `{c}` <= {hi}) THEN `{c}` END "
+                    f"AS DOUBLE)))"
                 ).alias(f"__sl_{tag}")
             )
         refine_aggs.append(F.first(f"__n_{c}").alias(f"__n_{c}"))
@@ -153,28 +161,31 @@ def exact_grouped_quantiles(
     for c, p, out_name in quantiles:
         i = probs_by_col[c].index(p)
         tag = f"{c}_{i}"
-        n = F.col(f"__n_{c}")
-        lt = F.col(f"__lt_{tag}")
-        sl = F.col(f"__sl_{tag}")
-        h = (n - F.lit(1)).cast("double") * F.lit(float(p))
-        j = F.floor(h).cast("long")          # 0-indexed lower order statistic
-        g = h - j.cast("double")
-        idx = (j + F.lit(1) - lt).cast("int")  # 1-indexed position in slice
+        n = f"`__n_{c}`"
+        lt = f"`__lt_{tag}`"
+        sl = f"`__sl_{tag}`"
+        h = f"(CAST(({n} - 1) AS DOUBLE) * {float(p)!r}D)"
+        # j = FLOOR(h): 0-indexed lower order statistic (already LONG)
+        g = f"({h} - CAST(FLOOR({h}) AS DOUBLE))"
+        idx = f"CAST(((FLOOR({h}) + 1) - {lt}) AS INT)"  # 1-indexed in slice
         # idx < 1 means the approx_percentile rank contract was
         # violated (the true order statistic fell below the bracket).
         # element_at with a NEGATIVE index silently reads from the END
         # of the slice — a plausible-but-wrong value; guard so a
         # contract violation surfaces as NULL instead. (idx beyond the
         # slice already yields NULL from element_at.)
-        v_lo = F.when(idx >= 1, F.element_at(sl, idx))
-        v_hi = F.element_at(sl, idx + F.lit(1))
+        v_lo = f"(CASE WHEN {idx} >= 1 THEN element_at({sl}, {idx}) END)"
+        v_hi = f"element_at({sl}, {idx} + 1)"
         # (1-g)*lo + g*hi — the same algebraic form Spark's Percentile
         # uses, so the rounding of the interpolation matches
         # percentile() in the last ULP (lo + g*(hi-lo) can differ).
-        val = F.when(
-            g > 0, (F.lit(1.0) - g) * v_lo + g * v_hi
-        ).otherwise(v_lo)
-        out_cols.append(F.when(n > 0, val).alias(out_name))
+        val = (
+            f"(CASE WHEN {g} > 0 THEN (1.0D - {g}) * {v_lo} + {g} * {v_hi} "
+            f"ELSE {v_lo} END)"
+        )
+        out_cols.append(
+            F.expr(f"CASE WHEN {n} > 0 THEN {val} END").alias(out_name)
+        )
     # extra_aggs outputs: every refined column that is neither
     # internal (__-prefixed: brackets/counts/slices) nor a group key.
     base = set(group_cols)

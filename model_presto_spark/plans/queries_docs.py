@@ -331,8 +331,15 @@ _Q36_ORACLE = f"""
     "cross-tabbed against the labeled lang column.",
 )
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.io import spread
+
     docs = _t(spark, sf_dir, "documents")
-    toksed = docs.select("lang", T.tokens(F.col("text")).alias("toks"))
+    # tokenize + 4x stopword scoring is the heavy per-row work and the
+    # documents scan is one file (1 task) — spread first, like every
+    # other CPU-bound text pass (io.spread docstring; q46 precedent).
+    toksed = spread(docs.select("lang", "text")).select(
+        "lang", T.tokens(F.col("text")).alias("toks")
+    )
     scores = T.lang_scores(F.col("toks"))
     ordered = sorted(scores)  # lexicographic => deterministic argmax tie-break
     pred = None
@@ -385,8 +392,11 @@ _Q37_ORACLE = f"""
     "ratios, mean word length (reference-style normalization exprs).",
 )
 def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from model_presto_spark.io import spread
+
     docs = _t(spark, sf_dir, "documents")
-    toksed = docs.select(
+    # same single-file-scan serialization fix as q36 (io.spread)
+    toksed = spread(docs.select("doc_id", "text")).select(
         "doc_id", "text", T.tokens(F.col("text")).alias("toks")
     )
     feats = T.quality_features(F.col("text"), F.col("toks"))

@@ -185,3 +185,26 @@ def test_polygon_centroid_orientation_invariant(spark):
     ]
     assert got[0] == (pytest.approx(2.0), pytest.approx(1.0))
     assert got[1] == (pytest.approx(2.0), pytest.approx(1.0))
+
+
+def test_utm_forward_sql_bit_identical(spark):
+    """The SQL-string twin (one py4j round-trip per plan build) must
+    compute the EXACT same doubles as the Column-API utm_forward —
+    same ops, same operand order, D-suffixed literals."""
+    from model_presto_spark.functions.geo import utm_forward, utm_forward_sql
+
+    pts = [
+        (float(la), float(lo))
+        for la in range(-80, 85, 7)
+        for lo in range(-180, 180, 23)
+    ]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    both = df.select(
+        utm_forward(F.col("lat"), F.col("lon")).alias("a"),
+        F.expr(utm_forward_sql("lat", "lon")).alias("b"),
+    ).collect()
+    for r in both:
+        assert r.a.zone == r.b.zone
+        assert r.a.northern == r.b.northern
+        assert r.a.easting == r.b.easting  # bit-exact, no tolerance
+        assert r.a.northing == r.b.northing
