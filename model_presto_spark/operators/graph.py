@@ -75,18 +75,17 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
 
-    # label(n) starts as min(n, min neighbor). Eager checkpoint: every
-    # round references the label table ~5x (propagation sides, union,
-    # jump self-joins) and a bare plan would recompute the groupBy per
-    # reference in round 1; this single job also materializes the lazy
-    # ``sym`` checkpoint above.
-    labels = (
+    # label(n) starts as min(n, min neighbor). The table is
+    # checkpointed because every round references it ~5x (propagation
+    # sides, union, jump self-joins) and a bare plan would recompute
+    # the groupBy per reference in round 1; materializing it also
+    # materializes the lazy ``sym`` checkpoint above.
+    labels_plan = (
         sym.groupBy("u")
         .agg(F.min("v").alias("mv"))
         .select(
             F.col("u").alias("id"), F.least(F.col("u"), F.col("mv")).alias("comp")
         )
-        .localCheckpoint(eager=True)
     )
 
     # convergence probe: labels are min-so-far node ids, so each comp
@@ -100,8 +99,15 @@ def connected_components(
     numeric_ids = any(
         f.name == "comp" and f.dataType.typeName()
         in ("byte", "short", "integer", "long", "float", "double", "decimal")
-        for f in labels.schema.fields
+        for f in labels_plan.schema.fields
     )
+    # Numeric-id path: LAZY checkpoint — the seed probe right below is
+    # the materializing action, folding what used to be two jobs
+    # (eager checkpoint, then the scalar agg) into one. Non-numeric
+    # ids have no seed probe, so they keep the eager materialization
+    # (a lazy checkpoint only deduplicates across jobs, and round 1
+    # references the label table 5x within ONE job).
+    labels = labels_plan.localCheckpoint(eager=not numeric_ids)
 
     def _comp_sum(lab: DataFrame):
         return lab.agg(
