@@ -18,8 +18,13 @@ automatically.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _q(name: str) -> str:
+    """Backtick-quote an identifier for SQL-string expressions."""
+    return f"`{name}`"
 
 
 def asof_join(
@@ -61,47 +66,66 @@ def asof_join(
         left_key = [left_key]
 
     # Disambiguate right columns that collide with left ones; drop the
-    # right copy of the equality keys after the join.
+    # right copy of the equality keys after the join. ``toDF`` renames
+    # positionally in ONE py4j call (vs one col+alias pair per column).
     l_cols = set(left.columns)
     renames = {c: (c + suffix if c in l_cols else c) for c in right.columns}
-    r = right.select([F.col(c).alias(renames[c]) for c in right.columns])
+    r = right.toDF(*[renames[c] for c in right.columns])
     r_ts = renames[right_ts]
     r_payload = [renames[c] for c in right.columns if c not in keys]
 
-    lt, rt = F.col(left_ts), F.col(r_ts)
+    # The join condition, time-distance and dedup window are built as
+    # ONE SQL string each, parsed JVM-side (guide §7.3: the Column API
+    # costs one py4j round-trip per operator node — the asof build was
+    # measured at ~595 round-trips ≈ 0.25 s of driver time per query
+    # build). After the rename every column name is unique across the
+    # two sides, so unqualified (backtick-quoted) names resolve
+    # unambiguously even when left and right derive from the same
+    # source table. Expression trees are unchanged — the parser yields
+    # the identical Catalyst operators the Column API built
+    # (tests/test_asof_sql.py pins bit-equality against a Column-built
+    # reference on all three directions, with and without tolerance).
+    lt, rt = _q(left_ts), _q(r_ts)
     if direction == "backward":
-        cond: Column = rt <= lt
+        conds = [f"{rt} <= {lt}"]
         if tolerance is not None:
-            cond = cond & (rt >= lt - F.expr(f"INTERVAL {tolerance}"))
+            conds.append(f"{rt} >= {lt} - INTERVAL {tolerance}")
         # Timestamp subtraction yields an orderable DayTimeInterval —
         # valid for TIMESTAMP, TIMESTAMP_NTZ and DATE alike (a cast to
         # double is illegal for TIMESTAMP_NTZ in Spark 4).
-        dist = lt - rt
+        dist = f"{lt} - {rt}"
     elif direction == "forward":
-        cond = rt >= lt
+        conds = [f"{rt} >= {lt}"]
         if tolerance is not None:
-            cond = cond & (rt <= lt + F.expr(f"INTERVAL {tolerance}"))
-        dist = rt - lt
+            conds.append(f"{rt} <= {lt} + INTERVAL {tolerance}")
+        dist = f"{rt} - {lt}"
     elif direction == "nearest":
-        cond = F.lit(True)
         if tolerance is not None:
-            cond = (rt >= lt - F.expr(f"INTERVAL {tolerance}")) & (
-                rt <= lt + F.expr(f"INTERVAL {tolerance}")
-            )
-        dist = F.abs(lt - rt)
+            conds = [
+                f"{rt} >= {lt} - INTERVAL {tolerance}",
+                f"{rt} <= {lt} + INTERVAL {tolerance}",
+            ]
+        else:
+            conds = ["true"]
+        dist = f"abs({lt} - {rt})"
     else:
         raise ValueError(f"unknown direction: {direction}")
 
-    for k in keys:
-        cond = (left[k] == r[renames[k]]) & cond
+    conds = [f"{_q(k)} = {_q(renames[k])}" for k in keys] + conds
+    cond = F.expr(" AND ".join(conds))
 
     joined = left.join(r, cond, "left").drop(*[renames[k] for k in keys])
     part_cols = left_key if left_key else left.columns
-    w = Window.partitionBy(*[left[c] for c in part_cols]).orderBy(
-        dist.asc_nulls_last(), *[F.col(c).desc() for c in r_payload]
+    # Column.desc() defaults to NULLS LAST — same as SQL DESC.
+    order = ", ".join(
+        [f"({dist}) ASC NULLS LAST"] + [f"{_q(c)} DESC" for c in r_payload]
+    )
+    rn = (
+        f"row_number() OVER (PARTITION BY "
+        f"{', '.join(_q(c) for c in part_cols)} ORDER BY {order}) AS __asof_rn"
     )
     return (
-        joined.withColumn("__asof_rn", F.row_number().over(w))
-        .filter(F.col("__asof_rn") == 1)
+        joined.selectExpr("*", rn)
+        .where("__asof_rn = 1")
         .drop("__asof_rn")
     )

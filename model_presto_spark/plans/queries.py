@@ -453,13 +453,17 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(reference dynamicworld.py:108-137 nearest-in-tolerance semantics).",
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # String-expression build (guide §7.3): same Catalyst trees as the
+    # Column forms (`-1.0D` keeps the double literal — a bare SQL
+    # `-1.0` parses as DECIMAL(2,1)), a fraction of the py4j
+    # round-trips. Hash-match re-verified at sf0.001/0.01/0.1.
     ev = _t(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
+    purchases = ev.where("event_type = 'purchase'").select(
         "event_id", "user_id", "ts"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_event_id"),
-        F.col("value").alias("click_value"),
+    clicks = ev.where("event_type = 'click'").selectExpr(
+        "user_id", "ts AS click_ts", "event_id AS click_event_id",
+        "value AS click_value",
     )
     joined = asof_join(
         purchases,
@@ -471,11 +475,11 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="backward",
         left_key="event_id",
     )
-    return joined.select(
+    return joined.selectExpr(
         "event_id",
         "user_id",
-        F.coalesce("click_event_id", F.lit(-1)).alias("click_event_id"),
-        F.round(F.coalesce("click_value", F.lit(-1.0)), 2).alias("click_value"),
+        "COALESCE(click_event_id, -1) AS click_event_id",
+        "ROUND(COALESCE(click_value, -1.0D), 2) AS click_value",
     )
 
 

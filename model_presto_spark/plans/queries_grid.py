@@ -158,12 +158,15 @@ _Q49_ORACLE = """
 def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     from model_presto_spark.operators.asof import asof_join
 
+    # String-expression build (guide §7.3): same Catalyst trees as the
+    # Column forms (`5e-12` parses as DOUBLE, matching the former
+    # Python-float literal), a fraction of the py4j round-trips.
     ev = _t(spark, sf_dir, "events")
     anchors = ev.groupBy("user_id").agg(F.min("ts").alias("anchor"))
     # exclusive lower bound: nudge the anchor forward 1 microsecond so
     # the anchor event itself never matches (asof 'forward' is >=).
-    anchors_x = anchors.select(
-        "user_id", (F.col("anchor") + F.expr("INTERVAL 1 MICROSECOND")).alias("anchor")
+    anchors_x = anchors.selectExpr(
+        "user_id", "anchor + INTERVAL 1 MICROSECOND AS anchor"
     )
     out = asof_join(
         anchors_x,
@@ -175,8 +178,8 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="forward",
         left_key="user_id",
     )
-    return out.filter(F.col("value").isNotNull()).select(
-        "user_id", F.round(F.col("value") + 5e-12, 6).alias("next_value")
+    return out.where("value IS NOT NULL").selectExpr(
+        "user_id", "ROUND(value + 5e-12, 6) AS next_value"
     )
 
 
