@@ -38,6 +38,24 @@ def cosine_distance(a: Column, b: Column) -> Column:
     return 1.0 - cosine_similarity(a, b)
 
 
+def cosine_similarity_sql(a: str, b: str) -> str:
+    """SQL-string twin of ``cosine_similarity`` (guide §7.3 — one
+    ``F.expr`` parse instead of ~100 py4j round-trips per call site).
+    Spells the IDENTICAL expression tree: per-element double casts via
+    ``transform`` (matching ``as_double``), sequential left-to-right
+    folds, ``0.0D`` double literals — so values stay bit-identical to
+    the Column version and the DuckDB oracle."""
+    ad = f"transform({a}, x -> CAST(x AS DOUBLE))"
+    bd = f"transform({b}, x -> CAST(x AS DOUBLE))"
+    dot_sql = (
+        f"aggregate(zip_with({ad}, {bd}, (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+    na = f"SQRT(aggregate({ad}, 0.0D, (acc, x) -> acc + x * x))"
+    nb = f"SQRT(aggregate({bd}, 0.0D, (acc, x) -> acc + x * x))"
+    return f"{dot_sql} / ({na} * {nb})"
+
+
 def sq_euclidean(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(as_double(a), as_double(b), lambda x, y: (x - y) * (x - y)),

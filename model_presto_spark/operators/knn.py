@@ -25,6 +25,47 @@ from pyspark.sql import functions as F
 _METRICS = ("sqeuclidean", "cosine", "dot")
 
 
+def _qt(name: str) -> str:
+    """Backtick-quote an identifier for SQL-string expressions."""
+    return f"`{name}`"
+
+
+def _distance_sql(qv: str, cv: str, metric: str) -> str:
+    """SQL-string twin of ``_distance`` (guide §7.3): one ``F.expr``
+    parse instead of ~170 py4j round-trips of Column-API fold
+    construction per distance tree. The strings spell the IDENTICAL
+    expression trees — per-element double casts inside the lambdas,
+    same operand order, ``0.0D`` for the double zero literal (a bare
+    SQL ``0.0`` parses as DECIMAL) — so fold arithmetic stays
+    bit-identical to the Column version and to the DuckDB oracle
+    (tests/test_knn_sql.py pins equality on all three metrics)."""
+    if metric == "sqeuclidean":
+        return (
+            f"aggregate(zip_with({qv}, {cv}, (a, b) -> "
+            f"(CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) * "
+            f"(CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+    dot = (
+        f"aggregate(zip_with({qv}, {cv}, (a, b) -> "
+        f"CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), "
+        f"0.0D, (a, x) -> a + x)"
+    )
+    if metric == "dot":
+        return f"-({dot})"  # larger dot = nearer
+    if metric == "cosine":
+        nq = (
+            f"SQRT(aggregate({qv}, 0.0D, "
+            f"(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        )
+        nc = (
+            f"SQRT(aggregate({cv}, 0.0D, "
+            f"(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        )
+        return f"1.0D - {dot} / ({nq} * {nc})"
+    raise ValueError(f"metric must be one of {_METRICS}")
+
+
 def _distance(qv, cv, metric: str):
     # Per-ELEMENT double casts inside the lambdas: callers pass raw
     # float arrays (an upfront array<double> cast would be inlined by
@@ -83,8 +124,12 @@ def knn_join(
     """
     from model_presto_spark.io import spread
 
-    p = probes.select(
-        F.col(probe_id).alias("__pid"), F.col(probe_vec).alias("__pvec")
+    # String-expression build throughout (guide §7.3): the Column-API
+    # construction of this plan cost ~770-1270 py4j round-trips per
+    # query build (q35/q45, measured with tools/py4j_count.py); the
+    # SQL strings parse JVM-side to the same Catalyst trees.
+    p = probes.selectExpr(
+        f"{_qt(probe_id)} AS __pid", f"{_qt(probe_vec)} AS __pvec"
     )
     # spread the candidate side: the per-pair distance folds run in
     # the candidate scan's stage (the probe side is broadcast), and a
@@ -92,23 +137,29 @@ def knn_join(
     # fold work onto one core (io.spread docstring; same class as the
     # dedup hashing passes). Honors spark.model_presto.spread.mode.
     c = spread(
-        candidates.select(
-            F.col(cand_id).alias("__cid"), F.col(cand_vec).alias("__cvec")
+        candidates.selectExpr(
+            f"{_qt(cand_id)} AS __cid", f"{_qt(cand_vec)} AS __cvec"
         )
     )
     pairs = c.crossJoin(F.broadcast(p))
     if exclude_self:
-        pairs = pairs.filter(F.col("__pid") != F.col("__cid"))
-    dist = _distance(F.col("__pvec"), F.col("__cvec"), metric)
-    scored = pairs.select("__pid", "__cid", dist.alias("__dist"))
-    w = Window.partitionBy("__pid").orderBy(F.col("__dist").asc(), F.col("__cid").asc())
+        pairs = pairs.where("__pid != __cid")
+    scored = pairs.selectExpr(
+        "__pid",
+        "__cid",
+        f"{_distance_sql('__pvec', '__cvec', metric)} AS __dist",
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("__pid").alias(probe_id),
-            F.col("__cid").alias(cand_id),
-            F.col("__dist").alias("dist"),
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY __pid "
+            "ORDER BY __dist ASC, __cid ASC) AS rank",
+        )
+        .where(f"rank <= {int(k)}")
+        .selectExpr(
+            f"__pid AS {_qt(probe_id)}",
+            f"__cid AS {_qt(cand_id)}",
+            "__dist AS dist",
             "rank",
         )
     )
@@ -224,16 +275,18 @@ def knn_classify(
         exclude_self=exclude_self,
     )
     labeled = nn.join(
-        candidates.select(F.col(cand_id), F.col(label_col).alias("__lbl")), cand_id
+        candidates.selectExpr(_qt(cand_id), f"{_qt(label_col)} AS __lbl"),
+        cand_id,
     )
-    votes = labeled.groupBy(probe_id, "__lbl").agg(F.count(F.lit(1)).alias("votes"))
-    w = Window.partitionBy(probe_id).orderBy(
-        F.col("votes").desc(), F.col("__lbl").asc()
-    )
+    votes = labeled.groupBy(probe_id, "__lbl").agg(F.expr("count(1) AS votes"))
     return (
-        votes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(probe_id, F.col("__lbl").alias("predicted"), "votes")
+        votes.selectExpr(
+            "*",
+            f"row_number() OVER (PARTITION BY {_qt(probe_id)} "
+            f"ORDER BY votes DESC, __lbl ASC) AS __rn",
+        )
+        .where("__rn = 1")
+        .selectExpr(_qt(probe_id), "__lbl AS predicted", "votes")
     )
 
 
@@ -300,37 +353,46 @@ def ann_lsh_join(
     pairs are scored. Recall < 1 by construction; raise ``planes``
     fan-out (multi-probe) or run multiple tables for higher recall.
     """
-    from model_presto_spark.functions.vectors import cosine_similarity
+    from model_presto_spark.functions.vectors import cosine_similarity_sql
     from model_presto_spark.io import spread
 
-    p = probes.select(
-        F.col(probe_id).alias("__pid"),
-        F.col(probe_vec).alias("__pvec"),
-        F.expr(_hyperplane_bucket_sql(probe_vec, dim, planes)).alias("__bucket"),
+    # String-expression build (guide §7.3) — same Catalyst trees as
+    # the former Column construction, a fraction of the py4j
+    # round-trips (the bucket folds were already SQL strings).
+    p = probes.selectExpr(
+        f"{_qt(probe_id)} AS __pid",
+        f"{_qt(probe_vec)} AS __pvec",
+        f"{_hyperplane_bucket_sql(probe_vec, dim, planes)} AS __bucket",
     )
     # spread BEFORE the bucket projection: the planes*dim hyperplane
     # fold is the heavy per-row work and must not inherit a
     # single-file scan's one-task partitioning (io.spread docstring).
     c = spread(
-        candidates.select(
-            F.col(cand_id).alias("__cid"), F.col(cand_vec).alias("__cvec")
+        candidates.selectExpr(
+            f"{_qt(cand_id)} AS __cid", f"{_qt(cand_vec)} AS __cvec"
         )
-    ).select(
+    ).selectExpr(
         "__cid",
         "__cvec",
-        F.expr(_hyperplane_bucket_sql("__cvec", dim, planes)).alias("__bucket"),
+        f"{_hyperplane_bucket_sql('__cvec', dim, planes)} AS __bucket",
     )
-    pairs = c.join(p, "__bucket").filter(F.col("__pid") != F.col("__cid"))
-    sim = cosine_similarity(F.col("__pvec"), F.col("__cvec"))
-    scored = pairs.select("__pid", "__cid", sim.alias("__sim"))
-    w = Window.partitionBy("__pid").orderBy(F.col("__sim").desc(), F.col("__cid").asc())
+    pairs = c.join(p, "__bucket").where("__pid != __cid")
+    scored = pairs.selectExpr(
+        "__pid",
+        "__cid",
+        f"{cosine_similarity_sql('__pvec', '__cvec')} AS __sim",
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("__pid").alias(probe_id),
-            F.col("__cid").alias(cand_id),
-            F.col("__sim").alias("cosine_sim"),
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY __pid "
+            "ORDER BY __sim DESC, __cid ASC) AS rank",
+        )
+        .where(f"rank <= {int(k)}")
+        .selectExpr(
+            f"__pid AS {_qt(probe_id)}",
+            f"__cid AS {_qt(cand_id)}",
+            "__sim AS cosine_sim",
             "rank",
         )
     )
