@@ -227,6 +227,101 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# ---------------------------------------------------------------------------
+# SQL-string twins (guide §7.3 driver overhead).
+#
+# The Column builders above cost one py4j round-trip per operator node;
+# a dedup query build (q32) was measured at ~1,430 round-trips ≈ 0.4 s
+# of pure driver time. The twins below render the IDENTICAL expression
+# trees as SQL text parsed JVM-side in one round-trip per projection:
+# same operand order, same per-element casts, `CAST(x AS DOUBLE)` /
+# bare int literals exactly where the Column versions place them — so
+# hashes, signatures, buckets and similarity values are bit-identical
+# (tests/test_text_sql.py pins Column-vs-SQL equality element-wise; the
+# dedup bench queries re-verified hash-match vs the oracle at 3 SFs).
+# Arguments are SQL fragments (a backtick-quoted column name or a
+# nested twin call), not Column objects.
+# ---------------------------------------------------------------------------
+
+
+def h60_sql(s: str, seed: int | None = None) -> str:
+    """SQL twin of :func:`h60` (md5-derived 60-bit hash)."""
+    if seed is not None:
+        s = f"concat({s}, '#', '{seed}')"
+    return (
+        f"CAST(conv(substring(md5(encode({s}, 'UTF-8')), 1, 15), 16, 10) "
+        f"AS BIGINT)"
+    )
+
+
+def h60_fast_sql(s: str) -> str:
+    """SQL twin of :func:`h60_fast` (xxhash64, 60-bit masked)."""
+    return f"(xxhash64({s}) & {(1 << 60) - 1})"
+
+
+def tokens_sql(text: str) -> str:
+    """SQL twin of :func:`tokens`."""
+    return f"filter(split(lower({text}), '\\\\s+'), t -> t != '')"
+
+
+def char_shingles_sql(lowered: str, k: int = 5, distinct: bool = True) -> str:
+    """SQL twin of :func:`char_shingles` (same materialized-column
+    caveat: pass an attribute name, not an inline lower())."""
+    sh = (
+        f"transform(sequence(1, greatest(length({lowered}) - {k - 1}, 1)), "
+        f"i -> substring({lowered}, i, {k}))"
+    )
+    return f"array_distinct({sh})" if distinct else sh
+
+
+def word_ngrams_sql(toks: str, n: int = 3) -> str:
+    """SQL twin of :func:`word_ngrams` (same materialized-column
+    caveat)."""
+    return (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))))"
+    )
+
+
+def hash_array_sql(strings: str, fast: bool = False) -> str:
+    """SQL twin of :func:`hash_array`."""
+    fn = h60_fast_sql if fast else h60_sql
+    return f"transform({strings}, s -> {fn('s')})"
+
+
+def minhash_signature_sql(hashes: str, num_hashes: int = 16) -> str:
+    """SQL twin of :func:`minhash_signature` (same universal-hash
+    algebra, same fold shape)."""
+    return (
+        f"aggregate({hashes}, "
+        f"array_repeat(CAST({HASH_P} AS BIGINT), {num_hashes}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}), "
+        f"(m, j) -> least(m, ((h % {HASH_P}) * (j * 2 + 1) + j * 7919) "
+        f"% {HASH_P})))"
+    )
+
+
+def lsh_band_keys_sql(signature: str, bands: int, rows_per_band: int) -> str:
+    """SQL twin of :func:`lsh_band_keys`."""
+    return (
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> struct(b AS band, md5(encode(concat_ws(',', "
+        f"transform(slice({signature}, b * {rows_per_band} + 1, "
+        f"{rows_per_band}), x -> CAST(x AS STRING))), 'UTF-8')) AS bucket))"
+    )
+
+
+def jaccard_sql(a: str, b: str) -> str:
+    """SQL twin of :func:`jaccard` (same bind-intersect-once shape)."""
+    sizes = f"CAST(size({a}) + size({b}) AS DOUBLE)"
+    return (
+        f"aggregate(array(CAST(size(array_intersect({a}, {b})) AS DOUBLE)), "
+        f"0.0D, (acc, i) -> CASE WHEN {sizes} - i > 0 "
+        f"THEN i / ({sizes} - i) ELSE 0.0D END)"
+    )
+
+
 def bpe_ish_token_count(text: Column) -> Column:
     """BPE-ish token estimate: count of word/number/punct chunks.
 

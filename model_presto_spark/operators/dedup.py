@@ -33,14 +33,21 @@ _LOG = logging.getLogger(__name__)
 from model_presto_spark.io import spread
 from model_presto_spark.functions.text import (
     char_shingles,
+    char_shingles_sql,
     fingerprint60,
     hash_array,
+    hash_array_sql,
     jaccard,
+    jaccard_sql,
     lsh_band_keys,
+    lsh_band_keys_sql,
     minhash_signature,
+    minhash_signature_sql,
     simhash60_from_hashes,
     tokens,
+    tokens_sql,
     word_ngrams,
+    word_ngrams_sql,
 )
 
 
@@ -72,6 +79,23 @@ def _chain_pairs(ids_col: str) -> F.Column:
         lambda a, i: F.struct(
             a.alias("id_a"), F.element_at(ids, i + 2).alias("id_b")
         ),
+    )
+
+
+def _pairs_within_sql(ids: str) -> str:
+    """SQL twin of :func:`_pairs_within` (guide §7.3; same tree)."""
+    return (
+        f"flatten(transform({ids}, (a, i) -> "
+        f"transform(slice({ids}, i + 2, greatest(size({ids}), 1)), "
+        f"b -> struct(a AS id_a, b AS id_b))))"
+    )
+
+
+def _chain_pairs_sql(ids: str) -> str:
+    """SQL twin of :func:`_chain_pairs`."""
+    return (
+        f"transform(slice({ids}, 1, size({ids}) - 1), (a, i) -> "
+        f"struct(a AS id_a, element_at({ids}, i + 2) AS id_b))"
     )
 
 
@@ -196,8 +220,13 @@ def minhash_lsh_pairs(
     # not inherit a small scan's partitioning (io.spread docstring).
     # lower(text) materialized next: char_shingles references it per
     # position and an inline lower() would be recomputed O(len) times.
-    low = spread(df).select(
-        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("lc")
+    # String-expression build from here down (guide §7.3): the Column
+    # construction of this operator cost ~1,430 py4j round-trips per
+    # q32 build; the SQL twins parse the identical trees JVM-side
+    # (tests/test_text_sql.py pins value equality, oracle hash-match
+    # re-verified at 3 SFs for the dedup bench queries).
+    low = spread(df).selectExpr(
+        f"`{id_col}` AS id", f"lower(`{text_col}`) AS lc"
     )
     # Documents are represented as 64-bit shingle-hash sets from here
     # on: one md5 pass per shingle, then both the signature and the
@@ -205,9 +234,10 @@ def minhash_lsh_pairs(
     # instead of shingle strings cuts the verify join's shuffle ~10x
     # (hash collisions are shared by any engine using the same
     # md5-derived hash, so intersection counts agree).
-    sh = low.select(
+    sh = low.selectExpr(
         "id",
-        hash_array(char_shingles(F.col("lc"), shingle_k), fast=fast_hash).alias("hs"),
+        f"{hash_array_sql(char_shingles_sql('lc', shingle_k), fast=fast_hash)}"
+        f" AS hs",
     )
     if reuse:
         # The hash-set table feeds three DAG branches (signature +
@@ -219,7 +249,9 @@ def minhash_lsh_pairs(
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     # The 16 seed-minima fold in one pass over the hash array.
-    sig = sh.select("id", minhash_signature(F.col("hs"), num_hashes).alias("sig"))
+    sig = sh.selectExpr(
+        "id", f"{minhash_signature_sql('hs', num_hashes)} AS sig"
+    )
     # The band stage shuffles only (band, bucket, id) — never shingle
     # bodies. Pairs are generated by grouping ids per bucket rather
     # than a self-join: a self-join would recompute the whole
@@ -232,25 +264,24 @@ def minhash_lsh_pairs(
     # pre-filter that re-evaluates band keys + the 16-seed minhash
     # fold a second time per row; band arrays are never empty.
     if signature_screen is None:
-        banded = sig.select(
+        banded = sig.selectExpr(
             "id",
-            F.explode_outer(
-                lsh_band_keys(F.col("sig"), bands, rows_per_band)
-            ).alias("bk"),
-        ).select(
-            F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"), "id"
-        )
+            f"explode_outer({lsh_band_keys_sql('sig', bands, rows_per_band)})"
+            f" AS bk",
+        ).selectExpr("bk.band AS band", "bk.bucket AS bucket", "id")
         buckets = (
             banded.groupBy("band", "bucket")
-            .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-            .filter(F.size("ids") > 1)
+            .agg(F.expr("array_sort(collect_list(id)) AS ids"))
+            .where("size(ids) > 1")
         )
         # explode_outer: skip the inferred size>0 filter that would
         # build the O(d^2) pair array twice (buckets are filtered
         # size>1, so the pair array is never empty).
-        pair_arr = F.when(
-            F.size("ids") <= max_bucket_size, _pairs_within("ids")
-        ).otherwise(_chain_pairs("ids"))
+        pair_arr = (
+            f"CASE WHEN size(ids) <= {int(max_bucket_size)} "
+            f"THEN {_pairs_within_sql('ids')} "
+            f"ELSE {_chain_pairs_sql('ids')} END"
+        )
         # spread the bucket rows before the pair expansion: the bucket
         # aggregation's shuffle output is tiny in BYTES (a few thousand
         # rows of band/bucket/id-array), so AQE coalesces its read to
@@ -259,8 +290,9 @@ def minhash_lsh_pairs(
         # generator-side twin of the r07 verify-stream collapse). One
         # skinny shuffle of the bucket rows buys full-width expansion.
         cand = (
-            spread(buckets).select(F.explode_outer(pair_arr).alias("pr"))
-            .select(F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b"))
+            spread(buckets)
+            .selectExpr(f"explode_outer({pair_arr}) AS pr")
+            .selectExpr("pr.id_a AS id_a", "pr.id_b AS id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
@@ -337,15 +369,15 @@ def minhash_lsh_pairs(
             .dropDuplicates(["id_a", "id_b"])
         )
     # Fetch shingle-hash sets back only for surviving candidate pairs.
-    sh_a = sh.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a"))
-    sh_b = sh.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b"))
+    sh_a = sh.toDF("id_a", "sh_a")
+    sh_b = sh.toDF("id_b", "sh_b")
     return (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
-        .select(
-            "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim")
+        .selectExpr(
+            "id_a", "id_b", f"{jaccard_sql('sh_a', 'sh_b')} AS jaccard_sim"
         )
-        .filter(F.col("jaccard_sim") >= threshold)
+        .where(f"jaccard_sim >= CAST({threshold!r} AS DOUBLE)")
     )
 
 
@@ -359,9 +391,10 @@ def simhash_signatures(
     votes are pure shift/mask arithmetic over the integer array.
     (Separate select so Catalyst doesn't inline the md5 pass 60x.)
     """
-    hashed = spread(df).select(
-        F.col(id_col),
-        hash_array(tokens(F.col(text_col)), fast=fast_hash).alias("hashes"),
+    hashed = spread(df).selectExpr(
+        f"`{id_col}`",
+        f"{hash_array_sql(tokens_sql(f'`{text_col}`'), fast=fast_hash)}"
+        f" AS hashes",
     )
     return hashed.select(
         F.col(id_col), simhash60_from_hashes("hashes").alias("simhash")
@@ -424,14 +457,16 @@ def ngram_jaccard_pairs(
     # keys for the inverted-index join (hash collisions are shared by
     # any engine using the same md5-derived hash, so counts agree).
     # Tokens materialized first — see char_shingles inlining caveat.
-    toksed = spread(df).select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    # String-expression build (guide §7.3; identical trees to the
+    # Column forms — see minhash_lsh_pairs note).
+    toksed = spread(df).selectExpr(
+        f"`{id_col}` AS id", f"{tokens_sql(f'`{text_col}`')} AS toks"
     )
-    grams = toksed.select(
+    grams = toksed.selectExpr(
         "id",
-        F.array_distinct(
-            hash_array(word_ngrams(F.col("toks"), n), fast=fast_hash)
-        ).alias("grams"),
+        f"array_distinct("
+        f"{hash_array_sql(word_ngrams_sql('toks', n), fast=fast_hash)})"
+        f" AS grams",
     )
     if reuse:
         # Feeds the posting explode plus the size lookup; see the
@@ -447,8 +482,8 @@ def ngram_jaccard_pairs(
         # is generated (a gram shared by d docs yields d² pairs).
         buckets = (
             posting.groupBy("gram")
-            .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-            .filter((F.size("ids") > 1) & (F.size("ids") <= max_doc_freq))
+            .agg(F.expr("array_sort(collect_list(id)) AS ids"))
+            .where(f"size(ids) > 1 AND size(ids) <= {int(max_doc_freq)}")
         )
         common = (
             # explode_outer: same inferred-filter double-compute guard
@@ -457,28 +492,25 @@ def ngram_jaccard_pairs(
             # must not run on the AQE-coalesced (tiny-bytes) read of
             # the inverted-index shuffle — see the minhash candidate
             # stage note.
-            spread(buckets).select(F.explode_outer(_pairs_within("ids")).alias("pr"))
+            spread(buckets)
+            .selectExpr(f"explode_outer({_pairs_within_sql('ids')}) AS pr")
             .groupBy(
                 F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b")
             )
-            .agg(F.count(F.lit(1)).alias("n_common"))
+            .agg(F.expr("count(1) AS n_common"))
         )
-        sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"))
-        sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
+        sa = sizes.toDF("id_a", "n_a")
+        sb = sizes.toDF("id_b", "n_b")
         return (
             common.join(sa, "id_a")
             .join(sb, "id_b")
-            .select(
+            .selectExpr(
                 "id_a",
                 "id_b",
-                (
-                    F.col("n_common").cast("double")
-                    / (
-                        F.col("n_a") + F.col("n_b") - F.col("n_common")
-                    ).cast("double")
-                ).alias("jaccard_sim"),
+                "CAST(n_common AS DOUBLE) / "
+                "CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard_sim",
             )
-            .filter(F.col("jaccard_sim") >= threshold)
+            .where(f"jaccard_sim >= CAST({threshold!r} AS DOUBLE)")
         )
     wg = Window.partitionBy("gram")
     elig = posting.withColumn("df", F.count(F.lit(1)).over(wg)).filter(
@@ -1222,14 +1254,16 @@ def ngram_containment_pairs(
             f"candidates must be 'index', 'lsh', 'lsh_ensemble', or "
             f"'auto': {candidates}"
         )
-    toksed = spread(df).select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    # String-expression build (guide §7.3; identical trees to the
+    # Column forms — see minhash_lsh_pairs note).
+    toksed = spread(df).selectExpr(
+        f"`{id_col}` AS id", f"{tokens_sql(f'`{text_col}`')} AS toks"
     )
-    grams = toksed.select(
+    grams = toksed.selectExpr(
         "id",
-        F.array_distinct(
-            hash_array(word_ngrams(F.col("toks"), n), fast=fast_hash)
-        ).alias("grams"),
+        f"array_distinct("
+        f"{hash_array_sql(word_ngrams_sql('toks', n), fast=fast_hash)})"
+        f" AS grams",
     )
     if reuse:
         # grams feeds posting + sizes (and the LSH signature in lsh

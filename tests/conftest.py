@@ -32,6 +32,7 @@ _FAST_GATE_FILES = {
     "test_utm.py",
     "test_asof_sql.py",
     "test_knn_sql.py",
+    "test_text_sql.py",
 }
 
 
