@@ -1288,32 +1288,39 @@ _ADJUDICATION_TAIL = [
     "q06_bitmask",
     "q07_case_relabel",
     "q10_outer_join_streams",
-    "q13_asof_join",
+    # q13_asof_join -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
     "q15_mode",
     "q18_histogram",
     "q24_union_explode",
     "q30_series_pad",
-    "q36_lang_id",
-    "q37_quality",
+    # q36_lang_id -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
+    # q37_quality -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
     "q38_token_stats",
     "q41_spectral",
     "q43_monthly_composite",
     "q47_terrain",
     "q50_json",
-    "q56_utm",
+    # q56_utm -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
     "q59_spatial_join",
     "q61_repetition",
     # q19 (r01/r02-green) parks to make room for q98_triangles,
     # which has never been driver-adjudicated
     "q19_threeway_stats",
     # q45 (r01/r02-green) parks likewise for q99_link_prediction
-    "q45_knn_classify",
+    # q45_knn_classify -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
     # q46 (r01/r02-green) parks likewise for q100_markov_transitions
     "q46_mask_budget",
     # q40 (r01/r02-green) parks likewise for q101_bfs_levels
-    "q40_ann_lsh",
+    # q40_ann_lsh -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
     # q33 (r01/r02-green) parks likewise for q102_frequent_itemsets
-    "q33_simhash",
+    # q33_simhash -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
     # ---- Round-4 rotation: q103-q108 are new this round (never
     # adjudicated) and must sit inside the head-50. The six queries
     # below hold GREEN driver rows from CORRECTNESS_r01/r02, so they
@@ -1321,10 +1328,13 @@ _ADJUDICATION_TAIL = [
     # rotation the head is exactly the 49 never-adjudicated queries
     # + q16. ------------------------------------------------------------
     "q31_exact_dedup",
-    "q32_minhash_lsh",
-    "q34_ngram_jaccard",
+    # q32_minhash_lsh -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
+    # q34_ngram_jaccard -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
     "q54_embedding_dups",
-    "q55_dedup_clusters",
+    # q55_dedup_clusters -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
     "q60_contamination",
     # q109/q110 push the never-adjudicated count to 51: q16 (r01/r02
     # green) parks too.
@@ -1361,7 +1371,8 @@ _ADJUDICATION_TAIL = [
     "q80_profile",
     "q81_constraints",
     "q82_mix_epochs",
-    "q83_ranking_metrics",
+    # q83_ranking_metrics -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
     "q84_embedding_qc",
     "q85_span_dedup",
     "q86_fuzzy_linkage",
@@ -1382,7 +1393,8 @@ _ADJUDICATION_TAIL = [
     "q101_bfs_levels",
     "q102_frequent_itemsets",
     "q103_line_boilerplate",
-    "q104_containment",
+    # q104_containment -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
     "q105_dsir",
     "q106_corpus_kl",
     "q107_label_prop",
@@ -1393,7 +1405,8 @@ _ADJUDICATION_TAIL = [
     "q25_dates",
     "q09_left_join_coalesce",
     "q21_topn_per_group",
-    "q17_quantiles",
+    # q17_quantiles -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
     "q04_null_counts",
     "q28_mod_split",
     "q58_zip_pages",
@@ -1412,11 +1425,15 @@ _ADJUDICATION_TAIL = [
     "q02_derived_expr",
     "q22_topk_order",
     "q27_math",
-    "q49_asof_forward",
+    # q49_asof_forward -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
     "q44_multiclass_f1",
-    "q35_cosine_topk",
-    "q23_knn",
-    "q14_median",
+    # q35_cosine_topk -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
+    # q23_knn -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
+    # q14_median -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
     "q20_tumbling_day",
     # ---- Round-5 session rotation (driver round 5) ----------------------
     # CORRECTNESS_r04 came back 50/50 GREEN on q110-q159, so that head
@@ -1454,7 +1471,8 @@ _ADJUDICATION_TAIL = [
     "q140_clamped_balance",
     "q141_hopping_window",
     "q137_hits",
-    "q138_label_noise",
+    # q138_label_noise -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
     "q142_grid_dbscan",
     "q143_entropy_gini",
     "q144_bollinger",
@@ -1486,11 +1504,13 @@ _ADJUDICATION_TAIL = [
     "q166_watermark_audit",
     "q167_spearman",
     "q168_kendall_tau",
-    "q169_dedup_curve",
+    # q169_dedup_curve -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
     "q170_ngram_novelty",
     "q171_winsorized_scaler",
     "q172_bh_fdr",
-    "q173_ppjoin",
+    # q173_ppjoin -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
     "q174_twap",
     "q175_tpch_q5",
     "q176_tpch_q10",
@@ -1518,7 +1538,8 @@ _ADJUDICATION_TAIL = [
     "q198_feature_hashing",
     "q199_negative_sampling",
     "q200_holt_trend",
-    "q201_mutual_nn",
+    # q201_mutual_nn -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
     "q202_pii_redaction",
     "q203_skyline",
     "q204_consistent_hashing",
@@ -1567,7 +1588,8 @@ _ADJUDICATION_TAIL = [
     "q241_jsd_matrix",
     "q242_markov_attribution",
     "q243_modularity",
-    "q244_hubness",
+    # q244_hubness -> pulled to the round-9 re-adjudication front (_ADJUDICATION_FRONT below): its results-producing code was
+    # touched in round 8/9 and needs a fresh driver row.
     "q245_holt_winters",
     "q246_anova_levene",
     "q247_wasserstein",
@@ -1640,13 +1662,119 @@ _ADJUDICATION_TAIL = [
     "q307_peaks",
     "q308_ljung_box",
     "q309_median_polish",
+    # ---- Round-9 (driver round 9) START rotation -----------------------
+    # CORRECTNESS_r08 landed: 50/50 green on the exact r08 head
+    # (q310-q359), so those 50 park here. The new head-50 is NOT the
+    # plain queue continuation this round: rounds 8-9 rewrote the
+    # results-producing build of 23 queries (asof / knn family /
+    # minhash / ngram / simhash / quantile-moments / UTM / tokenize
+    # spreads), and the round-8 verdict required folding them back
+    # into the driver gate. Those 23 are pulled to the FRONT of the
+    # head (_ADJUDICATION_FRONT below, replacing their parked entries
+    # above); the remaining 27 slots continue the queue (q360-q386).
+    # Queue ahead: r10 head := q387-q436; r11 := q437-q486; ... until
+    # the backlog is gone.
+    "q310_shapley",
+    "q311_decayed_value",
+    "q312_gpd_tail",
+    "q313_burrows_delta",
+    "q314_dict_candidates",
+    "q315_bradley_terry",
+    "q316_causal_impact",
+    "q317_structural_holes",
+    "q318_records",
+    "q319_kendalls_w",
+    "q320_friedman",
+    "q321_ar_order",
+    "q322_capture_recapture",
+    "q323_aa_test",
+    "q324_cochran_q",
+    "q325_mcnemar",
+    "q326_partial_corr",
+    "q327_yuen_test",
+    "q328_log_rank",
+    "q329_mus_sampling",
+    "q330_price_volume_mix",
+    "q331_price_endings",
+    "q332_split_half",
+    "q333_intrinsic_dim",
+    "q334_effective_rank",
+    "q335_tpch_q2",
+    "q336_tpch_q4",
+    "q337_tpch_q9",
+    "q338_tpch_q11",
+    "q339_tpch_q12",
+    "q340_tpch_q15",
+    "q341_tpch_q16",
+    "q342_tpch_q20",
+    "q343_tpch_q21",
+    "q344_fifo_lots",
+    "q345_inventory_aging",
+    "q346_moving_avg_basis",
+    "q347_listagg",
+    "q348_time_range_frame",
+    "q349_pct_of_parent",
+    "q350_weighted_sssp",
+    "q351_dp_noisy_counts",
+    "q352_average_precision",
+    "q353_jaccard_links",
+    "q354_keep_best_dedup",
+    "q355_packing_fragmentation",
+    "q356_kwic",
+    "q357_keyword_tagging",
+    "q358_chunk_overlap",
+    "q359_position_ctr",
+]
+
+
+# Queries whose results-producing build was rewritten in rounds 8-9
+# (SQL-string expression construction, moments fusion, spreads): they
+# hold builder-side hash-match evidence at 3 SFs plus pinning tests,
+# and move to the FRONT of the adjudication head so the driver's own
+# oracle re-confirms them this round (round-8 verdict item 2). Order
+# here = head order.
+_ADJUDICATION_FRONT = [
+    "q13_asof_join",
+    "q14_median",
+    "q17_quantiles",
+    "q23_knn",
+    "q32_minhash_lsh",
+    "q33_simhash",
+    "q34_ngram_jaccard",
+    "q35_cosine_topk",
+    "q36_lang_id",
+    "q37_quality",
+    "q40_ann_lsh",
+    "q45_knn_classify",
+    "q49_asof_forward",
+    "q55_dedup_clusters",
+    "q56_utm",
+    "q83_ranking_metrics",
+    "q104_containment",
+    "q138_label_noise",
+    "q169_dedup_curve",
+    "q173_ppjoin",
+    "q201_mutual_nn",
+    "q244_hubness",
+    "q494_lsh_tuning",
 ]
 
 
 def _curate_order() -> None:
-    head = {n: s for n, s in QUERIES.items() if n not in _ADJUDICATION_TAIL}
+    parked = set(_ADJUDICATION_TAIL)
+    front = {
+        n: QUERIES[n]
+        for n in _ADJUDICATION_FRONT
+        if n in QUERIES and n not in parked
+    }
+    head = {
+        n: s
+        for n, s in QUERIES.items()
+        if n not in parked and n not in front
+    }
     tail = {n: QUERIES[n] for n in _ADJUDICATION_TAIL if n in QUERIES}
     QUERIES.clear()
+    QUERIES.update(front)
     QUERIES.update(head)
     QUERIES.update(tail)
 
