@@ -312,6 +312,42 @@ def lsh_band_keys_sql(signature: str, bands: int, rows_per_band: int) -> str:
     )
 
 
+def _lit_array_sql(words: tuple[str, ...]) -> str:
+    """SQL twin of :func:`_lit_array`."""
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def lang_score_sql(toks: str, lang: str) -> str:
+    """SQL twin of one :func:`lang_scores` counter."""
+    arr = _lit_array_sql(LANG_STOPWORDS[lang])
+    return f"size(filter({toks}, t -> array_contains({arr}, t)))"
+
+
+def quality_features_sql(text: str, toks: str) -> dict[str, str]:
+    """SQL twin of :func:`quality_features` (same trees: the double
+    casts, the when/otherwise guards with 0.0D else branches)."""
+    n_tok = f"CAST(size({toks}) AS DOUBLE)"
+    n_chars = f"CAST(length({text}) AS DOUBLE)"
+    alpha = (
+        f"CAST(length(regexp_replace(lower({text}), '[^a-z]', '')) AS DOUBLE)"
+    )
+    punct = f"CAST(length(regexp_replace({text}, '[^.,;:!?]', '')) AS DOUBLE)"
+    stop_en = _lit_array_sql(LANG_STOPWORDS["en"])
+    n_stop = (
+        f"CAST(size(filter({toks}, t -> array_contains({stop_en}, t))) "
+        f"AS DOUBLE)"
+    )
+    guard = "CASE WHEN {c} > 0 THEN {v} ELSE 0.0D END"
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "alpha_ratio": guard.format(c=n_chars, v=f"{alpha} / {n_chars}"),
+        "punct_ratio": guard.format(c=n_chars, v=f"{punct} / {n_chars}"),
+        "stopword_ratio": guard.format(c=n_tok, v=f"{n_stop} / {n_tok}"),
+        "mean_word_len": guard.format(c=n_tok, v=f"{alpha} / {n_tok}"),
+    }
+
+
 def jaccard_sql(a: str, b: str) -> str:
     """SQL twin of :func:`jaccard` (same bind-intersect-once shape)."""
     sizes = f"CAST(size({a}) + size({b}) AS DOUBLE)"

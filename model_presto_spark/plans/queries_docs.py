@@ -337,26 +337,30 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize + 4x stopword scoring is the heavy per-row work and the
     # documents scan is one file (1 task) — spread first, like every
     # other CPU-bound text pass (io.spread docstring; q46 precedent).
-    toksed = spread(docs.select("lang", "text")).select(
-        "lang", T.tokens(F.col("text")).alias("toks")
+    # String-expression build (guide §7.3; was ~610 py4j round-trips):
+    # the nested when-chain is rendered as the same nested CASE tree.
+    toksed = spread(docs.select("lang", "text")).selectExpr(
+        "lang", f"{T.tokens_sql('text')} AS toks"
     )
-    scores = T.lang_scores(F.col("toks"))
+    scores = {
+        lang: T.lang_score_sql("toks", lang) for lang in T.LANG_STOPWORDS
+    }
     ordered = sorted(scores)  # lexicographic => deterministic argmax tie-break
     pred = None
     for lang in reversed(ordered):
         if pred is None:
-            pred = F.lit(lang)
+            pred = f"'{lang}'"
         else:
-            cond = None
-            for other in ordered:
-                if other > lang:
-                    c = scores[lang] >= scores[other]
-                    cond = c if cond is None else (cond & c)
-            pred = F.when(cond, F.lit(lang)).otherwise(pred)
+            cond = " AND ".join(
+                f"{scores[lang]} >= {scores[other]}"
+                for other in ordered
+                if other > lang
+            )
+            pred = f"CASE WHEN {cond} THEN '{lang}' ELSE {pred} END"
     return (
-        toksed.select("lang", pred.alias("predicted"))
+        toksed.selectExpr("lang", f"{pred} AS predicted")
         .groupBy("lang", "predicted")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.expr("count(1) AS n"))
     )
 
 
@@ -396,17 +400,20 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     # same single-file-scan serialization fix as q36 (io.spread)
-    toksed = spread(docs.select("doc_id", "text")).select(
-        "doc_id", "text", T.tokens(F.col("text")).alias("toks")
+    # String-expression build (guide §7.3; was ~590 py4j round-trips):
+    # same trees as quality_features' Column forms, incl. the
+    # double-then-bigint n_tokens cast and the 0.0D else branches.
+    toksed = spread(docs.select("doc_id", "text")).selectExpr(
+        "doc_id", "text", f"{T.tokens_sql('text')} AS toks"
     )
-    feats = T.quality_features(F.col("text"), F.col("toks"))
-    return toksed.select(
+    f = T.quality_features_sql("text", "toks")
+    return toksed.selectExpr(
         "doc_id",
-        feats["n_tokens"].cast("bigint").alias("n_tokens"),
-        F.round(feats["alpha_ratio"] + 5e-12, 6).alias("alpha_ratio"),
-        F.round(feats["punct_ratio"] + 5e-12, 6).alias("punct_ratio"),
-        F.round(feats["stopword_ratio"] + 5e-12, 6).alias("stopword_ratio"),
-        F.round(feats["mean_word_len"] + 5e-12, 6).alias("mean_word_len"),
+        f"CAST({f['n_tokens']} AS BIGINT) AS n_tokens",
+        f"ROUND({f['alpha_ratio']} + 5e-12, 6) AS alpha_ratio",
+        f"ROUND({f['punct_ratio']} + 5e-12, 6) AS punct_ratio",
+        f"ROUND({f['stopword_ratio']} + 5e-12, 6) AS stopword_ratio",
+        f"ROUND({f['mean_word_len']} + 5e-12, 6) AS mean_word_len",
     )
 
 

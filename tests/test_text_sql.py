@@ -94,6 +94,22 @@ def test_signature_band_jaccard_twins(docs):
     )
 
 
+def test_lang_score_and_quality_twins(docs):
+    toksed = docs.select(
+        "text", T.tokens(F.col("text")).alias("toks")
+    )
+    for lang in T.LANG_STOPWORDS:
+        _assert_equal(
+            toksed,
+            T.lang_scores(F.col("toks"))[lang],
+            T.lang_score_sql("toks", lang),
+        )
+    col_feats = T.quality_features(F.col("text"), F.col("toks"))
+    sql_feats = T.quality_features_sql("text", "toks")
+    for k in col_feats:
+        _assert_equal(toksed, col_feats[k], sql_feats[k])
+
+
 def test_pair_expansion_twins(spark):
     df = spark.createDataFrame(
         [([1, 2, 3, 4, 5],), ([10, 20],), ([7],)], "ids ARRAY<BIGINT>"
